@@ -1,0 +1,76 @@
+"""Unit tests: LWW merge-apply semantics (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from etl_reconciliate_ray.stages.merge import lww_reduce, merge_apply
+
+
+def _events(rows):
+    cols = ["seq", "op", "repo", "path", "commit", "lang", "content"]
+    return pa.Table.from_pylist([dict(zip(cols, r)) for r in rows])
+
+
+def test_lww_picks_max_seq_and_keeps_delete_nulls():
+    ev = _events(
+        [
+            (1, "I", "r", "a", "c1", "py", "v1"),
+            (5, "U", "r", "a", "c3", "py", "v3"),
+            (3, "U", "r", "a", "c2", "py", "v2"),
+            (2, "D", "r", "b", "c4", None, None),
+        ]
+    )
+    red = lww_reduce(ev).sort_by("path")
+    assert red.num_rows == 2
+    row_a = red.slice(0, 1).to_pylist()[0]
+    assert row_a["seq"] == 5 and row_a["content"] == "v3" and row_a["op"] == "U"
+    row_b = red.slice(1, 1).to_pylist()[0]
+    assert row_b["op"] == "D" and row_b["content"] is None  # null NOT skipped
+
+
+def test_merge_apply_insert_update_delete_reinsert():
+    prev = pa.Table.from_pylist(
+        [
+            {"repo": "r", "path": "a", "commit": "c0", "lang": "py", "content": "old", "content_sha256": "ha", "bucket": 0},
+            {"repo": "r", "path": "b", "commit": "c0", "lang": "py", "content": "keep", "content_sha256": "hb", "bucket": 0},
+        ]
+    )
+    ev = _events(
+        [
+            (10, "U", "r", "a", "c1", "py", "new"),
+            (11, "D", "r", "b", "cd", None, None),
+            (12, "I", "r", "c", "c2", "go", "fresh"),
+            (13, "D", "r", "c", "cd", None, None),
+            (14, "I", "r", "c", "c3", "go", "fresh2"),  # re-insert after delete
+        ]
+    ).append_column("content_sha256", pa.array(["s1", None, "s2", None, "s3"]))
+    ev = ev.append_column("bucket", pa.array([0] * 5, pa.int32()))
+    out = merge_apply(ev, prev).sort_by("path")
+    rows = {r["path"]: r for r in out.to_pylist()}
+    assert set(rows) == {"a", "c"}  # b deleted
+    assert rows["a"]["content"] == "new" and rows["a"]["content_sha256"] == "s1"
+    assert rows["c"]["content"] == "fresh2" and rows["c"]["commit"] == "c3"
+
+
+def test_merge_apply_update_on_absent_key_inserts():
+    ev = _events([(1, "U", "r", "x", "c", "py", "v")]).append_column(
+        "content_sha256", pa.array(["s"])
+    )
+    out = merge_apply(ev, None)
+    assert out.num_rows == 1 and out.to_pylist()[0]["path"] == "x"
+
+
+def test_merge_apply_schema_evolution_additive():
+    prev = pa.Table.from_pylist(
+        [{"repo": "r", "path": "a", "commit": "c", "lang": "py", "content": "v", "content_sha256": "h", "bucket": 0}]
+    )
+    ev = _events([(1, "I", "r", "b", "c", "py", "w")]).append_column(
+        "content_sha256", pa.array(["h2"])
+    )
+    ev = ev.append_column("size_bytes", pa.array([123], pa.int64()))  # additive col
+    out = merge_apply(ev, prev).sort_by("path")
+    assert "size_bytes" in out.column_names
+    rows = out.to_pylist()
+    assert rows[0]["size_bytes"] is None  # old row null-filled
+    assert rows[1]["size_bytes"] == 123

@@ -1,0 +1,137 @@
+"""Reconciliation status taxonomy + rollup cascade tests (SURVEY.md §5.1).
+
+Status classes mirror ``service/ReconciliationService.java``:
+OK / NO EN JPAT / NO EN SWIFT / TRANSACCION DUPLICADA JPAT n /
+DIFERENCIA EN VALOR -> MATCHED / MISSING_RIGHT / MISSING_LEFT /
+DUP_RIGHT_n / VALUE_DIFF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from etl_reconciliate_ray.stages.reconcile import reconcile_group_pdf
+from etl_reconciliate_ray.pipelines.reconcile_run import (
+    ROLLUP_DUP,
+    ROLLUP_ERROR,
+    ROLLUP_OK,
+    ROLLUP_ROWS_WITH_ERRORS,
+    rollup_group,
+)
+
+
+def _df(left_rows, right_rows):
+    rows = [
+        {"repo": r, "path": p, "content_sha256": v, "commit": c, "side": "L"}
+        for (r, p, v, c) in left_rows
+    ] + [
+        {"repo": r, "path": p, "content_sha256": v, "commit": c, "side": "R"}
+        for (r, p, v, c) in right_rows
+    ]
+    return pd.DataFrame(rows)
+
+
+KEYS = ["repo", "path"]
+
+
+def _statuses(out):
+    return out.sort_values(["repo", "path", "status"])["status"].tolist()
+
+
+def test_matched_and_value_diff():
+    out = reconcile_group_pdf(
+        _df(
+            [("r", "a", "h1", "c1"), ("r", "b", "h2", "c2")],
+            [("r", "a", "h1", "c9"), ("r", "b", "DIFFER", "c8")],
+        ),
+        KEYS,
+        attr_cols=["commit"],
+    )
+    assert _statuses(out) == ["MATCHED", "VALUE_DIFF"]
+
+
+def test_missing_left_and_right():
+    out = reconcile_group_pdf(
+        _df([("r", "only_left", "h", "c")], [("r", "only_right", "h", "c")]),
+        KEYS,
+        attr_cols=["commit"],
+    )
+    got = dict(zip(out["path"], out["status"]))
+    assert got == {"only_left": "MISSING_RIGHT", "only_right": "MISSING_LEFT"}
+
+
+def test_duplicate_right_ordinals():
+    # one left row matching k=3 right rows -> 3 ordinal DUP rows,
+    # mirroring J8 ReconciliationService.java:137-144
+    out = reconcile_group_pdf(
+        _df(
+            [("r", "a", "h", "c0")],
+            [("r", "a", "h", "c1"), ("r", "a", "h", "c2"), ("r", "a", "h", "c3")],
+        ),
+        KEYS,
+        attr_cols=["commit"],
+    )
+    assert sorted(out["status"]) == ["DUP_RIGHT_1", "DUP_RIGHT_2", "DUP_RIGHT_3"]
+    # deterministic ordinal assignment: ordered by (value, commit)
+    ordered = out.sort_values("status")["commit_r"].tolist()
+    assert ordered == ["c1", "c2", "c3"]
+
+
+def test_one_match_plus_unused_right_rows():
+    # k rights, only one matches: MATCHED + unused rights MISSING_LEFT
+    # (reference: unused rights -> "NO EN SWIFT", :154-171)
+    out = reconcile_group_pdf(
+        _df(
+            [("r", "a", "h", "c0")],
+            [("r", "a", "h", "c1"), ("r", "a", "ZZZ", "c2")],
+        ),
+        KEYS,
+        attr_cols=["commit"],
+    )
+    assert sorted(out["status"]) == ["MATCHED", "MISSING_LEFT"]
+
+
+def test_rollup_cascade_priority_order():
+    # ERROR beats DUP beats ROWS_WITH_ERRORS beats OK (:194-201 order)
+    def roll(statuses):
+        g = pd.DataFrame({"repo": "r", "status": statuses})
+        return rollup_group(g)["rollup_status"].iloc[0]
+
+    assert roll(["MISSING_RIGHT", "MISSING_RIGHT"]) == ROLLUP_ERROR
+    assert roll(["DUP_RIGHT_1", "DUP_RIGHT_2", "VALUE_DIFF"]) == ROLLUP_DUP
+    assert roll(["MATCHED", "VALUE_DIFF"]) == ROLLUP_ROWS_WITH_ERRORS
+    assert roll(["MATCHED", "MISSING_LEFT"]) == ROLLUP_ROWS_WITH_ERRORS
+    assert roll(["MATCHED", "MATCHED"]) == ROLLUP_OK
+
+
+def test_e2e_reconcile_counts_exact(fixture_small, tmp_path):
+    """North rule: match/discrepancy report counts match the expected
+    counts recorded by datagen at perturbation time, exactly."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.pipelines.replay import ReplayConfig, replay
+    from etl_reconciliate_ray.pipelines.reconcile_run import reconcile_lake_vs_snapshot
+    from etl_reconciliate_ray.stages.normalize import make_normalizer
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = ReplayConfig(
+        lake_root=str(tmp_path / "lake_rec"),
+        num_buckets=8,
+        salt_for_repo=manifest["salt_hot_repos"],
+        writer_concurrency=2,
+    )
+    replay(fixture_dir, cfg)
+    snap = rd.read_parquet(f"{fixture_dir}/snapshot.parquet").map_batches(
+        make_normalizer(num_buckets=8), batch_format="pyarrow"
+    )
+    detail, rollup, counts = reconcile_lake_vs_snapshot(
+        cfg.lake_root, snap, num_buckets=8, salt_for_repo=manifest["salt_hot_repos"]
+    )
+    got = dict(zip(counts["status"], counts["n"]))
+    want = manifest["expected_status_counts"]
+    assert got == {k: v for k, v in want.items() if v}, (got, want)
+    rdf = rollup.to_pandas()
+    assert set(rdf["rollup_status"]) <= {ROLLUP_OK, ROLLUP_DUP, ROLLUP_ERROR, ROLLUP_ROWS_WITH_ERRORS}
+    # snapshot-only repo: all rows MISSING_LEFT -> ROWS_WITH_ERRORS
+    ghost = rdf.loc[rdf["repo"] == "orgX/only-in-snapshot", "rollup_status"]
+    assert ghost.tolist() == [ROLLUP_ROWS_WITH_ERRORS]
