@@ -1,0 +1,452 @@
+"""Driver-facing query catalog: one entry per operator family from
+SURVEY.md §2 (+ the training-data extensions), each over the driver's
+sf parquet tables, each paired (where SQL-expressible) with an ANSI-SQL
+oracle in ``oracle_sql()`` run by DuckDB on the same files.
+
+Numeric-comparison convention: every money/float AGGREGATE is emitted
+as an integer at a fixed scale (cents / 1e-4 units) on BOTH sides —
+`CAST(ROUND(SUM(x) * scale) AS BIGINT)` — because the true sums lie on
+a fixed decimal grid, so scaling to integers removes all float
+round-half ambiguity between numpy and DuckDB. Raw column passthroughs
+(no arithmetic) stay double: both engines read identical bits from the
+same parquet.
+
+Ray is initialised by the driver — NOTHING here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.catalog import read_table, read_table_pandas
+from ..stages.agg import preagg_groupby
+from ..stages.dedup import exact_dedup, lsh_candidate_pairs, minhash_clusters, SimHashStage
+from ..stages.joins import broadcast_anti_join, broadcast_join, hash_join
+from ..stages.lww import lww_latest
+from ..stages.multimodal import payload_meta_stage
+from ..stages.reconcile import reconcile_datasets
+from ..stages.similarity import ann_lsh_topk, knn_cosine
+from ..stages.textstage import LangId, QualityScore, TokenStats, sha256_stage
+from ..stages.windows import tumbling_window_agg
+
+
+def _cents(tbl: pa.Table, src: str, dst: str, scale: int) -> pa.Table:
+    vals = np.round(np.asarray(tbl[src].to_pylist(), dtype=np.float64) * scale).astype(np.int64)
+    return tbl.drop_columns([src]).append_column(dst, pa.array(vals, pa.int64()))
+
+
+# ---------------------------------------------------------------- S2/M1-M5
+def q_filter_project(sf_dir: str):
+    """Filter + projection (reference S2: status filter + aliased
+    projection, AsMonitoringPaymentsDAOImpl.java:34-51)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value", "event_type"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["event_id", "user_id", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------- A1/A2
+def q_groupby_sum(sf_dir: str):
+    """Grouped sums with partial pre-aggregation (reference A1,
+    AsMonitoringMessagesDAOImpl.java:37,44-48)."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", rev)
+
+    agg = preagg_groupby(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"sum_qty_f": "l_quantity", "sum_base_f": "l_extendedprice", "sum_disc_f": "disc_price"},
+        count_alias="n",
+    )
+
+    def scale(t: pa.Table) -> pa.Table:
+        t = _cents(t, "sum_qty_f", "sum_qty", 1)
+        t = _cents(t, "sum_base_f", "sum_base_cents", 100)
+        return _cents(t, "sum_disc_f", "sum_disc_e4", 10000)
+
+    return agg.map_batches(scale, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- J1 broadcast
+def q_join_customer_nation(sf_dir: str):
+    """Broadcast dimension join + grouped agg (reference J1 lookup-join
+    shape, LoadSwiftMessagesTasklet.java:44, done without a shuffle)."""
+    nation = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"]).rename(
+        columns={"n_nationkey": "c_nationkey"}
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, nation, on="c_nationkey")
+    agg = preagg_groupby(
+        joined, keys=["n_name"], sums={"sum_acctbal_f": "c_acctbal"}, count_alias="n_customers"
+    )
+    return agg.map_batches(
+        lambda t: _cents(t, "sum_acctbal_f", "sum_acctbal_cents", 100), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------- J2 hash join
+def q_join_orders_lineitem(sf_dir: str):
+    """Partitioned hash join, both sides large (reference J2 composite
+    lookup join, LoadJpatBatchesTasklet.java:91-106, as ONE shuffle
+    instead of a per-message point query)."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "revenue": rev})
+
+    li = li.map_batches(derive, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="o_orderkey", num_buckets=16)
+    agg = preagg_groupby(
+        joined, keys=["o_orderpriority"], sums={"sum_revenue_f": "revenue"}, count_alias="n_items"
+    )
+    return agg.map_batches(
+        lambda t: _cents(t, "sum_revenue_f", "sum_revenue_e4", 10000), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------- J4-J8 cogroup
+def _reconcile_sides(sf_dir: str):
+    """Derive deterministic L/R sides from orders exercising every
+    status class: keys %10==9 right-only, %10==7 left-only, %10==3
+    value-mutated, %10==5 duplicated on the right."""
+    base = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def to_l(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"].to_pylist(), dtype=np.int64)
+        t = t.filter(pa.array((k % 10) != 9))
+        val = np.round(np.asarray(t["o_totalprice"].to_pylist(), dtype=np.float64) * 100).astype(np.int64)
+        return pa.table({"orderkey": t["o_orderkey"], "val_cents": pa.array(val, pa.int64())})
+
+    def to_r(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"].to_pylist(), dtype=np.int64)
+        val = np.round(np.asarray(t["o_totalprice"].to_pylist(), dtype=np.float64) * 100).astype(np.int64)
+        keep = (k % 10) != 7
+        k1, v1 = k[keep], val[keep] + ((k[keep] % 10) == 3).astype(np.int64)
+        dup = (k % 10) == 5
+        k2, v2 = k[dup], val[dup]
+        return pa.table(
+            {
+                "orderkey": pa.array(np.concatenate([k1, k2]), pa.int64()),
+                "val_cents": pa.array(np.concatenate([v1, v2]), pa.int64()),
+            }
+        )
+
+    left = base.map_batches(to_l, batch_format="pyarrow")
+    right = base.map_batches(to_r, batch_format="pyarrow")
+    return left, right
+
+
+_RECONCILE_ORACLE_CTE = """
+WITH base AS (
+  SELECT o_orderkey AS okey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS val FROM orders),
+l AS (SELECT * FROM base WHERE okey % 10 <> 9),
+r AS (
+  SELECT okey, val + CASE WHEN okey % 10 = 3 THEN 1 ELSE 0 END AS val
+  FROM base WHERE okey % 10 <> 7
+  UNION ALL SELECT okey, val FROM base WHERE okey % 10 = 5),
+joined AS (
+  SELECT l.okey AS lkey, r.okey AS rkey, l.val AS lval, r.val AS rval,
+         CASE WHEN l.val = r.val THEN 1 ELSE 0 END AS is_match
+  FROM l FULL OUTER JOIN r ON l.okey = r.okey),
+scored AS (
+  SELECT *,
+    SUM(is_match) OVER (PARTITION BY COALESCE(lkey, rkey)) AS n_match,
+    ROW_NUMBER() OVER (PARTITION BY COALESCE(lkey, rkey), is_match ORDER BY rval) AS ord
+  FROM joined),
+labeled AS (
+  SELECT COALESCE(lkey, rkey) AS orderkey,
+    CASE
+      WHEN lkey IS NULL THEN 'MISSING_LEFT'
+      WHEN rkey IS NULL THEN 'MISSING_RIGHT'
+      WHEN is_match = 1 AND n_match = 1 THEN 'MATCHED'
+      WHEN is_match = 1 THEN 'DUP_RIGHT_' || CAST(ord AS VARCHAR)
+      WHEN n_match = 0 AND ord = 1 THEN 'VALUE_DIFF'
+      ELSE 'MISSING_LEFT'
+    END AS status
+  FROM scored)
+"""
+
+
+def q_reconcile_detail(sf_dir: str):
+    """The central cogroup reconcile (J4-J8) over derived sides;
+    detail rows (key + status)."""
+    left, right = _reconcile_sides(sf_dir)
+    detail = reconcile_datasets(
+        left, right, key_cols=["orderkey"], value_col="val_cents", num_buckets=16
+    )
+    return detail.map_batches(
+        lambda df: df[["orderkey", "status"]], batch_format="pandas"
+    )
+
+
+def q_reconcile_counts(sf_dir: str):
+    """Exact per-status report counts (north rule exactness gate)."""
+    left, right = _reconcile_sides(sf_dir)
+    detail = reconcile_datasets(
+        left, right, key_cols=["orderkey"], value_col="val_cents", num_buckets=16
+    )
+    counts = detail.groupby("status").count()
+    return counts.map_batches(
+        lambda df: df.rename(columns={"count()": "n"}), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------- CDC LWW
+def q_cdc_lww_events(sf_dir: str):
+    """Last-writer-wins latest row per key (the CDC upsert semantics of
+    SURVEY.md §2.6 applied to the events stream)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    latest = lww_latest(ds, key_cols="user_id", order_cols=["ts", "event_id"], num_buckets=16)
+    return latest.map_batches(
+        lambda df: df[["user_id", "event_id", "event_type", "value"]], batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------- sort/limit
+def q_topk_orders(sf_dir: str):
+    """Top-k by sort with deterministic tie-break (SURVEY.md §2.6:
+    positional 'first' made deterministic)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------- dedup
+def q_dedup_exact_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def q_minhash_clusters(sf_dir: str):
+    """MinHash+LSH near-dup clusters (rows-only check: connected
+    components are not ANSI-SQL-expressible)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_clusters(ds, threshold=0.8)
+
+
+def q_simhash_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(SimHashStage, batch_format="pandas", batch_size=1024, concurrency=(1, 4))
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """LSH candidate pairs with exact shingle-Jaccard >= 0.8."""
+    from ..stages.dedup import verify_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = lsh_candidate_pairs(ds).to_pandas()
+    docs = read_table_pandas(sf_dir, "documents", columns=["doc_id", "text"])
+    return verify_jaccard_pairs(pairs, docs, threshold=0.8)
+
+
+# ---------------------------------------------------------------- similarity
+def _query_vectors(sf_dir: str) -> pd.DataFrame:
+    df = read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return df[df["vec_id"] < 5].reset_index(drop=True)
+
+
+def q_knn_cosine(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_cosine(ds, _query_vectors(sf_dir), k=5)
+
+
+def q_ann_lsh(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_lsh_topk(ds, _query_vectors(sf_dir), k=5, num_planes=4)
+
+
+# ---------------------------------------------------------------- text
+def q_token_stats(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(TokenStats, batch_format="pandas", batch_size=2048, concurrency=(1, 4))
+
+
+def q_quality_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScore, batch_format="pandas", batch_size=2048, concurrency=(1, 4))
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["n_tokens"],
+                "stop_ratio": df["stop_ratio"].round(6),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_langid_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", batch_size=2048, concurrency=(1, 4))
+
+
+def q_sha256_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(sha256_stage, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- windows
+def q_window_events(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    agg = tumbling_window_agg(
+        ds, ts_col="ts", keys=["event_type"], width="hour",
+        sums={"sum_value_f": "value"}, count_alias="n",
+    )
+    return agg.map_batches(
+        lambda t: _cents(t, "sum_value_f", "sum_value_cents", 100), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------- set ops
+def q_distinct_event_types(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return ds.groupby("event_type").count().select_columns(["event_type"])
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Customers with no orders (reference J7 anti-join leg,
+    ReconciliationService.java:154-171, via broadcast key set)."""
+    okeys = read_table_pandas(sf_dir, "orders", columns=["o_custkey"]).drop_duplicates()
+    okeys = okeys.rename(columns={"o_custkey": "c_custkey"})
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    return broadcast_anti_join(cust, okeys, on="c_custkey")
+
+
+# ---------------------------------------------------------------- multimodal
+def q_payload_meta(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(payload_meta_stage, batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    """Binary-column decode plumbing with the stubbed codec (rows-only:
+    deterministic fake features)."""
+    from ..stages.multimodal import media_features
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payload = pa.array([x.encode() for x in t["text"].to_pylist()], pa.large_binary())
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "media_type": pa.array(["image"] * t.num_rows),
+                "payload": payload,
+            }
+        )
+
+    return media_features(ds.map_batches(to_media, batch_format="pyarrow"))
+
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "groupby_sum": q_groupby_sum,
+    "join_customer_nation": q_join_customer_nation,
+    "join_orders_lineitem": q_join_orders_lineitem,
+    "reconcile_detail": q_reconcile_detail,
+    "reconcile_counts": q_reconcile_counts,
+    "cdc_lww_events": q_cdc_lww_events,
+    "topk_orders": q_topk_orders,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "minhash_clusters": q_minhash_clusters,
+    "simhash_docs": q_simhash_docs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "knn_cosine": q_knn_cosine,
+    "ann_lsh": q_ann_lsh,
+    "token_stats": q_token_stats,
+    "quality_docs": q_quality_docs,
+    "langid_docs": q_langid_docs,
+    "sha256_docs": q_sha256_docs,
+    "window_events": q_window_events,
+    "distinct_event_types": q_distinct_event_types,
+    "anti_join_customers": q_anti_join_customers,
+    "payload_meta": q_payload_meta,
+    "media_features": q_media_features,
+}
+
+ORACLE_SQL = {
+    "filter_project": (
+        "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'"
+    ),
+    "groupby_sum": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty, "
+        "CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents, "
+        "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_disc_e4 "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "join_customer_nation": (
+        "SELECT n_name, COUNT(*) AS n_customers, "
+        "CAST(ROUND(SUM(c_acctbal) * 100) AS BIGINT) AS sum_acctbal_cents "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "join_orders_lineitem": (
+        "SELECT o_orderpriority, COUNT(*) AS n_items, "
+        "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_revenue_e4 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    ),
+    "reconcile_detail": _RECONCILE_ORACLE_CTE + "SELECT orderkey, status FROM labeled",
+    "reconcile_counts": _RECONCILE_ORACLE_CTE
+    + "SELECT status, COUNT(*) AS n FROM labeled GROUP BY status",
+    "cdc_lww_events": (
+        "SELECT user_id, event_id, event_type, value FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn "
+        "FROM events) WHERE rn = 1"
+    ),
+    "topk_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "dedup_exact_docs": (
+        "SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_sha256 "
+        "FROM documents GROUP BY sha256(text)"
+    ),
+    "knn_cosine": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) "
+        "SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM ("
+        "SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid "
+        "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rank "
+        "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) WHERE rank <= 5"
+    ),
+    "token_stats": (
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+        "length(text) AS n_chars FROM documents"
+    ),
+    "quality_docs": (
+        "SELECT doc_id, length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+        "ROUND(CAST(list_aggregate(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "x -> CASE WHEN x IN ('the','a','and','of','to','in','is','it','that','for') "
+        "THEN 1 ELSE 0 END), 'sum') AS DOUBLE) / "
+        "length(regexp_split_to_array(trim(text), '\\s+')), 6) AS stop_ratio FROM documents"
+    ),
+    "sha256_docs": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+    "window_events": (
+        "SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents "
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "anti_join_customers": (
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "payload_meta": "SELECT doc_id, strlen(text) AS payload_bytes FROM documents",
+    # rows-only (non-SQL-expressible): minhash_clusters, simhash_docs,
+    # ngram_jaccard_pairs, ann_lsh, langid_docs, media_features
+}

@@ -1,0 +1,152 @@
+"""Join operators: broadcast lookup join, bucketed hash join, and
+broadcast semi/anti join.
+
+Re-expresses the reference's lookup-join shapes Ray-Data-first
+(SURVEY.md §2.4): the reference runs an N+1 JDBC point query per
+message (J1 ``LoadSwiftMessagesTasklet.java:44``, J2
+``LoadJpatBatchesTasklet.java:91-106``, J3 ``:109-110``). Here:
+
+- **broadcast_join** — the small side is ``ray.put`` ONCE and merged
+  per batch inside ``map_batches`` (no shuffle, no re-ship per batch):
+  the right tool when one side is a dimension table.
+- **hash_join** — both sides large: add ``__bucket__ = hash(key) % B``
+  to each, union with a side tag, single shuffle by bucket, pandas
+  merge within each bucket (explicit partitioned hash join;
+  ray_guide.md "Joins and lookups" portable pattern).
+- **broadcast_semi_join / anti_join** — membership filter against a
+  broadcast key set (at 100 TB this key set becomes a Bloom filter;
+  the stage contract is unchanged).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash64
+
+
+def _bucket_expr(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    typ = col.type if hasattr(col, "type") else col.chunk(0).type
+    if pa.types.is_integer(typ):
+        vals = np.asarray(col.to_pylist(), dtype=np.int64)
+        return pa.array((vals % num_buckets).astype(np.int32))
+    return pa.array((hash64(col) % np.uint64(num_buckets)).astype(np.int32))
+
+
+def broadcast_join(
+    big_ds,
+    small_df: pd.DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    batch_size: int = 65536,
+):
+    """Join a large Dataset against a small pandas table without a
+    shuffle: the small side rides the object store once."""
+    import ray
+
+    ref = ray.put(small_df)
+    on = [on] if isinstance(on, str) else list(on)
+
+    class JoinSmall:
+        def __init__(self):
+            self.small = ray.get(ref)  # fetched once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return big_ds.map_batches(
+        JoinSmall, batch_format="pandas", batch_size=batch_size, concurrency=(1, 8)
+    )
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    num_buckets: int = 32,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+):
+    """Partitioned hash join of two large Datasets (single shuffle).
+
+    Colliding non-key column names get ``suffixes`` applied up front so
+    the unioned stream has one uniform schema (Ray blocks must align).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    ls, rs = left_ds.schema(), right_ds.schema()  # ray.data Schema: .names/.types
+    l_types = dict(zip(ls.names, ls.types))
+    r_types = dict(zip(rs.names, rs.types))
+    l_only = [c for c in ls.names if c not in on]
+    r_only = [c for c in rs.names if c not in on]
+    collide = set(l_only) & set(r_only)
+    l_names = {c: (c + suffixes[0] if c in collide else c) for c in l_only}
+    r_names = {c: (c + suffixes[1] if c in collide else c) for c in r_only}
+    l_fields = [(l_names[c], l_types[c]) for c in l_only]
+    r_fields = [(r_names[c], r_types[c]) for c in r_only]
+    all_fields = l_fields + r_fields
+    l_final, r_final = [f for f, _ in l_fields], [f for f, _ in r_fields]
+
+    def tag(side: str, rename: dict, missing: list):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.rename_columns([rename.get(c, c) for c in batch.column_names])
+            for name, typ in missing:
+                batch = batch.append_column(name, pa.nulls(batch.num_rows, typ))
+            batch = batch.select(on + [f for f, _ in all_fields])
+            batch = batch.append_column("__side__", pa.array([side] * batch.num_rows))
+            return batch.append_column("__bucket__", _bucket_expr(batch[on[0]], num_buckets))
+
+        return fn
+
+    tagged = left_ds.map_batches(tag("L", l_names, r_fields), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("R", r_names, l_fields), batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df.loc[df["__side__"] == "L", on + l_final]
+        right = df.loc[df["__side__"] == "R", on + r_final]
+        return left.merge(right, on=on, how=how)
+
+    return tagged.groupby("__bucket__").map_groups(join_bucket, batch_format="pandas")
+
+
+def broadcast_anti_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int = 65536):
+    """Rows of ``big_ds`` whose ``on`` value is NOT in the broadcast key
+    set (reference J7 right-anti leg shape, done without a shuffle)."""
+    import ray
+
+    ref = ray.put(set(keys_df[on].tolist()))
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([v not in self.keys for v in batch[on].to_pylist()])
+            return batch.filter(mask)
+
+    return big_ds.map_batches(
+        AntiFilter, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8)
+    )
+
+
+def broadcast_semi_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int = 65536):
+    import ray
+
+    ref = ray.put(set(keys_df[on].tolist()))
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([v in self.keys for v in batch[on].to_pylist()])
+            return batch.filter(mask)
+
+    return big_ds.map_batches(
+        SemiFilter, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8)
+    )

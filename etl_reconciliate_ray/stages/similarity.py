@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (list<float>):
+brute-force cosine top-k (baseline) and LSH-bucketed ANN (scale path).
+
+Pattern: the query matrix is small -> broadcast via ``ray.put`` once,
+loaded per actor in ``__init__``; each batch does one numpy matmul
+(vectorized) and emits only its local top-k per query; a final small
+``groupby(query_id)`` reduces local top-ks to the global top-k —
+a distributed top-k with O(batches * k) shuffle volume, never the full
+score matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def _emb_matrix(series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def knn_cosine(
+    emb_ds,
+    query_df: pd.DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact top-k cosine neighbors for each query row.
+    Returns Dataset(query_id, neighbor_id, rank) with rank 1..k,
+    ordered by (cosine desc, neighbor_id asc) — integer output so the
+    result is oracle-comparable without float hashing issues."""
+    import ray
+
+    qmat = _normalize(_emb_matrix(query_df[emb_col]))
+    qids = query_df[id_col].to_numpy()
+    ref = ray.put((qids, qmat))
+
+    class LocalTopK:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = _normalize(_emb_matrix(batch[emb_col]))
+            ids = batch[id_col].to_numpy()
+            scores = self.qmat @ emb.T  # (Q, B)
+            rows = []
+            for qi, qid in enumerate(self.qids):
+                s = scores[qi]
+                mask = ids != qid if exclude_self else np.ones(len(ids), bool)
+                cand = np.flatnonzero(mask)
+                if len(cand) == 0:
+                    continue
+                # local top-k: order by (-score, id) for determinism
+                order = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+                for j in order:
+                    rows.append((int(qid), int(ids[j]), float(s[j])))
+            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    local = emb_ds.map_batches(
+        LocalTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "neighbor_id": g["neighbor_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def ann_lsh_topk(
+    emb_ds,
+    query_df: pd.DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+):
+    """Approximate top-k: random-hyperplane LSH bucketing; only vectors
+    whose sign-signature matches a query's bucket are scored. Recall
+    traded for ~2^planes less compute; the bucket id is a deterministic
+    function of (seed, embedding) so results are reproducible."""
+    import ray
+
+    dim = len(query_df[emb_col].iloc[0])
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+    qmat = _normalize(_emb_matrix(query_df[emb_col]))
+    qids = query_df[id_col].to_numpy()
+    qsig = (qmat @ planes.T > 0).astype(np.uint8)
+    qbucket = qsig @ (1 << np.arange(num_planes, dtype=np.uint64))
+    ref = ray.put((qids, qmat, qbucket, planes))
+
+    class BucketTopK:
+        def __init__(self):
+            self.qids, self.qmat, self.qbucket, self.planes = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = _normalize(_emb_matrix(batch[emb_col]))
+            ids = batch[id_col].to_numpy()
+            sig = (emb @ self.planes.T > 0).astype(np.uint8)
+            bucket = sig @ (1 << np.arange(self.planes.shape[0], dtype=np.uint64))
+            rows = []
+            for qi, qid in enumerate(self.qids):
+                mask = (bucket == self.qbucket[qi]) & (ids != qid)
+                cand = np.flatnonzero(mask)
+                if len(cand) == 0:
+                    continue
+                s = self.qmat[qi] @ emb[cand].T
+                order = np.lexsort((ids[cand], -s))[:k]
+                for o in order:
+                    rows.append((int(qid), int(ids[cand[o]]), float(s[o])))
+            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    local = emb_ds.map_batches(
+        BucketTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "neighbor_id": g["neighbor_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")

@@ -1,0 +1,74 @@
+"""Text-analysis map_batches stages over a documents table:
+token counting, quality scoring, language-ID, sha256 fingerprint,
+rolling-hash fingerprints.
+
+Stateful pieces (compiled regexes, stopword tables) live in actor
+``__init__`` — built once per actor, applied per batch (the Ray Data
+actor-pool pattern; the reference has no analogous stages, these are
+the training-data-pipeline extensions the graft adds as first-class
+operators).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import text as T
+from ..functions.hashing import sha256_hex_array
+
+
+class TokenStats:
+    """doc_id, n_tokens (whitespace tokens), n_chars."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": batch["doc_id"]})
+        out["n_tokens"] = batch["text"].map(T.whitespace_token_count).astype("int64")
+        out["n_chars"] = batch["text"].str.len().astype("int64")
+        return out
+
+
+class QualityScore:
+    """Pre-training quality heuristics: stopword/punct ratios etc."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sig = batch["text"].map(T.quality_signals)
+        out = pd.DataFrame({"doc_id": batch["doc_id"]})
+        for k in ("n_tokens", "stop_ratio", "punct_ratio", "mean_token_len"):
+            out[k] = sig.map(lambda s, k=k: s[k])
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+
+class LangId:
+    """Stopword-hit-rate language ID (deterministic tie-break)."""
+
+    def __init__(self):
+        self.stop = {k: frozenset(v) for k, v in T.STOPWORDS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "pred_lang": batch["text"].map(T.langid)}
+        )
+
+
+def sha256_stage(batch: pa.Table) -> pa.Table:
+    """doc_id, content_sha256 — F6 hashing over driver documents."""
+    return pa.table(
+        {"doc_id": batch["doc_id"], "content_sha256": sha256_hex_array(batch["text"])}
+    )
+
+
+class RollingFingerprint:
+    """Winnowing-style fingerprints; emits one row per (doc, hash)."""
+
+    def __init__(self, window: int = 64):
+        self.window = window
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for did, txt in zip(batch["doc_id"], batch["text"]):
+            for h in T.rolling_fingerprint(txt, window=self.window):
+                ids.append(did)
+                hashes.append(h)
+        return pd.DataFrame({"doc_id": ids, "fingerprint": pd.array(hashes, dtype="int64")})

@@ -1,0 +1,84 @@
+"""Driver-conformance tests: every SQL-expressible query in
+pipelines.queries must match its DuckDB oracle on sf0.001
+(row count + schema + order-insensitive values), mirroring the
+driver's CORRECTNESS check. Rows-only queries get sanity checks.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_reconciliate_ray.pipelines.queries import ORACLE_SQL, QUERIES
+from etl_reconciliate_ray.sources.catalog import TABLES, table_path
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')"
+        )
+    yield con
+    con.close()
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(9)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(name, ddb):
+    got = _canon(_to_pandas(QUERIES[name](SF_DIR)))
+    want = _canon(ddb.execute(ORACLE_SQL[name]).df())
+    if len(got) == 0 and len(want) == 0:
+        return  # empty results: Ray's to_pandas drops the schema
+    assert list(got.columns) == list(want.columns), (name, got.columns, want.columns)
+    assert len(got) == len(want), (name, len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9, rtol=0)
+
+
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE_SQL))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name):
+    df = _to_pandas(QUERIES[name](SF_DIR))
+    assert len(df) >= 0
+    assert len(df.columns) >= 1
+
+
+def test_minhash_finds_exact_dups_as_clusters():
+    """Exact duplicate texts must land in one near-dup cluster."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(table_path(SF_DIR, "documents"), columns=["doc_id", "text"]).to_pandas()
+    dup_groups = docs.groupby("text")["doc_id"].apply(list)
+    dup_groups = [g for g in dup_groups if len(g) > 1]
+    clusters = _to_pandas(QUERIES["minhash_clusters"](SF_DIR))
+    lab = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    for g in dup_groups:
+        assert len({lab[d] for d in g}) == 1, f"exact dups split: {g}"
