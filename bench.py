@@ -1,0 +1,200 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md protocol).
+
+Default mode: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "events_per_sec": ...}
+
+--scaling: run the same job in two fresh processes at 8 and 32 CPUs on
+the same (cached, page-warm) input and print throughput at both plus
+scaling efficiency; also refresh BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+HEADLINE_QUERIES = [
+    "groupby_sum",
+    "join_orders_lineitem",
+    "cdc_lww_events",
+    "reconcile_counts",
+    "dedup_exact_docs",
+    "knn_cosine",
+    "window_events",
+    "sha256_docs",
+]
+
+BENCH_CACHE = "/tmp/etl_rec_bench"
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _consume(res) -> int:
+    """Materialize a result the cheap way (all results are small)."""
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from etl_reconciliate_ray.bench_fixture import ensure_bench_fixture
+    from etl_reconciliate_ray.pipelines.queries import QUERIES
+    from etl_reconciliate_ray.pipelines.reconcile_run import reconcile_lake_vs_snapshot
+    from etl_reconciliate_ray.pipelines.replay import ReplayConfig, replay
+    from etl_reconciliate_ray.stages.normalize import make_normalizer
+
+    qtimes: dict[str, float] = {}
+
+    # -- CDC replay headline -------------------------------------------
+    num_events = max(200_000, int(10_000_000 * sf))
+    lake_rows = max(20_000, num_events // 10)
+    fixture_dir = ensure_bench_fixture(BENCH_CACHE, num_events, lake_rows)
+    with open(os.path.join(fixture_dir, "fixture.json")) as fh:
+        man = json.load(fh)
+    lake_root = os.path.join(BENCH_CACHE, f"lake_cpu{ncpu}")
+    shutil.rmtree(lake_root, ignore_errors=True)
+    num_buckets = 64
+    cfg = ReplayConfig(
+        lake_root=lake_root,
+        num_buckets=num_buckets,
+        salt_for_repo=man["salt_hot_repos"],
+        # never let the writer actor pool reserve every CPU: the fused
+        # merge->writer actor stage would starve the upstream read/sort
+        # and deadlock the streaming executor
+        writer_concurrency=max(1, min(8, ncpu // 4)),
+        normalize_batch_size=8192,
+        read_parallelism=2 * ncpu,
+    )
+    t0 = time.monotonic()
+    replay(fixture_dir, cfg)
+    replay_sec = time.monotonic() - t0
+    qtimes["cdc_replay"] = round(replay_sec, 3)
+    events_per_sec = round((num_events + man["lake_rows"]) / replay_sec, 1)
+
+    t0 = time.monotonic()
+    snap = rd.read_parquet(
+        os.path.join(fixture_dir, "snapshot.parquet"), override_num_blocks=2 * ncpu
+    ).map_batches(make_normalizer(num_buckets, man["salt_hot_repos"]), batch_format="pyarrow")
+    _, _, counts = reconcile_lake_vs_snapshot(
+        lake_root, snap, num_buckets=num_buckets, salt_for_repo=man["salt_hot_repos"]
+    )
+    qtimes["cdc_reconcile"] = round(time.monotonic() - t0, 3)
+    got = dict(zip(counts["status"], counts["n"]))
+    sha_ok = got == {k: v for k, v in man["expected_status_counts"].items() if v}
+
+    # -- query suite over the sf dir -----------------------------------
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        _consume(QUERIES[name](sf_dir))
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(qtimes.values()), 3)
+    out = {
+        "metric": "cdc_replay+reconcile+queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "events": num_events,
+        "events_per_sec": events_per_sec,
+        "reconcile_exact": bool(sha_ok),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    lo_cpu, hi_cpu = 8, 32
+    results = {}
+    for ncpu in (lo_cpu, lo_cpu, hi_cpu):  # first lo run warms the page cache, untimed
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    eps_lo = results[lo_cpu]["events_per_sec"]
+    eps_hi = results[hi_cpu]["events_per_sec"]
+    eff = round((eps_hi / eps_lo) / (hi_cpu / lo_cpu), 3)
+    summary = {
+        "metric": "scaling_efficiency",
+        "cpus": [lo_cpu, hi_cpu],
+        "events_per_sec": {str(lo_cpu): eps_lo, str(hi_cpu): eps_hi},
+        "replay_sec": {
+            str(lo_cpu): results[lo_cpu]["queries"]["cdc_replay"],
+            str(hi_cpu): results[hi_cpu]["queries"]["cdc_replay"],
+        },
+        "scaling_efficiency": eff,
+        "target": 0.8,
+        "events": results[hi_cpu]["events"],
+    }
+    _write_bench_md(results, summary)
+    return summary
+
+
+def _write_bench_md(results: dict, summary: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — measured scaling evidence",
+        "",
+        f"Machine: {os.cpu_count()} CPUs. Protocol: same cached fixture, fresh",
+        "`ray.init(address='local', num_cpus=N)` per process, page cache warmed",
+        "by one untimed low-CPU run (BASELINE.md sandbox protocol).",
+        "",
+        "| num_cpus | replay sec | events/s | total sec |",
+        "|---|---|---|---|",
+    ]
+    for ncpu, r in sorted(results.items()):
+        lines.append(
+            f"| {ncpu} | {r['queries']['cdc_replay']} | {r['events_per_sec']} | {r['value']} |"
+        )
+    lines += [
+        "",
+        f"**Scaling efficiency ({summary['cpus'][0]} -> {summary['cpus'][1]} CPUs):** "
+        f"{summary['scaling_efficiency']} (target >= 0.8)",
+        "",
+        f"Events: {summary['events']}; command: `RAY_GRAFT_CPUS=N python bench.py`;",
+        "`python bench.py --scaling` regenerates this file.",
+    ]
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

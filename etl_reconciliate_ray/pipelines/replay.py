@@ -34,7 +34,7 @@ import pyarrow as pa
 from ..functions.hashing import table_state_sha256
 from ..stages.merge import make_merge_fn, read_prev_state, _unify_concat
 from ..stages.normalize import make_normalizer
-from ..stages.writer import ExactlyOnceWriter
+from ..stages.writer import make_writer_pool
 from ..state.commitlog import CommitLog, PartEntry
 
 
@@ -45,6 +45,11 @@ class ReplayConfig:
     salt_for_repo: dict[str, int] = field(default_factory=dict)
     writer_concurrency: int = 4
     normalize_batch_size: int = 8192
+    # split each epoch's parquet into this many read blocks so the
+    # normalize/hash stage parallelizes across the whole pool (a single
+    # one-row-group file would otherwise read as 1-3 blocks and
+    # serialize the pipeline); None = Ray's automatic choice
+    read_parallelism: int | None = None
 
 
 def _commit_manifest_rows(
@@ -81,16 +86,23 @@ def run_epoch(
     cfg: ReplayConfig,
     log: CommitLog | None = None,
     input_seq: tuple[int, int] | None = None,
+    writers: list | None = None,
 ) -> dict:
     """Apply one epoch (a ``ray.data.Dataset`` of binlog events) to the
     lake. Idempotent: a sealed epoch is skipped; a partially-committed
-    epoch re-runs its uncommitted partitions only (writer-side fence)."""
+    epoch re-runs its uncommitted partitions only (writer-side fence).
+
+    ``writers``: the persistent LakeWriterActor pool; created here if
+    not passed (``replay()`` creates it once for all epochs)."""
     log = log or CommitLog.open(cfg.lake_root)
     t0 = time.monotonic()
     if log.is_sealed(epoch):
         return {"epoch": epoch, "skipped": True, "parts_committed": 0, "sec": 0.0}
 
     import ray
+
+    if writers is None:
+        writers = make_writer_pool(cfg.lake_root, cfg.writer_concurrency)
 
     prev_manifest = {
         part: list(entry.files) for part, entry in log.current_manifest(upto_epoch=epoch - 1).items()
@@ -102,16 +114,8 @@ def run_epoch(
         batch_format="pyarrow",
         batch_size=cfg.normalize_batch_size,
     )
-    merged = normalized.groupby("bucket").map_groups(
-        make_merge_fn(manifest_ref), batch_format="pyarrow"
-    )
-    manifest_rows_ds = merged.map_batches(
-        ExactlyOnceWriter,
-        fn_constructor_kwargs={"lake_root": cfg.lake_root, "epoch": epoch},
-        batch_format="pyarrow",
-        batch_size=None,  # one map_groups block (= one bucket) per call
-        concurrency=cfg.writer_concurrency,
-        num_cpus=1,
+    manifest_rows_ds = normalized.groupby("bucket").map_groups(
+        make_merge_fn(manifest_ref, writers=writers, epoch=epoch), batch_format="pyarrow"
     )
     rows = manifest_rows_ds.take_all()  # tiny: one row per touched partition piece
     committed = _commit_manifest_rows(log, epoch, [dict(r) for r in rows], input_seq)
@@ -138,13 +142,19 @@ def _write_lineage(lake_root: str, log: CommitLog, last_metrics: dict) -> None:
     os.replace(tmp, os.path.join(lake_root, "lineage.json"))
 
 
-def bootstrap(lake_seed_path: str, cfg: ReplayConfig, log: CommitLog | None = None) -> dict:
+def bootstrap(
+    lake_seed_path: str,
+    cfg: ReplayConfig,
+    log: CommitLog | None = None,
+    writers: list | None = None,
+) -> dict:
     """Epoch 0 = initial lake load, expressed as all-insert events with
     ``seq=-1`` so it flows through the exact same replay path."""
     import ray.data as rd
     import pyarrow.compute as pc  # noqa: F401
 
-    ds = rd.read_parquet(lake_seed_path)
+    kwargs = {"override_num_blocks": cfg.read_parallelism} if cfg.read_parallelism else {}
+    ds = rd.read_parquet(lake_seed_path, **kwargs)
 
     def as_insert(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -153,7 +163,7 @@ def bootstrap(lake_seed_path: str, cfg: ReplayConfig, log: CommitLog | None = No
         )
 
     ds = ds.map_batches(as_insert, batch_format="pyarrow", batch_size=cfg.normalize_batch_size)
-    return run_epoch(ds, 0, cfg, log=log, input_seq=(-1, -1))
+    return run_epoch(ds, 0, cfg, log=log, input_seq=(-1, -1), writers=writers)
 
 
 def replay(
@@ -169,14 +179,16 @@ def replay(
     with open(os.path.join(fixture_dir, "fixture.json")) as fh:
         fixture = json.load(fh)
     log = CommitLog.open(cfg.lake_root)
-    out = [bootstrap(os.path.join(fixture_dir, "lake_seed.parquet"), cfg, log=log)]
+    writers = make_writer_pool(cfg.lake_root, cfg.writer_concurrency)
+    out = [bootstrap(os.path.join(fixture_dir, "lake_seed.parquet"), cfg, log=log, writers=writers)]
+    kwargs = {"override_num_blocks": cfg.read_parallelism} if cfg.read_parallelism else {}
     for ep in fixture["epochs"]:
         engine_epoch = ep["epoch"] + 1  # epoch 0 is the bootstrap
         if stop_after_epoch is not None and engine_epoch > stop_after_epoch:
             break
-        ds = rd.read_parquet(ep["file"])
+        ds = rd.read_parquet(ep["file"], **kwargs)
         out.append(
-            run_epoch(ds, engine_epoch, cfg, log=log, input_seq=tuple(ep["seq_range"]))
+            run_epoch(ds, engine_epoch, cfg, log=log, input_seq=tuple(ep["seq_range"]), writers=writers)
         )
     return out
 

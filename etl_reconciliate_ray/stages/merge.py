@@ -104,10 +104,16 @@ def merge_apply(events: pa.Table, prev: pa.Table | None) -> pa.Table:
     return merged.select([c for c in LAKE_COLS + ["bucket"] + extras if c in merged.column_names])
 
 
-def make_merge_fn(manifest_ref) -> Callable[[pa.Table], pa.Table]:
+def make_merge_fn(manifest_ref, writers: list | None = None, epoch: int | None = None) -> Callable[[pa.Table], pa.Table]:
     """Build the ``map_groups`` fn. ``manifest_ref`` is a ``ray.put``
     ObjectRef of ``{part:int -> [prev parquet files]}`` — broadcast once
-    per epoch, read per task (never re-shipped per batch)."""
+    per epoch, read per task (never re-shipped per batch).
+
+    With ``writers`` (the persistent LakeWriterActor pool) the merged
+    state is handed to ``writers[part % W]`` and the fn returns the tiny
+    manifest row instead of the state table — the dataset output is then
+    just the commit metadata (nothing big flows back to the driver).
+    Without ``writers`` the fn returns the merged state (unit tests)."""
     import ray
 
     def merge_group(events: pa.Table) -> pa.Table:
@@ -125,6 +131,9 @@ def make_merge_fn(manifest_ref) -> Callable[[pa.Table], pa.Table]:
             cols = {c: pa.array([None], pa.string()) for c in LAKE_COLS}
             cols["bucket"] = pa.array([part], pa.int32())
             out = pa.table(cols)
-        return out
+        if writers is None:
+            return out
+        row = ray.get(writers[part % len(writers)].write_piece.remote(epoch, part, out))
+        return pa.Table.from_pylist([row])
 
     return merge_group

@@ -1,4 +1,4 @@
-"""Exactly-once parquet sink — stateful actor-pool writer stage.
+"""Exactly-once parquet sink — stateful writer actor pool.
 
 North-star requirement: "stateful actor-pool writers enforcing
 exactly-once sink semantics (idempotent commit log + per-partition
@@ -6,20 +6,21 @@ epoch fencing)". The reference has NO exactly-once story (its report +
 email are simply re-sent on re-run, ``ReportAndEmailTasklet.java:46-47``);
 this stage is designed fresh for Ray's retry model (SURVEY.md §4):
 
-- used as ``merged.map_batches(ExactlyOnceWriter, concurrency=N,
-  batch_size=None)`` — a callable CLASS, so the commit-log snapshot and
-  output-root handle are loaded ONCE per actor in ``__init__``;
-- file names are **content-addressed** (sha256 of the partition piece's
-  key->hash state), written tmp-file + atomic ``os.replace``: a retried
-  task rewrites byte-identical bytes to the same name — idempotent;
-- **epoch fencing**: a (epoch, part) already present in the commit-log
-  snapshot is skipped (re-delivered epochs write nothing);
-- visibility is manifest-gated: the writer only WRITES; the driver
-  appends the commit records returned by this stage to the commit log
-  and seals the epoch (single-writer log; see state/commitlog.py).
-
-Output of the stage: a tiny manifest-row table (one row per written
-partition piece) — the only thing the driver materializes.
+- a pool of long-lived ``LakeWriterActor``s is created ONCE per replay
+  (``ray.remote(num_cpus=0)`` — IO-bound, so they never compete with
+  the CPU slots of the data tasks) and shared by every epoch: state
+  (commit-log fence snapshot, output-root handle) lives in the actor,
+  amortized across the whole run, not re-built per epoch;
+- each merge task routes its partition state to ``writers[part % W]``;
+  the actor enforces the **per-partition epoch fence** (an (epoch,
+  part) already written this run is skipped) and performs the write;
+- file names are **content-addressed** (sha256 of the partition's
+  key->hash state) and published tmp-file + atomic ``os.replace``: a
+  retried task re-writes byte-identical bytes to the same name —
+  idempotent under Ray task retries;
+- visibility is manifest-gated: actors only WRITE; the driver appends
+  the returned commit records to the commit log and seals the epoch
+  (single-writer log; state/commitlog.py).
 """
 
 from __future__ import annotations
@@ -44,46 +45,56 @@ MANIFEST_SCHEMA = pa.schema(
 )
 
 
-class ExactlyOnceWriter:
-    """Actor-pool writer: one instance per pool actor, state in __init__."""
+class LakeWriterActor:
+    """One member of the writer pool. Plain class — wrapped with
+    ``ray.remote`` by ``make_writer_pool`` so tests can also drive it
+    directly in-process."""
 
-    def __init__(self, lake_root: str, epoch: int):
+    def __init__(self, lake_root: str):
         self.lake_root = lake_root
-        self.epoch = epoch
         os.makedirs(lake_root, exist_ok=True)
-        # fence snapshot: (epoch, part) pairs committed before this run
+        # fence: (epoch, part) pairs already committed (from the log) or
+        # already written by this actor in this run
         log = CommitLog.open(lake_root)
-        self.fenced = {p for (e, p) in log._entries if e == epoch}
+        self._fence: dict[tuple[int, int], dict] = {}
+        for (e, p), entry in log._entries.items():
+            self._fence[(e, p)] = {
+                "epoch": e,
+                "part": p,
+                "file": entry.files[0] if entry.files else "",
+                "rows": entry.rows,
+                "state_sha256": entry.state_sha256,
+            }
 
-    def _write_piece(self, part: int, tbl: pa.Table) -> dict:
+    def write_piece(self, epoch: int, part: int, tbl: pa.Table) -> dict:
+        """Write one partition's state for one epoch; fenced + idempotent."""
+        key = (epoch, part)
+        if key in self._fence:
+            return self._fence[key]  # epoch fence: already written/committed
         # strip empty-partition tombstone rows (see merge.make_merge_fn)
         tbl = tbl.filter(pc.is_valid(tbl["repo"]))
         piece_sha = table_state_sha256(tbl, ("repo", "path"), "content_sha256")
-        out_dir = os.path.join(self.lake_root, f"epoch={self.epoch:05d}", f"part={part:05d}")
+        out_dir = os.path.join(self.lake_root, f"epoch={epoch:05d}", f"part={part:05d}")
         os.makedirs(out_dir, exist_ok=True)
         fname = os.path.join(out_dir, f"state-{piece_sha[:16]}.parquet")
         if not os.path.exists(fname):  # idempotent: same content -> same name
-            tmp = fname + ".tmp"
+            tmp = fname + f".tmp{os.getpid()}"
             pq.write_table(tbl, tmp)
             os.replace(tmp, fname)  # atomic publish of the file itself
-        return {
-            "epoch": self.epoch,
+        row = {
+            "epoch": epoch,
             "part": part,
             "file": fname,
             "rows": tbl.num_rows,
             "state_sha256": piece_sha,
         }
+        self._fence[key] = row
+        return row
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: list[dict] = []
-        if batch.num_rows == 0 or "bucket" not in batch.column_names:
-            return pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA)
-        # one map_groups output block is normally one bucket, but be
-        # correct if Ray coalesces blocks: split the batch per part id.
-        for part_scalar in pc.unique(batch["bucket"]).to_pylist():
-            part = int(part_scalar)
-            if part in self.fenced:
-                continue  # epoch fence: already committed for this part
-            piece = batch.filter(pc.equal(batch["bucket"], part_scalar))
-            rows.append(self._write_piece(part, piece))
-        return pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA)
+
+def make_writer_pool(lake_root: str, size: int) -> list:
+    """Create the long-lived writer actor pool (once per replay run)."""
+    import ray
+
+    actor_cls = ray.remote(num_cpus=0)(LakeWriterActor)
+    return [actor_cls.remote(lake_root) for _ in range(max(1, size))]
