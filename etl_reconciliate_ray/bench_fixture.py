@@ -49,17 +49,19 @@ def _content_pool(rng: np.random.Generator, n_chars: int = 300) -> np.ndarray:
 
 
 def _key_arrays(pathids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (repo, path) per pathid; ~40% of the key space
-    lives in one monorepo (skew for salting). Fully vectorized (no
-    per-row Python) so 10^7-event fixtures generate in seconds."""
-    mono = (pathids % 10) < 4
-    rid = pathids % 7
+    """Deterministic (repo, path) per pathid; ~30% of the key space
+    lives in one hot monorepo (skew for salted-key splitting) and the
+    rest spreads over 128 normal repos — realistic cardinality, so
+    hash-partitioning has real fan-out. Fully vectorized (no per-row
+    Python) so 10^7-event fixtures generate in seconds."""
+    mono = (pathids % 10) < 3
+    rid = pathids % 128
     repo = np.where(
         mono,
         "org0/monorepo",
         np.char.add(
-            np.char.add("org", (rid % 3 + 1).astype("U1")),
-            np.char.add("/repo", rid.astype("U1")),
+            np.char.add("org", (rid % 5 + 1).astype("U1")),
+            np.char.add("/repo", rid.astype("U3")),
         ),
     ).astype(object)
     path = np.char.add(
@@ -146,7 +148,7 @@ def write_bench_fixture(
         "lake_rows": lake_rows,
         "final_rows": len(snap),
         "expected_status_counts": {"MATCHED": len(snap)},
-        "salt_hot_repos": {"org0/monorepo": 8},
+        "salt_hot_repos": {"org0/monorepo": 16},
     }
     with open(f"{out_dir}/fixture.json", "w") as fh:
         json.dump(manifest, fh)

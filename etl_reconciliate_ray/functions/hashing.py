@@ -96,16 +96,28 @@ def table_state_sha256(tbl: pa.Table, key_cols: tuple[str, ...], value_col: str)
     Used for partition-level lineage hashes and for the kill/restart
     convergence check (north_star: "converges to the identical
     sha256-verified state").
+
+    Vectorized: canonical sort by key, element-wise join of the key and
+    value columns with separators (Arrow C kernel), then ONE sha256
+    over the combined column's offsets+data buffers — no per-row
+    Python. The writer actors call this per partition piece, so it must
+    run at memory bandwidth, not interpreter speed.
     """
+    import pyarrow.compute as pc
+
     if tbl.num_rows == 0:
         return hashlib.sha256(b"EMPTY").hexdigest()
     tbl = tbl.sort_by([(c, "ascending") for c in key_cols])
-    h = hashlib.sha256()
-    cols = [tbl[c].combine_chunks().to_pylist() for c in key_cols] + [
-        tbl[value_col].combine_chunks().to_pylist()
+    cols = [
+        pc.fill_null(pc.cast(tbl[c], pa.large_string()), "\x00NULL\x00")
+        for c in (*key_cols, value_col)
     ]
-    for row in zip(*cols):
-        for v in row:
-            h.update(b"\x00" if v is None else str(v).encode())
-        h.update(b"\x01")
+    joined = pc.binary_join_element_wise(
+        *cols, pa.scalar("\x01", pa.large_string())
+    ).combine_chunks()
+    h = hashlib.sha256()
+    # offsets + data buffers canonically encode the string column
+    for buf in joined.buffers():
+        if buf is not None:
+            h.update(buf)
     return h.hexdigest()

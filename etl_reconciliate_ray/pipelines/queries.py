@@ -353,6 +353,105 @@ def q_media_features(sf_dir: str):
     return media_features(ds.map_batches(to_media, batch_format="pyarrow"))
 
 
+# ---------------------------------------------------------------- asof join
+def q_asof_join_events(sf_dir: str):
+    """Backward as-of join: each click paired with the user's most
+    recent prior-or-simultaneous purchase (custom operator — Ray Data
+    has none; stages/joins.asof_join)."""
+    from ..stages.joins import asof_join
+
+    cols = ["event_id", "ts", "user_id", "value"]
+    base = read_table(sf_dir, "events", columns=cols + ["event_type"])
+    clicks = base.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(cols),
+        batch_format="pyarrow",
+    )
+    purchases = base.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(cols),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        right_cols={"event_id": "purchase_event_id", "value": "purchase_value"},
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "purchase_event_id": df["purchase_event_id"].fillna(-1).astype("int64"),
+                "purchase_value_cents": (df["purchase_value"] * 100).round().fillna(-1).astype("int64"),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- A3 rollup
+def q_reconcile_rollup(sf_dir: str):
+    """Group-level rollup with the reference's A3 priority cascade
+    (ReconciliationService.java:194-201) over the reconcile detail,
+    grouped on a coarser key than the match key (rollups re-aggregate
+    across finer partitions, SURVEY.md §4)."""
+    from ..pipelines.reconcile_run import rollup_group
+
+    left, right = _reconcile_sides(sf_dir)
+    detail = reconcile_datasets(
+        left, right, key_cols=["orderkey"], value_col="val_cents", num_buckets=16
+    )
+
+    def add_grp(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["orderkey"].astype("int64")
+        out = df[["status"]].copy()
+        out.insert(0, "grp", key % 97)
+        return out
+
+    rolled = detail.map_batches(add_grp, batch_format="pandas").groupby("grp").map_groups(
+        rollup_group, batch_format="pandas"
+    )
+    return rolled.map_batches(
+        lambda df: df.astype({"grp": "int64", "n_rows": "int64", "n_matched": "int64"}),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------- sampling
+def q_sample_orders(sf_dir: str):
+    """Deterministic systematic sample (1-in-20 by key residue) —
+    sampling must be reproducible across parallelism levels, so it
+    keys on the data, never on task-local RNG."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"].to_pylist(), dtype=np.int64)
+        return t.filter(pa.array(k % 20 == 3))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- fingerprints
+def q_fingerprint_docs(sf_dir: str):
+    """Winnowed rolling-hash document fingerprints (rows-only: set
+    semantics aren't ANSI-SQL-expressible)."""
+    from ..stages.textstage import RollingFingerprint
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(RollingFingerprint, batch_format="pandas", batch_size=2048, concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------- emb near-dup
+def q_embdup_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.99): brute-force
+    per-batch matmul against the broadcast matrix — the oracle-checked
+    baseline; ann_lsh is the bucketed scale path."""
+    from ..stages.similarity import cosine_dup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    all_df = read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_dup_pairs(ds, all_df, threshold=0.99)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_sum": q_groupby_sum,
@@ -377,6 +476,11 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "payload_meta": q_payload_meta,
     "media_features": q_media_features,
+    "asof_join_events": q_asof_join_events,
+    "reconcile_rollup": q_reconcile_rollup,
+    "sample_orders": q_sample_orders,
+    "fingerprint_docs": q_fingerprint_docs,
+    "embdup_pairs": q_embdup_pairs,
 }
 
 ORACLE_SQL = {
@@ -447,6 +551,30 @@ ORACLE_SQL = {
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
     ),
     "payload_meta": "SELECT doc_id, strlen(text) AS payload_bytes FROM documents",
-    # rows-only (non-SQL-expressible): minhash_clusters, simhash_docs,
-    # ngram_jaccard_pairs, ann_lsh, langid_docs, media_features
+    "asof_join_events": (
+        "WITH p AS (SELECT user_id, ts, event_id, value FROM ("
+        "SELECT user_id, ts, event_id, value, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn "
+        "FROM events WHERE event_type = 'purchase') WHERE rn = 1), "
+        "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
+        "SELECT c.event_id, c.user_id, "
+        "COALESCE(p.event_id, -1) AS purchase_event_id, "
+        "COALESCE(CAST(ROUND(p.value * 100) AS BIGINT), -1) AS purchase_value_cents "
+        "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
+    ),
+    "reconcile_rollup": _RECONCILE_ORACLE_CTE + (
+        "SELECT grp, COUNT(*) AS n_rows, "
+        "SUM(CASE WHEN status = 'MATCHED' THEN 1 ELSE 0 END) AS n_matched, "
+        "CASE WHEN SUM(CASE WHEN status <> 'MISSING_RIGHT' THEN 1 ELSE 0 END) = 0 THEN 'ERROR' "
+        "WHEN SUM(CASE WHEN status LIKE 'DUP_RIGHT_%' THEN 1 ELSE 0 END) > 0 THEN 'DUP_IN_RIGHT' "
+        "WHEN SUM(CASE WHEN status <> 'MATCHED' THEN 1 ELSE 0 END) > 0 THEN 'ROWS_WITH_ERRORS' "
+        "ELSE 'OK' END AS rollup_status "
+        "FROM (SELECT orderkey % 97 AS grp, status FROM labeled) GROUP BY grp"
+    ),
+    "sample_orders": (
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 20 = 3"
+    ),
+    # rows-only (non-SQL-expressible or float-boundary-fragile):
+    # minhash_clusters, simhash_docs, ngram_jaccard_pairs, ann_lsh,
+    # langid_docs, media_features, fingerprint_docs, embdup_pairs
 }

@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 
 from ..functions.hashing import table_state_sha256
-from ..stages.merge import make_merge_fn, read_prev_state, _unify_concat
+from ..stages.merge import _unify_concat, make_merge_fn, read_chain
 from ..stages.normalize import make_normalizer
 from ..stages.writer import make_writer_pool
 from ..state.commitlog import CommitLog, PartEntry
@@ -50,34 +50,78 @@ class ReplayConfig:
     # one-row-group file would otherwise read as 1-3 blocks and
     # serialize the pipeline); None = Ray's automatic choice
     read_parallelism: int | None = None
+    # merge-on-read: a bucket whose chain (base + deltas) is shorter
+    # than this writes an O(events) DELTA instead of rewriting its full
+    # state; at the threshold the merge compacts (reads + resolves the
+    # chain, writes a new base). <=1 disables deltas (always full).
+    delta_threshold: int = 8
+    # >1: process up to K binlog epochs per SINGLE Dataset execution in
+    # forced-delta mode — grouped by (epoch, bucket), so per-epoch LWW
+    # semantics are exact while the streaming executor pipelines all K
+    # epochs through one shuffle (per-epoch driver barriers would
+    # dominate at 10^4+ epochs; concurrent separate executions contend
+    # pathologically). Epochs are committed + sealed in order after
+    # each execution; a crash redoes at most K epochs (idempotent).
+    pipeline_epochs: int = 1
+    # run a distributed compaction after the last epoch so readers see
+    # chain length 1 everywhere (end-of-stream housekeeping).
+    post_compact: bool = False
+    # batched-epoch merge strategy:
+    # - "direct": NO shuffle, NO object-store round trip — each map
+    #   task partial-LWWs its block per (epoch, bucket) and writes the
+    #   partial delta straight to the lake (one file per task+epoch,
+    #   one row group per bucket for pruned reads); read-time LWW
+    #   resolution on (epoch, seq) makes overlapping partials exact;
+    # - "combine": map tasks push partial-LWW tables to the bucket's
+    #   writer actor, which final-reduces on flush (one delta piece per
+    #   (epoch, bucket), denser files, but pays an object-store copy);
+    # - "shuffle": groupby(epoch, bucket) sort shuffle, one merge task
+    #   per group (most general; group-local logic sees all rows).
+    merge_strategy: str = "direct"
 
 
 def _commit_manifest_rows(
-    log: CommitLog, epoch: int, rows: list[dict], input_seq: tuple[int, int] | None
+    log: CommitLog,
+    epoch: int,
+    rows: list[dict],
+    input_seq: tuple[int, int] | None,
+    seal: bool = True,
 ) -> int:
     """Driver-side commit: fold per-piece manifest rows into per-part
-    entries, append under the (epoch, part) fence, seal the epoch."""
+    entries, batch-append them under the (epoch, part) fence (ONE
+    fsync), optionally seal the epoch (pipelined replay seals in epoch
+    order after out-of-order commits)."""
     import hashlib
 
     by_part: dict[int, list[dict]] = {}
     for r in rows:
         by_part.setdefault(int(r["part"]), []).append(r)
-    committed = 0
+    entries = []
     for part, pieces in sorted(by_part.items()):
         pieces.sort(key=lambda r: r["file"])
         combined = hashlib.sha256("".join(p["state_sha256"] for p in pieces).encode()).hexdigest()
-        entry = PartEntry(
+        entries.append(PartEntry(
             epoch=epoch,
             part=part,
             files=tuple(p["file"] for p in pieces),
             rows=sum(int(p["rows"]) for p in pieces),
             state_sha256=combined,
             input_seq=input_seq,
-        )
-        if log.commit_part(entry):
-            committed += 1
-    log.seal_epoch(epoch)
+            kind=pieces[0].get("kind", "full"),
+        ))
+    committed = log.commit_parts(entries)
+    if seal:
+        log.seal_epoch(epoch)
     return committed
+
+
+def _chains_payload(log: CommitLog, upto_epoch: int) -> dict[int, list[dict]]:
+    """Broadcastable merge-on-read chains: part -> [{"epoch", "kind",
+    "files"}, ...] (newest full + later deltas, epoch order)."""
+    return {
+        part: [{"epoch": e.epoch, "kind": e.kind, "files": list(e.files)} for e in chain]
+        for part, chain in log.part_chains(upto_epoch=upto_epoch).items()
+    }
 
 
 def run_epoch(
@@ -87,10 +131,19 @@ def run_epoch(
     log: CommitLog | None = None,
     input_seq: tuple[int, int] | None = None,
     writers: list | None = None,
+    mode: str = "auto",
+    seal: bool = True,
 ) -> dict:
     """Apply one epoch (a ``ray.data.Dataset`` of binlog events) to the
     lake. Idempotent: a sealed epoch is skipped; a partially-committed
     epoch re-runs its uncommitted partitions only (writer-side fence).
+
+    ``mode``: "auto" decides delta-vs-full per bucket from its chain
+    length (needs the chain broadcast — requires all earlier epochs
+    committed); "delta" forces O(events) deltas and reads NO previous
+    state, so delta epochs are mutually independent and ``replay()``
+    can run them concurrently; "full" forces compaction of every
+    touched bucket.
 
     ``writers``: the persistent LakeWriterActor pool; created here if
     not passed (``replay()`` creates it once for all epochs)."""
@@ -104,10 +157,12 @@ def run_epoch(
     if writers is None:
         writers = make_writer_pool(cfg.lake_root, cfg.writer_concurrency)
 
-    prev_manifest = {
-        part: list(entry.files) for part, entry in log.current_manifest(upto_epoch=epoch - 1).items()
-    }
-    manifest_ref = ray.put(prev_manifest)
+    if mode == "delta":
+        manifest_ref = ray.put({})
+        delta_threshold = 0
+    else:
+        manifest_ref = ray.put(_chains_payload(log, upto_epoch=epoch - 1))
+        delta_threshold = 0 if mode == "full" else cfg.delta_threshold
 
     normalized = events_ds.map_batches(
         make_normalizer(cfg.num_buckets, cfg.salt_for_repo),
@@ -115,20 +170,29 @@ def run_epoch(
         batch_size=cfg.normalize_batch_size,
     )
     manifest_rows_ds = normalized.groupby("bucket").map_groups(
-        make_merge_fn(manifest_ref, writers=writers, epoch=epoch), batch_format="pyarrow"
+        make_merge_fn(
+            manifest_ref,
+            writers=writers,
+            epoch=epoch,
+            delta_threshold=delta_threshold,
+            force_delta=(mode == "delta"),
+        ),
+        batch_format="pyarrow",
     )
     rows = manifest_rows_ds.take_all()  # tiny: one row per touched partition piece
-    committed = _commit_manifest_rows(log, epoch, [dict(r) for r in rows], input_seq)
+    committed = _commit_manifest_rows(log, epoch, [dict(r) for r in rows], input_seq, seal=seal)
     sec = time.monotonic() - t0
     metrics = {
         "epoch": epoch,
         "skipped": False,
+        "mode": mode,
         "parts_committed": committed,
         "pieces": len(rows),
         "rows_written": sum(int(r["rows"]) for r in rows),
         "sec": round(sec, 4),
     }
-    _write_lineage(cfg.lake_root, log, metrics)
+    if seal:
+        _write_lineage(cfg.lake_root, log, metrics)
     return metrics
 
 
@@ -173,46 +237,352 @@ def replay(
 ) -> list[dict]:
     """Full (resumable) replay of a datagen fixture: bootstrap + all
     binlog epochs. ``stop_after_epoch`` simulates a mid-stream kill for
-    the chaos tests; calling again resumes from the commit log."""
+    the chaos tests; calling again resumes from the commit log.
+
+    With ``cfg.pipeline_epochs > 1``, binlog epochs run CONCURRENTLY in
+    forced-delta mode (each epoch's merge is independent — it reads no
+    previous state), bounded by that many in-flight Dataset executions;
+    commits land out of order under the (epoch, part) fence and the
+    driver seals epochs strictly in order afterwards, so a crash leaves
+    a prefix of sealed epochs + fenced partial commits that a restart
+    completes idempotently."""
     import ray.data as rd
 
     with open(os.path.join(fixture_dir, "fixture.json")) as fh:
         fixture = json.load(fh)
     log = CommitLog.open(cfg.lake_root)
     writers = make_writer_pool(cfg.lake_root, cfg.writer_concurrency)
-    out = [bootstrap(os.path.join(fixture_dir, "lake_seed.parquet"), cfg, log=log, writers=writers)]
+    seed_path = os.path.join(fixture_dir, "lake_seed.parquet")
     kwargs = {"override_num_blocks": cfg.read_parallelism} if cfg.read_parallelism else {}
+
+    todo = []
     for ep in fixture["epochs"]:
         engine_epoch = ep["epoch"] + 1  # epoch 0 is the bootstrap
         if stop_after_epoch is not None and engine_epoch > stop_after_epoch:
             break
-        ds = rd.read_parquet(ep["file"], **kwargs)
-        out.append(
-            run_epoch(ds, engine_epoch, cfg, log=log, input_seq=tuple(ep["seq_range"]), writers=writers)
-        )
+        todo.append((engine_epoch, ep))
+
+    out: list[dict] = []
+    if cfg.pipeline_epochs > 1:
+        # bootstrap through the same scaled batch path (the sequential
+        # bootstrap's shuffle is a fixed cost that would cap scaling)
+        if log.is_sealed(0):
+            out.append({"epoch": 0, "skipped": True, "parts_committed": 0, "sec": 0.0})
+        else:
+            def as_insert(batch: pa.Table) -> pa.Table:
+                n = batch.num_rows
+                return batch.append_column("seq", pa.array([-1] * n, pa.int64())).append_column(
+                    "op", pa.array(["I"] * n, pa.string())
+                )
+
+            out.extend(_run_epoch_batch(
+                [(0, {"file": seed_path, "seq_range": (-1, 0)})],
+                cfg, log, writers, prep_fn=as_insert,
+            ))
+        for i in range(0, len(todo), cfg.pipeline_epochs):
+            chunk = [t for t in todo[i : i + cfg.pipeline_epochs] if not log.is_sealed(t[0])]
+            if chunk:
+                out.extend(_run_epoch_batch(chunk, cfg, log, writers))
+    else:
+        out.append(bootstrap(seed_path, cfg, log=log, writers=writers))
+        for engine_epoch, ep in todo:
+            ds = rd.read_parquet(ep["file"], **kwargs)
+            out.append(
+                run_epoch(ds, engine_epoch, cfg, log=log, input_seq=tuple(ep["seq_range"]), writers=writers)
+            )
+
+    if cfg.post_compact:
+        out.append(compact(cfg, log=log, writers=writers))
     return out
+
+
+def _run_epoch_batch(
+    chunk: list[tuple[int, dict]],
+    cfg: ReplayConfig,
+    log: CommitLog,
+    writers: list,
+    prep_fn=None,
+) -> list[dict]:
+    """ONE Dataset execution over K binlog epochs in forced-delta mode.
+
+    Every event is tagged with its engine epoch (from the fixture's
+    per-epoch seq ranges), then grouped by (epoch, bucket): each group
+    is exactly one epoch's events for one bucket, so the per-group LWW
+    delta is bit-identical to K sequential delta epochs — but the
+    streaming executor pipelines read/normalize/shuffle/merge across
+    all K epochs with no driver barrier between them. Epochs are then
+    committed and sealed strictly in order."""
+    import numpy as np
+    import ray.data as rd
+
+    t0 = time.monotonic()
+    kwargs = {"override_num_blocks": cfg.read_parallelism} if cfg.read_parallelism else {}
+
+    def _expand(p: str) -> list[str]:
+        import glob as _g
+
+        return sorted(_g.glob(os.path.join(p, "*.parquet"))) if os.path.isdir(p) else [p]
+
+    files = [f for _, ep in chunk for f in _expand(ep["file"])]
+    # seq -> engine epoch boundaries (upper-exclusive), fixture order
+    bounds = [int(ep["seq_range"][1]) for _, ep in chunk]
+    epochs = [engine_epoch for engine_epoch, _ in chunk]
+    seq_by_epoch = {engine_epoch: tuple(ep["seq_range"]) for engine_epoch, ep in chunk}
+
+    ds = rd.read_parquet(files, **kwargs)
+    if prep_fn is not None:
+        ds = ds.map_batches(prep_fn, batch_format="pyarrow")
+
+    def tag_epoch(batch: pa.Table) -> pa.Table:
+        if "epoch" in batch.column_names:
+            # hive-partitioned layouts (binlog/epoch=N/...) surface a
+            # partition column; the engine epoch is derived from seq
+            batch = batch.drop_columns(["epoch"])
+        seq = np.asarray(batch["seq"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        idx = np.searchsorted(np.asarray(bounds, dtype=np.int64), seq, side="right")
+        ep_col = np.asarray(epochs, dtype=np.int64)[idx]
+        return batch.append_column("epoch", pa.array(ep_col, pa.int64()))
+
+    normalized = ds.map_batches(
+        make_normalizer(cfg.num_buckets, cfg.salt_for_repo),
+        batch_format="pyarrow",
+        batch_size=cfg.normalize_batch_size,
+    ).map_batches(tag_epoch, batch_format="pyarrow")
+
+    import ray
+
+    if cfg.merge_strategy == "direct":
+        import hashlib
+
+        from ..stages.merge import delta_of
+        from ..functions.hashing import table_state_sha256
+
+        lake_root = cfg.lake_root
+
+        def direct_write(batch: pa.Table) -> pa.Table:
+            """Write this block's partial deltas straight to the lake:
+            data never leaves the task (read -> CPU -> disk; no shuffle,
+            no object-store round trip). One file per (task, epoch) with
+            one row group per bucket slice so chain readers prune by the
+            ``bucket`` filter; file names are content-addressed, so a
+            retried task rewrites byte-identical bytes — idempotent."""
+            if batch.num_rows == 0:
+                return pa.table({})
+            t = batch.sort_by([("epoch", "ascending"), ("bucket", "ascending")])
+            ge = t["epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gb = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gid = ge * (int(gb.max()) + 1) + gb
+            cuts = np.flatnonzero(np.diff(gid)) + 1
+            starts = np.concatenate([[0], cuts]).astype(np.int64)
+            ends = np.concatenate([cuts, [len(gid)]]).astype(np.int64)
+            by_epoch: dict[int, list[tuple[int, pa.Table, str]]] = {}
+            for s, e in zip(starts, ends):
+                sl = delta_of(t.slice(int(s), int(e - s)), keep_seq=True)
+                sha = table_state_sha256(sl, ("repo", "path"), "content_sha256")
+                by_epoch.setdefault(int(ge[s]), []).append((int(gb[s]), sl, sha))
+            import pyarrow.parquet as pq
+
+            rows = []
+            for ep_id, slices in sorted(by_epoch.items()):
+                digest = hashlib.sha256(
+                    (str(ep_id) + "".join(sha for _, _, sha in slices)).encode()
+                ).hexdigest()[:16]
+                out_dir = os.path.join(lake_root, f"epoch={ep_id:05d}")
+                os.makedirs(out_dir, exist_ok=True)
+                fname = os.path.join(out_dir, f"delta-{digest}.parquet")
+                if not os.path.exists(fname):
+                    tmp = fname + f".tmp{os.getpid()}"
+                    with pq.ParquetWriter(tmp, slices[0][1].schema) as w:
+                        for _, sl, _ in slices:
+                            w.write_table(sl)  # one row group per bucket
+                    os.replace(tmp, fname)
+                for part, sl, sha in slices:
+                    rows.append({
+                        "epoch": ep_id, "part": part, "file": fname,
+                        "rows": sl.num_rows, "state_sha256": sha, "kind": "delta",
+                    })
+            return pa.Table.from_pylist(rows)
+
+        rows_ds = normalized.map_batches(direct_write, batch_format="pyarrow", batch_size=None)
+        rows = [dict(r) for r in rows_ds.take_all()]
+    elif cfg.merge_strategy == "combine":
+        from ..stages.merge import lww_reduce
+
+        nw = len(writers)
+
+        def send_partials(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"n": pa.array([0], pa.int64())})
+            t = batch.sort_by([("epoch", "ascending"), ("bucket", "ascending")])
+            ge = t["epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gb = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gid = ge * (gb.max() + 1) + gb
+            cuts = np.flatnonzero(np.diff(gid)) + 1
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(gid)]])
+            refs, sent = [], 0
+            for s, e in zip(starts, ends):
+                sl = t.slice(int(s), int(e - s))
+                partial = lww_reduce(sl)
+                if "ts" in partial.column_names:
+                    partial = partial.drop_columns(["ts"])
+                sent += partial.num_rows
+                refs.append(
+                    writers[int(gb[s]) % nw].add_partial.remote(
+                        int(ge[s]), int(gb[s]), partial
+                    )
+                )
+            ray.get(refs)  # barrier: stage completion => partials received
+            return pa.table({"n": pa.array([sent], pa.int64())})
+
+        normalized.map_batches(
+            send_partials, batch_format="pyarrow", batch_size=None
+        ).count()  # drives the execution; output is a tiny count per block
+        rows = [dict(r) for w in writers for r in ray.get(w.flush_all.remote())]
+    else:
+        manifest_rows_ds = normalized.groupby(["epoch", "bucket"]).map_groups(
+            make_merge_fn(ray.put({}), writers=writers, epoch=None, force_delta=True),
+            batch_format="pyarrow",
+        )
+        rows = [dict(r) for r in manifest_rows_ds.take_all()]
+    sec = time.monotonic() - t0
+
+    by_epoch: dict[int, list[dict]] = {}
+    for r in rows:
+        by_epoch.setdefault(int(r["epoch"]), []).append(r)
+    out = []
+    for engine_epoch in epochs:  # commit + seal strictly in order
+        committed = _commit_manifest_rows(
+            log, engine_epoch, by_epoch.get(engine_epoch, []),
+            seq_by_epoch[engine_epoch], seal=True,
+        )
+        out.append({
+            "epoch": engine_epoch,
+            "skipped": False,
+            "mode": "delta",
+            "parts_committed": committed,
+            "pieces": len(by_epoch.get(engine_epoch, [])),
+            "rows_written": sum(int(r["rows"]) for r in by_epoch.get(engine_epoch, [])),
+            "sec": round(sec / len(epochs), 4),
+        })
+    if out:
+        _write_lineage(cfg.lake_root, log, out[-1])
+    return out
+
+
+def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | None = None) -> dict:
+    """Distributed end-of-stream compaction: every bucket whose
+    merge-on-read chain is longer than 1 file is resolved and rewritten
+    as a single base file, committed as a new (maintenance) epoch.
+
+    One Ray task per bucket via a Dataset over part descriptors — each
+    task reads ONLY its own chain (no shuffle). NOTE: the maintenance
+    epoch takes the next epoch number, so call this at a stream
+    checkpoint/end, not between fixture epochs with fixed numbering."""
+    import ray
+    import ray.data as rd
+
+    log = log or CommitLog.open(cfg.lake_root)
+    t0 = time.monotonic()
+    chains = _chains_payload(log, upto_epoch=log.latest_sealed_epoch())
+    todo = {p: c for p, c in chains.items() if len(c) > 1 or any(l["kind"] != "full" for l in c)}
+    if not todo:
+        return {"epoch": None, "compacted": 0, "sec": 0.0, "skipped": True}
+    epoch = (log.latest_sealed_epoch() or 0) + 1
+    if writers is None:
+        writers = make_writer_pool(cfg.lake_root, cfg.writer_concurrency)
+
+    from ..stages.merge import read_chain
+
+    items = [{"part": p, "chain": json.dumps(c)} for p, c in sorted(todo.items())]
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        rows = []
+        for rec in batch.to_pylist():
+            part = int(rec["part"])
+            state = read_chain(json.loads(rec["chain"]), part=part)
+            if state is None or state.num_rows == 0:
+                from ..stages.merge import LAKE_COLS
+                cols = {c: pa.array([None], pa.string()) for c in LAKE_COLS}
+                cols["bucket"] = pa.array([part], pa.int32())
+                state = pa.table(cols)
+            rows.append(ray.get(writers[part % len(writers)].write_piece.remote(
+                epoch, part, state, "full")))
+        return pa.Table.from_pylist(rows)
+
+    rows_ds = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        compact_one, batch_format="pyarrow", batch_size=1
+    )
+    rows = [dict(r) for r in rows_ds.take_all()]
+    _commit_manifest_rows(log, epoch, rows, None, seal=True)
+    metrics = {
+        "epoch": epoch,
+        "skipped": False,
+        "mode": "compact",
+        "compacted": len(rows),
+        "rows_written": sum(int(r["rows"]) for r in rows),
+        "sec": round(time.monotonic() - t0, 4),
+    }
+    _write_lineage(cfg.lake_root, log, metrics)
+    return metrics
+
+
+def _root_of(cfg_or_root) -> str:
+    return cfg_or_root.lake_root if isinstance(cfg_or_root, ReplayConfig) else cfg_or_root
 
 
 def lake_dataset(cfg_or_root, columns: list[str] | None = None):
     """Current committed lake state as a streaming ``ray.data.Dataset``.
+
+    Fully-compacted lakes (every chain is one base file) read as a
+    plain pruned ``read_parquet``. Lakes with merge-on-read deltas are
+    resolved DISTRIBUTED: one task per bucket reads + LWW-resolves its
+    own chain (no shuffle — the chain is already partitioned by
+    bucket), streaming resolved blocks downstream.
 
     Pass ``columns`` to prune at the read; restrict to pre-evolution
     columns when files span a schema change (Ray unifies blocks lazily,
     but a pruned uniform projection is both safer and cheaper)."""
     import ray.data as rd
 
-    root = cfg_or_root.lake_root if isinstance(cfg_or_root, ReplayConfig) else cfg_or_root
-    files = CommitLog.open(root).lake_files()
-    files = [f for f in files if os.path.getsize(f) > 0]
-    return rd.read_parquet(files, columns=columns)
+    log = CommitLog.open(_root_of(cfg_or_root))
+    chains = _chains_payload(log, upto_epoch=log.latest_sealed_epoch())
+    if all(len(c) == 1 and c[0]["kind"] == "full" for c in chains.values()):
+        files = [f for c in chains.values() for link in c for f in link["files"]]
+        files = [f for f in sorted(files) if os.path.getsize(f) > 0]
+        return rd.read_parquet(files, columns=columns)
+
+    items = [{"part": p, "chain": json.dumps(c)} for p, c in sorted(chains.items())]
+
+    def resolve_part(batch: pa.Table) -> pa.Table:
+        out = []
+        for rec in batch.to_pylist():
+            t = read_chain(json.loads(rec["chain"]), columns=columns, part=int(rec["part"]))
+            if t is not None and t.num_rows > 0:
+                out.append(t.filter(pa.compute.is_valid(t["repo"])))
+        if not out:
+            return pa.table({c: pa.array([], pa.string()) for c in (columns or ["repo", "path"])})
+        return _unify_concat(out)
+
+    return rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
+        resolve_part, batch_format="pyarrow", batch_size=1
+    )
 
 
 def lake_table(cfg_or_root) -> pa.Table:
-    """Driver-side full lake state (schema-unified). Small scales /
-    tests only — the distributed path is ``lake_dataset``."""
-    root = cfg_or_root.lake_root if isinstance(cfg_or_root, ReplayConfig) else cfg_or_root
-    files = CommitLog.open(root).lake_files()
-    tbl = read_prev_state(files)
+    """Driver-side full lake state (schema-unified, chain-resolved).
+    Small scales / tests only — the distributed path is
+    ``lake_dataset``."""
+    log = CommitLog.open(_root_of(cfg_or_root))
+    chains = _chains_payload(log, upto_epoch=log.latest_sealed_epoch())
+    parts = []
+    for p, chain in sorted(chains.items()):
+        t = read_chain(chain, part=int(p))
+        if t is not None and t.num_rows > 0:
+            t = t.filter(pa.compute.is_valid(t["repo"]))
+            if t.num_rows:
+                parts.append(t)
+    tbl = _unify_concat(parts) if parts else None
     return tbl if tbl is not None else pa.table({})
 
 

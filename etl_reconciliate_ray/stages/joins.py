@@ -150,3 +150,59 @@ def broadcast_semi_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int 
     return big_ds.map_batches(
         SemiFilter, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8)
     )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    on: str,
+    by: str,
+    right_cols: dict[str, str],
+    num_buckets: int = 16,
+):
+    """Distributed backward AS-OF join: for each left row, the newest
+    right row of the same ``by`` key with ``right[on] <= left[on]``.
+
+    Ray Data has no asof join; composed per the custom-operator recipe
+    (map_batches bucket-tag -> union -> ONE shuffle on the ``by`` hash
+    -> per-bucket vectorized ``pandas.merge_asof``). Determinism under
+    ties: the right side is deduped per (by, on) keeping the greatest
+    row (sorted by all its columns) BEFORE the asof, so equal-``on``
+    candidates resolve identically at any parallelism.
+
+    Contract: both inputs share ONE schema (select the same columns on
+    both sides first — keeps the tagged union zero-copy Arrow with no
+    null-type promotion). ``right_cols`` renames the right columns the
+    output keeps, e.g. ``{"event_id": "purchase_event_id"}``; the
+    output is all left columns + those. Partitioning assumption: all
+    rows of one ``by`` key land in one bucket (hash on ``by``), same
+    contract as hash_join.
+    """
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.append_column("__side", pa.array([side] * batch.num_rows))
+            return batch.append_column("__bucket", _bucket_expr(batch[by], num_buckets))
+
+        return fn
+
+    tagged_l = left_ds.map_batches(tag("L"), batch_format="pyarrow")
+    tagged_r = right_ds.map_batches(tag("R"), batch_format="pyarrow")
+    right_keep = sorted({by, on} | set(right_cols))
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        data_cols = [c for c in df.columns if c not in ("__side", "__bucket")]
+        l = df.loc[df["__side"] == "L", data_cols]
+        r = df.loc[df["__side"] == "R", right_keep].copy()
+        # deterministic tie-break, then exactly one right row per (by, on)
+        r = r.sort_values(list(r.columns), kind="stable").drop_duplicates(
+            [by, on], keep="last"
+        )
+        r = r.rename(columns=right_cols)
+        l = l.sort_values(on, kind="stable")
+        r = r.sort_values(on, kind="stable")
+        return pd.merge_asof(l, r, on=on, by=by, direction="backward")
+
+    return tagged_l.union(tagged_r).groupby("__bucket").map_groups(
+        asof_bucket, batch_format="pandas"
+    )

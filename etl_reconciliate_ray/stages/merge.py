@@ -34,7 +34,7 @@ from ..functions.hashing import key_strings
 #: lake state column order (extras like evolved columns append after)
 LAKE_COLS = ["repo", "path", "commit", "lang", "content", "content_sha256"]
 #: binlog bookkeeping columns dropped from lake state
-EVENT_ONLY_COLS = ["seq", "ts", "op"]
+EVENT_ONLY_COLS = ["seq", "ts", "op", "epoch"]
 
 LAKE_SCHEMA = pa.schema(
     [
@@ -51,14 +51,16 @@ LAKE_SCHEMA = pa.schema(
 _LAST_OPTS = pc.ScalarAggregateOptions(skip_nulls=False)  # keep D-row nulls
 
 
-def lww_reduce(events: pa.Table) -> pa.Table:
-    """Collapse events to the winning (max-seq) event per (repo, path).
+def lww_reduce(events: pa.Table, order_col: str = "seq") -> pa.Table:
+    """Collapse events to the winning (max-``order_col``) event per
+    (repo, path).
 
-    Vectorized: stable sort by seq then hash-group "last" with
-    skip_nulls=False (delete rows carry null content/lang and must win
-    as-is). O(n log n) in the bucket's event count, no per-key Python.
+    Vectorized: stable sort by the order column then hash-group "last"
+    with skip_nulls=False (delete rows carry null content/lang and must
+    win as-is). O(n log n) in the bucket's event count, no per-key
+    Python.
     """
-    events = events.sort_by([("seq", "ascending")])
+    events = events.sort_by([(order_col, "ascending")])
     keys = ["repo", "path"]
     aggs = [(c, "last", _LAST_OPTS) for c in events.column_names if c not in keys]
     red = events.group_by(keys, use_threads=False).aggregate(aggs)
@@ -78,12 +80,78 @@ def _unify_concat(tables: list[pa.Table]) -> pa.Table:
     return pa.concat_tables(tables, promote_options="permissive")
 
 
-def read_prev_state(files: tuple[str, ...] | list[str]) -> pa.Table | None:
-    """Read one bucket's previous lake partition (possibly heterogeneous
-    schemas across epochs — unified permissively)."""
-    if not files:
+def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Table:
+    """Resolve a merge-on-read chain (base + deltas, each tagged with
+    its commit epoch) to the partition's current state.
+
+    Last-writer-wins per (repo, path) ordered by (epoch, seq): delta
+    rows override older epochs; within one epoch, partial deltas from
+    different tasks may overlap keys and the greatest ``seq`` wins
+    (deltas written without ``seq`` are whole-epoch pre-reduced, so
+    they never overlap in-epoch and the null sorts first harmlessly).
+    ``op == 'D'`` tombstones remove the key; base (full) rows carry no
+    ``op`` — they unify to null, treated as live.
+    """
+    tagged = []
+    for epoch, t in tables_by_epoch:
+        t = t.append_column("__epoch", pa.array([epoch] * t.num_rows, pa.int64()))
+        tagged.append(t)
+    merged = _unify_concat(tagged)
+    if merged.num_rows == 0:
+        return merged
+    keys = ["repo", "path"]
+    sort_keys = [("__epoch", "ascending")]
+    if "seq" in merged.column_names:
+        sort_keys.append(("seq", "ascending"))
+    merged = merged.sort_by(sort_keys)
+    aggs = [(c, "last", _LAST_OPTS) for c in merged.column_names if c not in keys]
+    red = merged.group_by(keys, use_threads=False).aggregate(aggs)
+    winners = pa.table(
+        {c: (red[c] if c in keys else red[f"{c}_last"]) for c in merged.column_names}
+    )
+    if "op" in winners.column_names:
+        live = pc.fill_null(winners["op"], "I")
+        winners = winners.filter(pc.not_equal(live, "D"))
+    drop = [c for c in ("__epoch", "op", "seq", "ts") if c in winners.column_names]
+    return winners.drop_columns(drop)
+
+
+def read_chain(
+    chain: list[dict],
+    columns: list[str] | None = None,
+    part: int | None = None,
+) -> pa.Table | None:
+    """Read + resolve one bucket's chain of ``{"epoch", "files"}`` dicts
+    (kind is implied by position: resolution is kind-agnostic).
+
+    ``columns`` prunes the parquet read (merge keys, ``op`` and ``seq``
+    are always read — resolution needs them); the result is projected
+    to exactly the requested columns that exist. ``part`` adds a
+    ``bucket == part`` parquet filter: direct-mode delta files hold one
+    row group per bucket slice, so the filter prunes at row-group
+    granularity and a file shared by many partitions is only decoded
+    for the rows that matter."""
+    if not chain:
         return None
-    return _unify_concat([pq.read_table(f) for f in files])
+    need = None
+    if columns is not None:
+        need = set(columns) | {"repo", "path", "op", "seq"}
+    filters = [("bucket", "=", part)] if part is not None else None
+    tagged = []
+    for link in chain:
+        for f in link["files"]:
+            cols = None
+            if need is not None:
+                avail = pq.read_schema(f).names
+                cols = [c for c in avail if c in need or c == "bucket"]
+            t = pq.read_table(f, columns=cols, filters=filters)
+            tagged.append((int(link["epoch"]), t))
+    if not tagged:
+        return None
+    out = resolve_chain_tables(tagged)
+    if columns is not None:
+        out = out.select([c for c in columns if c in out.column_names])
+    return out
 
 
 def merge_apply(events: pa.Table, prev: pa.Table | None) -> pa.Table:
@@ -104,25 +172,67 @@ def merge_apply(events: pa.Table, prev: pa.Table | None) -> pa.Table:
     return merged.select([c for c in LAKE_COLS + ["bucket"] + extras if c in merged.column_names])
 
 
-def make_merge_fn(manifest_ref, writers: list | None = None, epoch: int | None = None) -> Callable[[pa.Table], pa.Table]:
-    """Build the ``map_groups`` fn. ``manifest_ref`` is a ``ray.put``
-    ObjectRef of ``{part:int -> [prev parquet files]}`` — broadcast once
-    per epoch, read per task (never re-shipped per batch).
+def delta_of(events: pa.Table, keep_seq: bool = False) -> pa.Table:
+    """The epoch's merge-on-read DELTA for one bucket: per-key LWW
+    winners INCLUDING delete tombstones (``op`` kept, ``D`` rows carry
+    nulls). O(epoch events) — no previous-state read at all, which is
+    what lets epochs run pipelined (an epoch's merge depends only on its
+    own events; state materializes at compaction/read).
 
-    With ``writers`` (the persistent LakeWriterActor pool) the merged
-    state is handed to ``writers[part % W]`` and the fn returns the tiny
-    manifest row instead of the state table — the dataset output is then
-    just the commit metadata (nothing big flows back to the driver).
-    Without ``writers`` the fn returns the merged state (unit tests)."""
+    ``keep_seq=True`` for PARTIAL deltas (direct task-side writes):
+    several tasks may emit overlapping keys for the same epoch, and
+    read-time resolution breaks the in-epoch tie on ``seq``."""
+    winners = lww_reduce(events)
+    drop = ["ts", "epoch"] if keep_seq else ["seq", "ts", "epoch"]
+    winners = winners.drop_columns([c for c in drop if c in winners.column_names])
+    keep_extra = ["op", "seq"] if keep_seq else ["op"]
+    extras = sorted(c for c in winners.column_names if c not in LAKE_COLS + ["bucket"] + keep_extra)
+    order = [c for c in LAKE_COLS + keep_extra + ["bucket"] + extras if c in winners.column_names]
+    return winners.select(order)
+
+
+def make_merge_fn(
+    manifest_ref,
+    writers: list | None = None,
+    epoch: int | None = None,
+    delta_threshold: int = 0,
+    force_delta: bool = False,
+) -> Callable[[pa.Table], pa.Table]:
+    """Build the ``map_groups`` fn. ``manifest_ref`` is a ``ray.put``
+    ObjectRef of ``{part:int -> chain}`` where chain is the bucket's
+    merge-on-read file chain ``[{"epoch", "kind", "files"}, ...]`` —
+    broadcast once per epoch, read per task (never re-shipped per batch).
+
+    Mode per bucket (Hudi/Iceberg-style merge-on-read, SURVEY.md §4):
+    - ``delta_threshold > 1`` and the chain is shorter than it: write a
+      DELTA (O(events), no prev read);
+    - otherwise (bootstrap, or chain at threshold): read+resolve the
+      chain and write the compacted FULL state.
+
+    With ``writers`` (the persistent LakeWriterActor pool) the output
+    table is handed to ``writers[part % W]`` and the fn returns the tiny
+    manifest row — nothing big flows back to the driver. Without
+    ``writers`` the fn returns the resolved full state (unit tests)."""
     import ray
 
     def merge_group(events: pa.Table) -> pa.Table:
         if events.num_rows == 0:
             return pa.table({})
         part = events["bucket"][0].as_py()
-        manifest: dict[int, list[str]] = ray.get(manifest_ref)
-        prev = read_prev_state(manifest.get(part, []))
+        # multi-epoch execution: the group key is (epoch, bucket) and
+        # each group's epoch rides in its own column
+        this_epoch = epoch if epoch is not None else events["epoch"][0].as_py()
+        manifest: dict[int, list[dict]] = ray.get(manifest_ref)
+        chain = manifest.get(part, [])
+        want_delta = force_delta or (chain and 1 < delta_threshold and len(chain) < delta_threshold)
+        if writers is not None and want_delta:
+            row = ray.get(writers[part % len(writers)].write_piece.remote(
+                this_epoch, part, delta_of(events), "delta"))
+            return pa.Table.from_pylist([row])
+        prev = read_chain(chain, part=part)
         out = merge_apply(events, prev)
+        if writers is None:
+            return out
         if out.num_rows == 0:
             # all keys in this bucket were deleted: emit a null-key
             # tombstone row so the writer still commits the (now empty)
@@ -131,9 +241,7 @@ def make_merge_fn(manifest_ref, writers: list | None = None, epoch: int | None =
             cols = {c: pa.array([None], pa.string()) for c in LAKE_COLS}
             cols["bucket"] = pa.array([part], pa.int32())
             out = pa.table(cols)
-        if writers is None:
-            return out
-        row = ray.get(writers[part % len(writers)].write_piece.remote(epoch, part, out))
+        row = ray.get(writers[part % len(writers)].write_piece.remote(this_epoch, part, out, "full"))
         return pa.Table.from_pylist([row])
 
     return merge_group

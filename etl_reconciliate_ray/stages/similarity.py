@@ -141,3 +141,44 @@ def ann_lsh_topk(
         )
 
     return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def cosine_dup_pairs(
+    emb_ds,
+    all_df: pd.DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
+    threshold): the oracle-checkable brute-force baseline — the full
+    corpus matrix is broadcast ONCE (``ray.put``), each batch does one
+    matmul against it and emits only its above-threshold pairs. At 100
+    TB the broadcast side becomes the IVF/LSH-bucketed variant
+    (``ann_lsh_topk``'s bucketing) — same stage contract."""
+    import ray
+
+    amat = _normalize(_emb_matrix(all_df[emb_col]))
+    aids = all_df[id_col].to_numpy()
+    ref = ray.put((aids, amat))
+
+    class DupPairs:
+        def __init__(self):
+            self.aids, self.amat = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = _normalize(_emb_matrix(batch[emb_col]))
+            ids = batch[id_col].to_numpy()
+            scores = emb @ self.amat.T  # (B, N)
+            bi, aj = np.nonzero(scores >= threshold)
+            keep = ids[bi] < self.aids[aj]  # dedupe + drop self-pairs
+            return pd.DataFrame(
+                {
+                    "id_a": ids[bi][keep].astype(np.int64),
+                    "id_b": self.aids[aj][keep].astype(np.int64),
+                }
+            )
+
+    return emb_ds.map_batches(
+        DupPairs, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )

@@ -34,17 +34,6 @@ import pyarrow.parquet as pq
 from ..functions.hashing import table_state_sha256
 from ..state.commitlog import CommitLog
 
-MANIFEST_SCHEMA = pa.schema(
-    [
-        ("epoch", pa.int64()),
-        ("part", pa.int32()),
-        ("file", pa.string()),
-        ("rows", pa.int64()),
-        ("state_sha256", pa.string()),
-    ]
-)
-
-
 class LakeWriterActor:
     """One member of the writer pool. Plain class — wrapped with
     ``ray.remote`` by ``make_writer_pool`` so tests can also drive it
@@ -53,6 +42,7 @@ class LakeWriterActor:
     def __init__(self, lake_root: str):
         self.lake_root = lake_root
         os.makedirs(lake_root, exist_ok=True)
+        self._partials: dict[tuple[int, int], list[pa.Table]] = {}
         # fence: (epoch, part) pairs already committed (from the log) or
         # already written by this actor in this run
         log = CommitLog.open(lake_root)
@@ -64,19 +54,22 @@ class LakeWriterActor:
                 "file": entry.files[0] if entry.files else "",
                 "rows": entry.rows,
                 "state_sha256": entry.state_sha256,
+                "kind": entry.kind,
             }
 
-    def write_piece(self, epoch: int, part: int, tbl: pa.Table) -> dict:
-        """Write one partition's state for one epoch; fenced + idempotent."""
+    def write_piece(self, epoch: int, part: int, tbl: pa.Table, kind: str = "full") -> dict:
+        """Write one partition piece (full state or merge-on-read delta)
+        for one epoch; fenced + idempotent."""
         key = (epoch, part)
         if key in self._fence:
             return self._fence[key]  # epoch fence: already written/committed
-        # strip empty-partition tombstone rows (see merge.make_merge_fn)
-        tbl = tbl.filter(pc.is_valid(tbl["repo"]))
+        if kind == "full":
+            # strip empty-partition tombstone rows (see merge.make_merge_fn)
+            tbl = tbl.filter(pc.is_valid(tbl["repo"]))
         piece_sha = table_state_sha256(tbl, ("repo", "path"), "content_sha256")
         out_dir = os.path.join(self.lake_root, f"epoch={epoch:05d}", f"part={part:05d}")
         os.makedirs(out_dir, exist_ok=True)
-        fname = os.path.join(out_dir, f"state-{piece_sha[:16]}.parquet")
+        fname = os.path.join(out_dir, f"{'state' if kind == 'full' else 'delta'}-{piece_sha[:16]}.parquet")
         if not os.path.exists(fname):  # idempotent: same content -> same name
             tmp = fname + f".tmp{os.getpid()}"
             pq.write_table(tbl, tmp)
@@ -87,9 +80,36 @@ class LakeWriterActor:
             "file": fname,
             "rows": tbl.num_rows,
             "state_sha256": piece_sha,
+            "kind": kind,
         }
         self._fence[key] = row
         return row
+
+    # -- combiner path: map-side partials, actor-side final reduce ------
+    # LWW is associative + commutative (max-seq wins, duplicates of the
+    # same (key, seq) are identical rows), so map tasks can partial-
+    # reduce their own blocks and push the partials here with NO
+    # shuffle; task retries that re-send a partial are absorbed by the
+    # final LWW. A lost actor loses only unsealed-epoch partials, which
+    # the epoch replay regenerates.
+
+    def add_partial(self, epoch: int, part: int, tbl: pa.Table) -> int:
+        if (epoch, part) in self._fence:
+            return 0  # already durable from a previous run — drop
+        self._partials.setdefault((epoch, part), []).append(tbl)
+        return tbl.num_rows
+
+    def flush_all(self) -> list[dict]:
+        """Final-reduce every accumulated (epoch, part) and write its
+        delta. Returns the manifest rows (the driver commits them)."""
+        from .merge import delta_of, _unify_concat
+
+        rows = []
+        for (epoch, part) in sorted(self._partials):
+            tbls = self._partials.pop((epoch, part))
+            delta = delta_of(_unify_concat(tbls))
+            rows.append(self.write_piece(epoch, part, delta, "delta"))
+        return rows
 
 
 def make_writer_pool(lake_root: str, size: int) -> list:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import dataclass, field
 
 
@@ -37,6 +38,10 @@ class PartEntry:
     rows: int
     state_sha256: str
     input_seq: tuple[int, int] | None = None
+    #: "full" = complete partition state; "delta" = merge-on-read delta
+    #: (the epoch's LWW winners incl. delete tombstones) layered on top
+    #: of the newest full entry — Hudi/Iceberg-style MOR, SURVEY.md §4
+    kind: str = "full"
 
 
 @dataclass
@@ -44,6 +49,9 @@ class CommitLog:
     root: str
     _entries: dict[tuple[int, int], PartEntry] = field(default_factory=dict)
     _sealed: set[int] = field(default_factory=set)
+    # pipelined replay commits epochs from worker threads; the log
+    # stays single-writer per PROCESS, serialized by this lock
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
 
     @property
     def path(self) -> str:
@@ -70,13 +78,23 @@ class CommitLog:
                             rows=rec["rows"],
                             state_sha256=rec["state_sha256"],
                             input_seq=tuple(rec["input_seq"]) if rec.get("input_seq") else None,
+                            kind=rec.get("kind", "full"),
                         )
                         log._entries[(e.epoch, e.part)] = e
         return log
 
     def _append(self, rec: dict) -> None:
+        self._append_many([rec])
+
+    def _append_many(self, recs: list[dict]) -> None:
+        """One write + ONE fsync for a whole batch of records — the
+        driver commits an epoch's partitions in a single durable append
+        (per-record fsync was a fixed serial cost that throttled scaling
+        at high partition counts)."""
+        if not recs:
+            return
         with open(self.path, "a") as fh:
-            fh.write(json.dumps(rec, sort_keys=True) + "\n")
+            fh.write("".join(json.dumps(r, sort_keys=True) + "\n" for r in recs))
             fh.flush()
             os.fsync(fh.fileno())
 
@@ -87,54 +105,75 @@ class CommitLog:
     def is_sealed(self, epoch: int) -> bool:
         return epoch in self._sealed
 
+    @staticmethod
+    def _entry_rec(entry: PartEntry) -> dict:
+        return {
+            "epoch": entry.epoch,
+            "part": entry.part,
+            "files": list(entry.files),
+            "rows": entry.rows,
+            "state_sha256": entry.state_sha256,
+            "input_seq": list(entry.input_seq) if entry.input_seq else None,
+            "kind": entry.kind,
+        }
+
     def commit_part(self, entry: PartEntry) -> bool:
         """Append a per-partition commit; returns False (no-op) if the
         (epoch, part) fence rejects it — idempotent under re-delivery."""
-        key = (entry.epoch, entry.part)
-        if key in self._entries:
-            return False
-        self._append(
-            {
-                "epoch": entry.epoch,
-                "part": entry.part,
-                "files": list(entry.files),
-                "rows": entry.rows,
-                "state_sha256": entry.state_sha256,
-                "input_seq": list(entry.input_seq) if entry.input_seq else None,
-            }
-        )
-        self._entries[key] = entry
-        return True
+        return self.commit_parts([entry]) == 1
+
+    def commit_parts(self, entries: list[PartEntry]) -> int:
+        """Commit a batch of per-partition entries with ONE durable
+        append; fenced per (epoch, part). Returns how many were new."""
+        with self._lock:
+            fresh = [e for e in entries if (e.epoch, e.part) not in self._entries]
+            self._append_many([self._entry_rec(e) for e in fresh])
+            for e in fresh:
+                self._entries[(e.epoch, e.part)] = e
+            return len(fresh)
 
     def seal_epoch(self, epoch: int) -> None:
-        if epoch in self._sealed:
-            return
-        self._append({"type": "EPOCH_COMMIT", "epoch": epoch})
-        self._sealed.add(epoch)
+        with self._lock:
+            if epoch in self._sealed:
+                return
+            self._append({"type": "EPOCH_COMMIT", "epoch": epoch})
+            self._sealed.add(epoch)
 
     # -- manifest resolution --------------------------------------------
     def latest_sealed_epoch(self) -> int | None:
         return max(self._sealed) if self._sealed else None
 
-    def current_manifest(self, upto_epoch: int | None = None) -> dict[int, PartEntry]:
-        """part -> newest committed entry with epoch <= upto_epoch
-        (default: newest sealed epoch). Untouched partitions carry
-        forward their older entries — readers see exactly the files the
-        manifest lists, nothing else (atomic publish)."""
+    def part_chains(self, upto_epoch: int | None = None) -> dict[int, list[PartEntry]]:
+        """part -> its merge-on-read chain: the newest committed FULL
+        entry (epoch <= upto_epoch) followed by every later DELTA entry,
+        in epoch order. Readers resolve state by last-writer-wins over
+        the chain's epochs; a chain of length 1 is fully compacted."""
         if upto_epoch is None:
             upto_epoch = self.latest_sealed_epoch()
             if upto_epoch is None:
                 return {}
-        best: dict[int, PartEntry] = {}
+        by_part: dict[int, list[PartEntry]] = {}
         for (e, p), entry in self._entries.items():
-            if e <= upto_epoch and (p not in best or e > best[p].epoch):
-                best[p] = entry
-        return best
+            if e <= upto_epoch:
+                by_part.setdefault(p, []).append(entry)
+        chains: dict[int, list[PartEntry]] = {}
+        for p, entries in by_part.items():
+            entries.sort(key=lambda x: x.epoch)
+            base = 0
+            for i, entry in enumerate(entries):
+                if entry.kind == "full":
+                    base = i
+            chains[p] = entries[base:]
+        return chains
 
     def lake_files(self, upto_epoch: int | None = None) -> list[str]:
+        """All files a reader must consider (base + deltas). NOTE: when
+        any chain has deltas, files must be LWW-resolved, not naively
+        concatenated — use replay.lake_dataset / lake_table."""
         files: list[str] = []
-        for entry in self.current_manifest(upto_epoch).values():
-            files.extend(entry.files)
+        for chain in self.part_chains(upto_epoch).values():
+            for entry in chain:
+                files.extend(entry.files)
         return sorted(files)
 
     def lineage(self) -> list[dict]:
@@ -144,6 +183,7 @@ class CommitLog:
             {
                 "epoch": e.epoch,
                 "part": e.part,
+                "kind": e.kind,
                 "rows": e.rows,
                 "files": list(e.files),
                 "state_sha256": e.state_sha256,

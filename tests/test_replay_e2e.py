@@ -114,3 +114,76 @@ def test_lineage_manifest_written(fixture_small, tmp_path):
     assert lineage["partitions"], "per-partition lineage entries present"
     entry = lineage["partitions"][0]
     assert {"epoch", "part", "rows", "files", "state_sha256", "input_seq"} <= set(entry)
+
+
+def test_pipelined_delta_replay_matches_sequential(fixture_small, tmp_path):
+    """pipeline_epochs>1 runs binlog epochs concurrently in forced-delta
+    mode; final state must be sha-identical to the sequential run."""
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg_seq = _cfg(tmp_path, "lake_seq", manifest)
+    replay(fixture_dir, cfg_seq)
+
+    cfg_pipe = _cfg(tmp_path, "lake_pipe", manifest)
+    cfg_pipe.pipeline_epochs = 4
+    metrics = replay(fixture_dir, cfg_pipe)
+    assert all(not m["skipped"] for m in metrics)
+    assert all(m["mode"] == "delta" for m in metrics if m["epoch"] > 0)
+    assert lake_state_hash(cfg_seq.lake_root) == lake_state_hash(cfg_pipe.lake_root)
+    # seals are ordered and complete
+    log = CommitLog.open(cfg_pipe.lake_root)
+    n_epochs = len(manifest["epochs"])
+    assert log.latest_sealed_epoch() == n_epochs
+
+
+def test_compact_collapses_chains_preserving_state(fixture_small, tmp_path):
+    from etl_reconciliate_ray.pipelines.replay import compact
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_compact", manifest)
+    cfg.pipeline_epochs = 4  # all-delta epochs -> chains of length > 1
+    replay(fixture_dir, cfg)
+    log = CommitLog.open(cfg.lake_root)
+    assert any(len(c) > 1 for c in log.part_chains().values()), "deltas exist pre-compact"
+    before = lake_state_hash(cfg.lake_root)
+
+    m = compact(cfg)
+    assert not m["skipped"] and m["compacted"] > 0
+    log = CommitLog.open(cfg.lake_root)
+    chains = log.part_chains()
+    assert all(len(c) == 1 and c[0].kind == "full" for c in chains.values())
+    assert lake_state_hash(cfg.lake_root) == before
+    # compact again: nothing to do
+    assert compact(cfg)["skipped"] is True
+
+
+def test_delta_chain_kinds_and_resume_pipelined(fixture_small, tmp_path):
+    """Sequential auto-mode writes deltas under the threshold; a
+    pipelined run killed mid-stream resumes to the converged state."""
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_kinds", manifest)
+    replay(fixture_dir, cfg)
+    log = CommitLog.open(cfg.lake_root)
+    kinds = {e: entry.kind for (e, _), entry in log._entries.items()}
+    assert kinds[0] == "full"  # bootstrap
+    assert any(k == "delta" for e, k in kinds.items() if e > 0)
+
+    cfg_b = _cfg(tmp_path, "lake_kinds_resume", manifest)
+    cfg_b.pipeline_epochs = 3
+    replay(fixture_dir, cfg_b, stop_after_epoch=2)
+    replay(fixture_dir, cfg_b)  # restart
+    assert lake_state_hash(cfg.lake_root) == lake_state_hash(cfg_b.lake_root)
+
+
+def test_lake_dataset_resolves_deltas_distributed(fixture_small, tmp_path):
+    from etl_reconciliate_ray.pipelines.replay import lake_dataset
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_dsresolve", manifest)
+    cfg.pipeline_epochs = 4
+    replay(fixture_dir, cfg)
+    ds = lake_dataset(cfg.lake_root, columns=["repo", "path", "content_sha256"])
+    got = ds.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = _oracle_final(fixture_dir)
+    assert len(got) == manifest["final_rows"]
+    want_sha = want["content"].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    assert (got["content_sha256"].values == want_sha.values).all()
