@@ -194,15 +194,15 @@ def q_reconcile_detail(sf_dir: str):
 
 
 def q_reconcile_counts(sf_dir: str):
-    """Exact per-status report counts (north rule exactness gate)."""
+    """Exact per-status report counts (north rule exactness gate) —
+    map-side partial counts, only tiny (status, n) rows shuffle."""
+    from ..pipelines.reconcile_run import status_counts
+
     left, right = _reconcile_sides(sf_dir)
     detail = reconcile_datasets(
         left, right, key_cols=["orderkey"], value_col="val_cents", num_buckets=16
     )
-    counts = detail.groupby("status").count()
-    return counts.map_batches(
-        lambda df: df.rename(columns={"count()": "n"}), batch_format="pandas"
-    )
+    return status_counts(detail)
 
 
 # ---------------------------------------------------------------- CDC LWW
@@ -310,6 +310,44 @@ def q_window_events(sf_dir: str):
     return agg.map_batches(
         lambda t: _cents(t, "sum_value_f", "sum_value_cents", 100), batch_format="pyarrow"
     )
+
+
+def q_hopping_window_events(sf_dir: str):
+    """Overlapping hopping windows (width 60m, hop 30m): each event in
+    2 windows; replication happens map-side, only partials shuffle."""
+    from ..stages.windows import hopping_window_agg
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    agg = hopping_window_agg(
+        ds, ts_col="ts", keys=["event_type"], width_minutes=60, hop_minutes=30,
+        sums={"sum_value_f": "value"}, count_alias="n",
+    )
+    return agg.map_batches(
+        lambda t: _cents(t, "sum_value_f", "sum_value_cents", 100), batch_format="pyarrow"
+    )
+
+
+def q_session_window_events(sf_dir: str):
+    """Gap-based session windows per user (30-minute gap): one shuffle
+    on the key, vectorized sessionization per bucket."""
+    from ..stages.windows import session_window_agg
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = session_window_agg(
+        ds, ts_col="ts", key="user_id", gap_minutes=30, value_col="value"
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "session_start": df["session_start"],
+                "n_events": df["n_events"].astype("int64"),
+                "sum_value_cents": (df["sum_value_f"] * 100).round().astype("int64"),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- set ops
@@ -476,6 +514,8 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "payload_meta": q_payload_meta,
     "media_features": q_media_features,
+    "hopping_window_events": q_hopping_window_events,
+    "session_window_events": q_session_window_events,
     "asof_join_events": q_asof_join_events,
     "reconcile_rollup": q_reconcile_rollup,
     "sample_orders": q_sample_orders,
@@ -551,6 +591,26 @@ ORACLE_SQL = {
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
     ),
     "payload_meta": "SELECT doc_id, strlen(text) AS payload_bytes FROM documents",
+    "hopping_window_events": (
+        "WITH w AS ("
+        "SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events "
+        "UNION ALL "
+        "SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events) "
+        "SELECT event_type, ws AS window_start, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents "
+        "FROM w GROUP BY event_type, ws"
+    ),
+    "session_window_events": (
+        "WITH x AS (SELECT user_id, ts, event_id, value, "
+        "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes' "
+        "THEN 1 ELSE 0 END AS brk FROM events), "
+        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+        "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, "
+        "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents "
+        "FROM s GROUP BY user_id, sid"
+    ),
     "asof_join_events": (
         "WITH p AS (SELECT user_id, ts, event_id, value FROM ("
         "SELECT user_id, ts, event_id, value, "

@@ -24,6 +24,9 @@ class counts depend on it (SURVEY.md §7 hard part 6).
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 import pandas as pd
 
 from ..stages.reconcile import (
@@ -63,6 +66,62 @@ def rollup_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def status_counts(detail_ds) -> pd.DataFrame:
+    """Exact per-status counts WITHOUT shuffling the wide detail rows:
+    each batch collapses to a tiny (status, n) table map-side, and only
+    those few rows go through the final groupby — the full-detail
+    ``groupby(status).count()`` would sort-shuffle every row."""
+    part = detail_ds.map_batches(
+        lambda df: df["status"].value_counts().rename_axis("status").reset_index(name="n"),
+        batch_format="pandas",
+    )
+    out = part.groupby("status").sum("n").to_pandas()
+    out = out.rename(columns={"sum(n)": "n"}).sort_values("status").reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _spool_bucketed(ds, spool_dir: str, columns: list[str]) -> dict[int, list[tuple[str, int]]]:
+    """Spool a (already bucket-tagged) Dataset to disk partitioned by
+    bucket: one file per input block, one row group per bucket slice —
+    the direct-write layout, so cogroup tasks later read exactly their
+    bucket's row groups with no shuffle. Returns part -> [(file, rg)]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(spool_dir, exist_ok=True)
+
+    def spool(batch: pa.Table) -> pa.Table:
+        import hashlib
+        import time as _time
+
+        if batch.num_rows == 0:
+            return pa.table({})
+        t = batch.select([c for c in columns + ["bucket"] if c in batch.column_names])
+        t = t.sort_by([("bucket", "ascending")])
+        gb = t["bucket"].to_numpy(zero_copy_only=False).astype("int64")
+        import numpy as np
+
+        cuts = np.flatnonzero(np.diff(gb)) + 1
+        starts = np.concatenate([[0], cuts]).astype(np.int64)
+        ends = np.concatenate([cuts, [len(gb)]]).astype(np.int64)
+        name = hashlib.sha256(f"{os.getpid()}-{_time.monotonic_ns()}".encode()).hexdigest()[:16]
+        fname = os.path.join(spool_dir, f"snap-{name}.parquet")
+        rows = []
+        with pq.ParquetWriter(fname + ".tmp", t.schema) as w:
+            for rg, (s, e) in enumerate(zip(starts, ends)):
+                w.write_table(t.slice(int(s), int(e - s)))
+                rows.append({"part": int(gb[s]), "file": fname, "rg": rg})
+        os.replace(fname + ".tmp", fname)
+        return pa.Table.from_pylist(rows)
+
+    rows = ds.map_batches(spool, batch_format="pyarrow", batch_size=None).take_all()
+    out: dict[int, list[tuple[str, int]]] = {}
+    for r in rows:
+        out.setdefault(int(r["part"]), []).append((r["file"], int(r["rg"])))
+    return out
+
+
 def reconcile_lake_vs_snapshot(
     lake_root: str,
     snapshot_ds,
@@ -70,27 +129,141 @@ def reconcile_lake_vs_snapshot(
     salt_for_repo: dict[str, int] | None = None,
 ):
     """Full reconciliation phase. Returns (detail_ds, rollup_ds,
-    counts_df) — detail is streaming; rollup re-aggregates across salted
-    sub-buckets by grouping on ``repo`` (SURVEY.md §4 'rollups
-    re-aggregated across salts'); counts are the exact per-status report
-    (north rule: 'matching its match/discrepancy report counts
-    exactly')."""
-    lake = lake_dataset(
-        lake_root, columns=["repo", "path", "commit", "content_sha256"]
+    counts_df); rollup re-aggregates across salted sub-buckets by
+    grouping on ``repo`` (SURVEY.md §4 'rollups re-aggregated across
+    salts'); counts are the exact per-status report (north rule:
+    'matching its match/discrepancy report counts exactly').
+
+    Shuffle-free bucket cogroup: the lake side is ALREADY partitioned
+    by bucket on disk (the commit-log chains), so only the snapshot is
+    spooled once into the same bucketed layout (an O(n) partitioned
+    write, not an all-to-all sort); then one task per bucket reads both
+    sides directly and reconciles vectorized."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.merge import read_chain
+    from ..stages.reconcile import reconcile_group_pdf
+    from ..state.commitlog import CommitLog
+    from .replay import _chains_payload
+
+    import shutil
+
+    from ..functions.hashing import bucket_of
+
+    cols = ["repo", "path", "commit", "content_sha256"]
+    spool_dir = os.path.join(lake_root, "_snapshot_spool")
+    shutil.rmtree(spool_dir, ignore_errors=True)
+
+    def retag(batch: pa.Table) -> pa.Table:
+        # the snapshot MUST be bucketed identically to the lake (same
+        # num_buckets AND salt config) or keys land on different sides
+        # of the cogroup; never trust an incoming bucket column
+        if "bucket" in batch.column_names:
+            batch = batch.drop_columns(["bucket"])
+        return batch.append_column(
+            "bucket", bucket_of(batch["repo"], batch["path"], num_buckets, salt_for_repo)
+        )
+
+    snap_map = _spool_bucketed(
+        snapshot_ds.map_batches(retag, batch_format="pyarrow"), spool_dir, cols
     )
-    detail = reconcile_datasets(
-        lake,
-        snapshot_ds,
-        key_cols=["repo", "path"],
-        value_col="content_sha256",
-        attr_cols=["commit"],
-        num_buckets=num_buckets,
-        salt_for_repo=salt_for_repo,
+
+    log = CommitLog.open(lake_root)
+    chains = _chains_payload(log, upto_epoch=log.latest_sealed_epoch())
+    parts = sorted(set(chains) | set(snap_map))
+    items = [
+        {
+            "part": p,
+            "chain": _json.dumps(chains.get(p, [])),
+            "snap": _json.dumps(snap_map.get(p, [])),
+        }
+        for p in parts
+    ]
+
+    def cogroup_part(batch: pa.Table) -> pd.DataFrame:
+        out = []
+        for rec in batch.to_pylist():
+            part = int(rec["part"])
+            lake_t = read_chain(_json.loads(rec["chain"]), columns=cols, part=part)
+            left = lake_t.to_pandas() if lake_t is not None else pd.DataFrame(columns=cols)
+            snaps = [
+                pq.ParquetFile(f).read_row_group(rg, columns=cols).to_pandas()
+                for f, rg in _json.loads(rec["snap"])
+            ]
+            right = pd.concat(snaps, ignore_index=True) if snaps else pd.DataFrame(columns=cols)
+            left = left.assign(side="L")
+            right = right.assign(side="R")
+            both = pd.concat([left, right], ignore_index=True)
+            if len(both) == 0:
+                continue
+            out.append(
+                reconcile_group_pdf(
+                    both, ["repo", "path"], "content_sha256", attr_cols=["commit"]
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                columns=["repo", "path", "content_sha256_l", "commit_l",
+                         "content_sha256_r", "commit_r", "status"]
+            )
+        return pd.concat(out, ignore_index=True)
+
+    detail = rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
+        cogroup_part, batch_format="pyarrow", batch_size=1
     )
     detail = detail.materialize()  # reused by rollup + counts below
-    rollup = detail.groupby("repo").map_groups(rollup_group, batch_format="pandas")
-    counts = (
-        detail.groupby("status").count().to_pandas().sort_values("status").reset_index(drop=True)
-    )
-    counts = counts.rename(columns={"count()": "n"})
+    rollup = rollup_by_key(detail, "repo")
+    counts = status_counts(detail)
     return detail, rollup, counts
+
+
+def rollup_by_key(detail_ds, key: str):
+    """A3 cascade rollup per key, decomposed into map-side partial
+    counters + a tiny final groupby (the cascade's any()/all() terms
+    are all sums, so the wide detail rows never shuffle). Cascade
+    order preserved bit-for-bit (ReconciliationService.java:194-201)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.reconcile import STATUS_DUP_PREFIX, STATUS_MATCHED
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["status"]
+        agg = pd.DataFrame(
+            {
+                "n_rows": s.groupby(df[key]).size(),
+                "n_matched": s.eq(STATUS_MATCHED).groupby(df[key]).sum(),
+                "n_dup": s.str.startswith(STATUS_DUP_PREFIX).groupby(df[key]).sum(),
+                "n_right": s.ne("MISSING_RIGHT").groupby(df[key]).sum(),
+            }
+        )
+        return agg.rename_axis(key).reset_index()
+
+    red = detail_ds.map_batches(partials, batch_format="pandas").groupby(key).aggregate(
+        Sum(on="n_rows", alias_name="n_rows"),
+        Sum(on="n_matched", alias_name="n_matched"),
+        Sum(on="n_dup", alias_name="n_dup"),
+        Sum(on="n_right", alias_name="n_right"),
+    )
+
+    def cascade(df: pd.DataFrame) -> pd.DataFrame:
+        status = np.where(
+            df["n_right"] == 0, ROLLUP_ERROR,
+            np.where(
+                df["n_dup"] > 0, ROLLUP_DUP,
+                np.where(df["n_matched"] < df["n_rows"], ROLLUP_ROWS_WITH_ERRORS, ROLLUP_OK),
+            ),
+        )
+        return pd.DataFrame(
+            {
+                key: df[key],
+                "n_rows": df["n_rows"].astype("int64"),
+                "n_matched": df["n_matched"].astype("int64"),
+                "rollup_status": status,
+            }
+        )
+
+    return red.map_batches(cascade, batch_format="pandas")

@@ -44,7 +44,12 @@ class ReplayConfig:
     num_buckets: int = 32
     salt_for_repo: dict[str, int] = field(default_factory=dict)
     writer_concurrency: int = 4
-    normalize_batch_size: int = 8192
+    # None = one batch per block, which lets Ray FUSE the whole chain
+    # ReadParquet->normalize->tag->write into ONE task pipeline — no
+    # object-store transit between stages (a fixed serial cost that
+    # capped scaling). Set a number only if per-batch peak memory must
+    # be bounded below the block size.
+    normalize_batch_size: int | None = None
     # split each epoch's parquet into this many read blocks so the
     # normalize/hash stage parallelizes across the whole pool (a single
     # one-row-group file would otherwise read as 1-3 blocks and
@@ -108,6 +113,7 @@ def _commit_manifest_rows(
             state_sha256=combined,
             input_seq=input_seq,
             kind=pieces[0].get("kind", "full"),
+            rgs=tuple(int(p.get("rg", -1)) for p in pieces),
         ))
     committed = log.commit_parts(entries)
     if seal:
@@ -119,7 +125,15 @@ def _chains_payload(log: CommitLog, upto_epoch: int) -> dict[int, list[dict]]:
     """Broadcastable merge-on-read chains: part -> [{"epoch", "kind",
     "files"}, ...] (newest full + later deltas, epoch order)."""
     return {
-        part: [{"epoch": e.epoch, "kind": e.kind, "files": list(e.files)} for e in chain]
+        part: [
+            {
+                "epoch": e.epoch,
+                "kind": e.kind,
+                "files": list(e.files),
+                "rgs": list(e.rgs) if e.rgs else [-1] * len(e.files),
+            }
+            for e in chain
+        ]
         for part, chain in log.part_chains(upto_epoch=upto_epoch).items()
     }
 
@@ -368,7 +382,13 @@ def _run_epoch_batch(
             retried task rewrites byte-identical bytes — idempotent."""
             if batch.num_rows == 0:
                 return pa.table({})
-            t = batch.sort_by([("epoch", "ascending"), ("bucket", "ascending")])
+            # ONE sort orders slices AND seq-within-slice; delta_of then
+            # skips its own re-sort (saves a full copy of the content
+            # bytes — the stage is memory-bandwidth-bound at high core
+            # counts)
+            t = batch.sort_by(
+                [("epoch", "ascending"), ("bucket", "ascending"), ("seq", "ascending")]
+            )
             ge = t["epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
             gb = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
             gid = ge * (int(gb.max()) + 1) + gb
@@ -377,7 +397,7 @@ def _run_epoch_batch(
             ends = np.concatenate([cuts, [len(gid)]]).astype(np.int64)
             by_epoch: dict[int, list[tuple[int, pa.Table, str]]] = {}
             for s, e in zip(starts, ends):
-                sl = delta_of(t.slice(int(s), int(e - s)), keep_seq=True)
+                sl = delta_of(t.slice(int(s), int(e - s)), keep_seq=True, presorted=True)
                 sha = table_state_sha256(sl, ("repo", "path"), "content_sha256")
                 by_epoch.setdefault(int(ge[s]), []).append((int(gb[s]), sl, sha))
             import pyarrow.parquet as pq
@@ -396,9 +416,9 @@ def _run_epoch_batch(
                         for _, sl, _ in slices:
                             w.write_table(sl)  # one row group per bucket
                     os.replace(tmp, fname)
-                for part, sl, sha in slices:
+                for rg, (part, sl, sha) in enumerate(slices):
                     rows.append({
-                        "epoch": ep_id, "part": part, "file": fname,
+                        "epoch": ep_id, "part": part, "file": fname, "rg": rg,
                         "rows": sl.num_rows, "state_sha256": sha, "kind": "delta",
                     })
             return pa.Table.from_pylist(rows)

@@ -51,16 +51,20 @@ LAKE_SCHEMA = pa.schema(
 _LAST_OPTS = pc.ScalarAggregateOptions(skip_nulls=False)  # keep D-row nulls
 
 
-def lww_reduce(events: pa.Table, order_col: str = "seq") -> pa.Table:
+def lww_reduce(events: pa.Table, order_col: str = "seq", presorted: bool = False) -> pa.Table:
     """Collapse events to the winning (max-``order_col``) event per
     (repo, path).
 
     Vectorized: stable sort by the order column then hash-group "last"
     with skip_nulls=False (delete rows carry null content/lang and must
     win as-is). O(n log n) in the bucket's event count, no per-key
-    Python.
+    Python. ``presorted=True`` skips the sort when the caller already
+    ordered rows ascending by ``order_col`` — a full-table copy saved
+    on the hot path (the pipeline is memory-bandwidth-bound at high
+    core counts, so every copy of the content bytes costs throughput).
     """
-    events = events.sort_by([(order_col, "ascending")])
+    if not presorted:
+        events = events.sort_by([(order_col, "ascending")])
     keys = ["repo", "path"]
     aggs = [(c, "last", _LAST_OPTS) for c in events.column_names if c not in keys]
     red = events.group_by(keys, use_threads=False).aggregate(aggs)
@@ -139,12 +143,18 @@ def read_chain(
     filters = [("bucket", "=", part)] if part is not None else None
     tagged = []
     for link in chain:
-        for f in link["files"]:
+        rgs = link.get("rgs") or [-1] * len(link["files"])
+        for f, rg in zip(link["files"], rgs):
             cols = None
             if need is not None:
                 avail = pq.read_schema(f).names
                 cols = [c for c in avail if c in need or c == "bucket"]
-            t = pq.read_table(f, columns=cols, filters=filters)
+            if rg is not None and int(rg) >= 0:
+                # direct-mode delta: this partition's rows are exactly
+                # one row group — O(1) access, no scanner/filter pass
+                t = pq.ParquetFile(f).read_row_group(int(rg), columns=cols)
+            else:
+                t = pq.read_table(f, columns=cols, filters=filters)
             tagged.append((int(link["epoch"]), t))
     if not tagged:
         return None
@@ -172,7 +182,7 @@ def merge_apply(events: pa.Table, prev: pa.Table | None) -> pa.Table:
     return merged.select([c for c in LAKE_COLS + ["bucket"] + extras if c in merged.column_names])
 
 
-def delta_of(events: pa.Table, keep_seq: bool = False) -> pa.Table:
+def delta_of(events: pa.Table, keep_seq: bool = False, presorted: bool = False) -> pa.Table:
     """The epoch's merge-on-read DELTA for one bucket: per-key LWW
     winners INCLUDING delete tombstones (``op`` kept, ``D`` rows carry
     nulls). O(epoch events) — no previous-state read at all, which is
@@ -182,7 +192,7 @@ def delta_of(events: pa.Table, keep_seq: bool = False) -> pa.Table:
     ``keep_seq=True`` for PARTIAL deltas (direct task-side writes):
     several tasks may emit overlapping keys for the same epoch, and
     read-time resolution breaks the in-epoch tie on ``seq``."""
-    winners = lww_reduce(events)
+    winners = lww_reduce(events, presorted=presorted)
     drop = ["ts", "epoch"] if keep_seq else ["seq", "ts", "epoch"]
     winners = winners.drop_columns([c for c in drop if c in winners.column_names])
     keep_extra = ["op", "seq"] if keep_seq else ["op"]

@@ -42,6 +42,11 @@ class PartEntry:
     #: (the epoch's LWW winners incl. delete tombstones) layered on top
     #: of the newest full entry — Hudi/Iceberg-style MOR, SURVEY.md §4
     kind: str = "full"
+    #: per-file row-group ordinal holding THIS partition's rows (-1 =
+    #: whole file). Direct-mode delta files pack one row group per
+    #: bucket; readers then use ParquetFile.read_row_group instead of a
+    #: filtered scan — O(1) metadata work per read.
+    rgs: tuple[int, ...] = ()
 
 
 @dataclass
@@ -79,6 +84,7 @@ class CommitLog:
                             state_sha256=rec["state_sha256"],
                             input_seq=tuple(rec["input_seq"]) if rec.get("input_seq") else None,
                             kind=rec.get("kind", "full"),
+                            rgs=tuple(rec.get("rgs") or ()),
                         )
                         log._entries[(e.epoch, e.part)] = e
         return log
@@ -115,6 +121,7 @@ class CommitLog:
             "state_sha256": entry.state_sha256,
             "input_seq": list(entry.input_seq) if entry.input_seq else None,
             "kind": entry.kind,
+            "rgs": list(entry.rgs) if entry.rgs else None,
         }
 
     def commit_part(self, entry: PartEntry) -> bool:

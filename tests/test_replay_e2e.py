@@ -187,3 +187,21 @@ def test_lake_dataset_resolves_deltas_distributed(fixture_small, tmp_path):
     assert len(got) == manifest["final_rows"]
     want_sha = want["content"].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
     assert (got["content_sha256"].values == want_sha.values).all()
+
+
+def test_auto_compaction_bounds_chain_length(fixture_small, tmp_path):
+    """Sequential auto mode: a bucket whose chain reaches
+    delta_threshold is compacted by the next epoch touching it, so no
+    chain exceeds the threshold; state still matches the oracle."""
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_autocompact", manifest)
+    cfg.delta_threshold = 2
+    replay(fixture_dir, cfg)
+    log = CommitLog.open(cfg.lake_root)
+    chains = log.part_chains()
+    assert chains and all(len(c) <= 2 for c in chains.values())
+    assert any(e.kind == "full" and e.epoch > 0 for c in chains.values() for e in c)
+    got = lake_table(cfg.lake_root).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = _oracle_final(fixture_dir)
+    assert len(got) == len(want) == manifest["final_rows"]
+    assert (got["content"].values == want["content"].values).all()
