@@ -79,8 +79,11 @@ def run_bench() -> dict:
 
     # -- CDC replay headline -------------------------------------------
     # sized so the job is CPU-bound at 8 cores (the scaling protocol's
-    # low end) rather than dominated by per-epoch fixed costs
-    num_events = max(200_000, int(600_000_000 * sf))
+    # low end) rather than dominated by per-epoch fixed costs; the
+    # scaling mode doubles it via GRAFT_BENCH_EVENTS
+    num_events = int(os.environ.get("GRAFT_BENCH_EVENTS", 0)) or max(
+        200_000, int(300_000_000 * sf)
+    )
     lake_rows = max(20_000, num_events // 15)
     fixture_dir = ensure_bench_fixture(
         BENCH_CACHE, num_events, lake_rows, content_chars=200, num_epochs=3
@@ -223,8 +226,11 @@ def run_scaling() -> dict:
     lo_cpu, hi_cpu = 8, 32
     runs: dict[int, list[dict]] = {lo_cpu: [], hi_cpu: []}
     schedule = [lo_cpu, hi_cpu, lo_cpu, hi_cpu]  # first pair also warms page cache
+    sf = _sf_of(os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    scaling_events = str(max(400_000, int(600_000_000 * sf)))
     for ncpu in schedule:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPLAY_ONLY="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPLAY_ONLY="1",
+                   GRAFT_BENCH_EVENTS=scaling_events)
         # enforce the core budget at the OS level: every helper thread
         # (Arrow IO pool, Ray workers, the driver itself) is pinned to
         # exactly ncpu cores, so "8 CPUs" can't borrow idle cores and
