@@ -535,12 +535,14 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
     )
     rows = [dict(r) for r in rows_ds.take_all()]
     _commit_manifest_rows(log, epoch, rows, None, seal=True)
+    live = log.write_snapshot()  # chains are shortest right after compaction
     metrics = {
         "epoch": epoch,
         "skipped": False,
         "mode": "compact",
         "compacted": len(rows),
         "rows_written": sum(int(r["rows"]) for r in rows),
+        "log_live_entries": live,
         "sec": round(time.monotonic() - t0, 4),
     }
     _write_lineage(cfg.lake_root, log, metrics)

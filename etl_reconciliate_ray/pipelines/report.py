@@ -1,0 +1,68 @@
+"""Report sink: the reference's Excel-report + email stage (K1/K2,
+``service/ExcelReportService.java:53-163`` two sheets LOTES/DETALLE,
+``service/EmailService.java:31-59``) re-expressed as a data engine's
+output contract:
+
+- the DETALLE sheet  -> partitioned parquet of the reconcile DETAIL
+  rows (one directory per status class, so a re-run can skip classes
+  already written and consumers can read just the discrepancies),
+- the LOTES sheet    -> parquet of the per-repo ROLLUP table,
+- the email          -> a small ``summary.json`` next to the report
+  (exact per-status counts + run metadata) — the machine-readable
+  equivalent of the human notification.
+
+Writes are resumable: each partition directory is written through
+Ray's ``write_parquet`` and the summary is published last with an
+atomic rename — a consumer that sees ``summary.json`` sees a complete
+report (manifest-gated visibility, same discipline as the lake sink).
+
+Conditional row coloring (green/red on status, ``:122-124,143-145``)
+is presentation-only and out of engine scope (SURVEY.md §2.1 K1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def write_report(detail_ds, rollup_ds, counts_df, out_dir: str, meta: dict | None = None) -> dict:
+    """Write the two report tables + summary. Returns the summary dict.
+
+    ``detail_ds`` / ``rollup_ds``: Ray Datasets (detail has a
+    ``status`` column); ``counts_df``: the exact per-status counts
+    (pandas). Partitioned by status so discrepancy classes are
+    separately addressable and a failed run resumes per class.
+    """
+    t0 = time.monotonic()
+    os.makedirs(out_dir, exist_ok=True)
+
+    detail_dir = os.path.join(out_dir, "detail")
+    if not os.path.exists(os.path.join(detail_dir, "_DONE")):
+        # ONE pass, hive-partitioned by status: discrepancy classes are
+        # separately addressable (status=MATCHED/ is the bulk; consumers
+        # usually read only the small discrepancy partitions)
+        detail_ds.write_parquet(detail_dir, partition_cols=["status"])
+        with open(os.path.join(detail_dir, "_DONE"), "w") as fh:
+            fh.write("ok\n")
+
+    rollup_dir = os.path.join(out_dir, "rollup")
+    if not os.path.exists(os.path.join(rollup_dir, "_DONE")):
+        rollup_ds.write_parquet(rollup_dir)
+        with open(os.path.join(rollup_dir, "_DONE"), "w") as fh:
+            fh.write("ok\n")
+
+    summary = {
+        "status_counts": {
+            str(s): int(n) for s, n in zip(counts_df["status"], counts_df["n"])
+        },
+        "total_rows": int(counts_df["n"].sum()),
+        "sec": round(time.monotonic() - t0, 3),
+        **(meta or {}),
+    }
+    tmp = os.path.join(out_dir, "summary.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "summary.json"))  # atomic publish
+    return summary

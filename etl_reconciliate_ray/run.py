@@ -1,0 +1,75 @@
+"""CLI entry point: the reference's trigger surface (REST `GET /execute`
+at ``controller/ReconciliationController.java:35-39`` and the disabled
+cron at ``:41-42``) re-expressed as a batch CLI suitable for
+``ray job submit -- python -m etl_reconciliate_ray.run ...``.
+
+Lifecycle = SURVEY.md §3 target shape: replay the fixture's binlog onto
+the lake (resumable; sealed epochs skip), reconcile against the
+snapshot, write the partitioned report + summary.
+
+Owns its Ray session (library code never calls ray.init) — guarded so
+an externally-initialised session (ray job submit) is reused.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(description="CDC replay + reconcile + report")
+    p.add_argument("--fixture", required=True, help="fixture dir (lake_seed/binlog/snapshot)")
+    p.add_argument("--lake", required=True, help="lake root (commit log + partitions)")
+    p.add_argument("--report", default=None, help="report output dir (default <lake>/report)")
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--pipeline-epochs", type=int, default=4)
+    p.add_argument("--compact", action="store_true", help="compact chains after replay")
+    p.add_argument("--num-cpus", type=int, default=None, help="only used if Ray is not initialised")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    from .pipelines.reconcile_run import reconcile_lake_vs_snapshot
+    from .pipelines.replay import ReplayConfig, replay
+    from .pipelines.report import write_report
+    from .stages.normalize import make_normalizer
+
+    with open(os.path.join(args.fixture, "fixture.json")) as fh:
+        man = json.load(fh)
+    salt = man.get("salt_hot_repos", {})
+    cfg = ReplayConfig(
+        lake_root=args.lake,
+        num_buckets=args.num_buckets,
+        salt_for_repo=salt,
+        pipeline_epochs=args.pipeline_epochs,
+        post_compact=args.compact,
+    )
+    metrics = replay(args.fixture, cfg)
+
+    snap = rd.read_parquet(os.path.join(args.fixture, "snapshot.parquet")).map_batches(
+        make_normalizer(args.num_buckets, salt), batch_format="pyarrow"
+    )
+    detail, rollup, counts = reconcile_lake_vs_snapshot(
+        args.lake, snap, num_buckets=args.num_buckets, salt_for_repo=salt
+    )
+    summary = write_report(
+        detail, rollup, counts, args.report or os.path.join(args.lake, "report"),
+        meta={"epochs": len(metrics), "lake_root": args.lake},
+    )
+    print(json.dumps(summary, sort_keys=True))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

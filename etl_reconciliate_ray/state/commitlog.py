@@ -62,32 +62,78 @@ class CommitLog:
     def path(self) -> str:
         return os.path.join(self.root, "commitlog.jsonl")
 
+    @property
+    def snapshot_path(self) -> str:
+        return os.path.join(self.root, "commitlog.snapshot.jsonl")
+
+    def _apply_file(self, path: str) -> None:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec.get("type") == "EPOCH_COMMIT":
+                    self._sealed.add(rec["epoch"])
+                elif rec.get("type") == "SNAPSHOT_SEALED":
+                    self._sealed.update(rec["sealed"])
+                else:
+                    e = PartEntry(
+                        epoch=rec["epoch"],
+                        part=rec["part"],
+                        files=tuple(rec["files"]),
+                        rows=rec["rows"],
+                        state_sha256=rec["state_sha256"],
+                        input_seq=tuple(rec["input_seq"]) if rec.get("input_seq") else None,
+                        kind=rec.get("kind", "full"),
+                        rgs=tuple(rec.get("rgs") or ()),
+                    )
+                    self._entries[(e.epoch, e.part)] = e
+
     @classmethod
     def open(cls, root: str) -> "CommitLog":
         log = cls(root=root)
         os.makedirs(root, exist_ok=True)
+        # snapshot first (compacted history), then the tail log; replays
+        # of records already in the snapshot are idempotent dict puts
+        if os.path.exists(log.snapshot_path):
+            log._apply_file(log.snapshot_path)
         if os.path.exists(log.path):
-            with open(log.path) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    rec = json.loads(line)
-                    if rec.get("type") == "EPOCH_COMMIT":
-                        log._sealed.add(rec["epoch"])
-                    else:
-                        e = PartEntry(
-                            epoch=rec["epoch"],
-                            part=rec["part"],
-                            files=tuple(rec["files"]),
-                            rows=rec["rows"],
-                            state_sha256=rec["state_sha256"],
-                            input_seq=tuple(rec["input_seq"]) if rec.get("input_seq") else None,
-                            kind=rec.get("kind", "full"),
-                            rgs=tuple(rec.get("rgs") or ()),
-                        )
-                        log._entries[(e.epoch, e.part)] = e
+            log._apply_file(log.path)
         return log
+
+    def write_snapshot(self) -> int:
+        """Bound log growth: persist only the CURRENT merge-on-read
+        chains (plus the sealed set) to the snapshot file and truncate
+        the tail log. At 10^4+ epochs the full history is O(epochs x
+        partitions); the chains are O(partitions x chain length).
+        Crash-safe ordering: snapshot is published atomically BEFORE the
+        tail truncate — replaying an un-truncated tail over the
+        snapshot is idempotent. Returns the number of live entries."""
+        with self._lock:
+            sealed_upto = self.latest_sealed_epoch()
+            if sealed_upto is None:
+                live = list(self._entries.values())  # nothing sealed yet
+            else:
+                live = [e for chain in self.part_chains().values() for e in chain]
+                # entries newer than the newest sealed epoch (committed
+                # but unsealed — a crash window) must survive too
+                live += [e for (ep, _), e in self._entries.items() if ep > sealed_upto]
+            recs = [{"type": "SNAPSHOT_SEALED", "sealed": sorted(self._sealed)}]
+            recs += [self._entry_rec(e) for e in sorted(live, key=lambda x: (x.epoch, x.part))]
+            tmp = self.snapshot_path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write("".join(json.dumps(r, sort_keys=True) + "\n" for r in recs))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self.snapshot_path)
+            with open(self.path + ".tmp", "w") as fh:
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(self.path + ".tmp", self.path)  # truncate tail
+            # prune in-memory history to match the snapshot
+            self._entries = {(e.epoch, e.part): e for e in live}
+            return len(live)
 
     def _append(self, rec: dict) -> None:
         self._append_many([rec])

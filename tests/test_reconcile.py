@@ -135,3 +135,45 @@ def test_e2e_reconcile_counts_exact(fixture_small, tmp_path):
     # snapshot-only repo: all rows MISSING_LEFT -> ROWS_WITH_ERRORS
     ghost = rdf.loc[rdf["repo"] == "orgX/only-in-snapshot", "rollup_status"]
     assert ghost.tolist() == [ROLLUP_ROWS_WITH_ERRORS]
+
+
+def test_report_sink_partitioned_and_resumable(fixture_small, tmp_path):
+    """K1/K2 equivalent: detail partitioned by status (hive), rollup
+    table, atomic summary.json with the exact counts; a second call is
+    a resume no-op for already-written tables."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from etl_reconciliate_ray.pipelines.replay import ReplayConfig, replay
+    from etl_reconciliate_ray.pipelines.reconcile_run import reconcile_lake_vs_snapshot
+    from etl_reconciliate_ray.pipelines.report import write_report
+    from etl_reconciliate_ray.stages.normalize import make_normalizer
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = ReplayConfig(
+        lake_root=str(tmp_path / "lake_report"), num_buckets=8,
+        salt_for_repo=manifest["salt_hot_repos"], writer_concurrency=2,
+    )
+    replay(fixture_dir, cfg)
+    snap = rd.read_parquet(f"{fixture_dir}/snapshot.parquet").map_batches(
+        make_normalizer(num_buckets=8), batch_format="pyarrow"
+    )
+    detail, rollup, counts = reconcile_lake_vs_snapshot(
+        cfg.lake_root, snap, num_buckets=8, salt_for_repo=manifest["salt_hot_repos"]
+    )
+    out = str(tmp_path / "report")
+    summary = write_report(detail, rollup, counts, out)
+    want = {k: v for k, v in manifest["expected_status_counts"].items() if v}
+    assert summary["status_counts"] == want
+    with open(os.path.join(out, "summary.json")) as fh:
+        assert json.load(fh)["status_counts"] == want
+    # hive partition dirs per status; MISSING_RIGHT partition readable
+    mr = pq.read_table(os.path.join(out, "detail", "status=MISSING_RIGHT"))
+    assert mr.num_rows == want["MISSING_RIGHT"]
+    assert pq.read_table(os.path.join(out, "rollup")).num_rows > 0
+    # resume: second call skips the written tables, summary unchanged
+    summary2 = write_report(detail, rollup, counts, out)
+    assert summary2["status_counts"] == want

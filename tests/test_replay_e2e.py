@@ -205,3 +205,60 @@ def test_auto_compaction_bounds_chain_length(fixture_small, tmp_path):
     want = _oracle_final(fixture_dir)
     assert len(got) == len(want) == manifest["final_rows"]
     assert (got["content"].values == want["content"].values).all()
+
+
+def test_crash_after_commit_before_seal_converges(fixture_small, tmp_path):
+    """Exactly-once under the worst crash window: an epoch's partition
+    commits land in the log but the EPOCH_COMMIT seal never does. A
+    restart must re-run that epoch idempotently (writer + log fences)
+    and converge to the uninterrupted state."""
+    import json
+    import ray.data as rd
+
+    from etl_reconciliate_ray.pipelines.replay import run_epoch
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg_a = _cfg(tmp_path, "lake_crash_ref", manifest)
+    replay(fixture_dir, cfg_a)
+
+    cfg_b = _cfg(tmp_path, "lake_crash", manifest)
+    replay(fixture_dir, cfg_b, stop_after_epoch=1)
+    log = CommitLog.open(cfg_b.lake_root)
+    with open(f"{fixture_dir}/fixture.json") as fh:
+        ep = json.load(fh)["epochs"][1]  # engine epoch 2
+    run_epoch(
+        rd.read_parquet(ep["file"]), 2, cfg_b, log=log,
+        input_seq=tuple(ep["seq_range"]), seal=False,  # "crash" before seal
+    )
+    log2 = CommitLog.open(cfg_b.lake_root)
+    assert log2.latest_sealed_epoch() == 1
+    assert any(e == 2 for (e, _) in log2._entries), "partial commits persisted"
+
+    replay(fixture_dir, cfg_b)  # restart
+    assert lake_state_hash(cfg_b.lake_root) == lake_state_hash(cfg_a.lake_root)
+
+
+def test_log_snapshot_bounds_history_and_preserves_state(fixture_small, tmp_path):
+    import os
+
+    from etl_reconciliate_ray.pipelines.replay import compact
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_snap", manifest)
+    cfg.pipeline_epochs = 4  # all-delta -> long chains + long log
+    replay(fixture_dir, cfg)
+    before = lake_state_hash(cfg.lake_root)
+    pre_lines = sum(1 for _ in open(os.path.join(cfg.lake_root, "commitlog.jsonl")))
+
+    m = compact(cfg)  # compacts chains AND snapshots the log
+    assert m["log_live_entries"] > 0
+    tail_lines = sum(1 for _ in open(os.path.join(cfg.lake_root, "commitlog.jsonl")))
+    assert tail_lines == 0 < pre_lines
+
+    log = CommitLog.open(cfg.lake_root)  # reopen from snapshot
+    assert log.latest_sealed_epoch() is not None
+    assert lake_state_hash(cfg.lake_root) == before
+    # redelivery of an old epoch is still a no-op after snapshotting
+    m2 = replay(fixture_dir, cfg)
+    assert all(x.get("skipped") or x.get("mode") == "compact" for x in m2)
+    assert lake_state_hash(cfg.lake_root) == before
