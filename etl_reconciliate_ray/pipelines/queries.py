@@ -268,6 +268,16 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(ds, _query_vectors(sf_dir), k=5, num_planes=4)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (rows-only: recall-traded approximation;
+    exactness asserted separately via a recall unit test vs knn)."""
+    from ..stages.similarity import ivf_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    train = read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _query_vectors(sf_dir), k=5, num_lists=8, nprobe=4, train_sample=train)
+
+
 # ---------------------------------------------------------------- text
 def q_token_stats(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -505,6 +515,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "token_stats": q_token_stats,
     "quality_docs": q_quality_docs,
     "langid_docs": q_langid_docs,

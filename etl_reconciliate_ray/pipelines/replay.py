@@ -294,7 +294,12 @@ def replay(
                 cfg, log, writers, prep_fn=as_insert,
             ))
         for i in range(0, len(todo), cfg.pipeline_epochs):
-            chunk = [t for t in todo[i : i + cfg.pipeline_epochs] if not log.is_sealed(t[0])]
+            window = todo[i : i + cfg.pipeline_epochs]
+            out.extend(
+                {"epoch": e, "skipped": True, "parts_committed": 0, "sec": 0.0}
+                for e, _ in window if log.is_sealed(e)
+            )
+            chunk = [t for t in window if not log.is_sealed(t[0])]
             if chunk:
                 out.extend(_run_epoch_batch(chunk, cfg, log, writers))
     else:

@@ -182,3 +182,88 @@ def cosine_dup_pairs(
     return emb_ds.map_batches(
         DupPairs, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Tiny seeded Lloyd's k-means on a driver-side sample — the coarse
+    quantizer for IVF. Deterministic in (sample, k, iters, seed)."""
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = sample @ cents.T  # rows normalized -> cosine
+        assign = d.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_topk(
+    emb_ds,
+    query_df: pd.DataFrame,
+    k: int = 5,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    train_sample: pd.DataFrame | None = None,
+    seed: int = 42,
+):
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    is trained ONCE on a driver-side sample and broadcast; each batch
+    assigns its vectors to their nearest list and scores a query only
+    against vectors in that query's ``nprobe`` closest lists — the
+    classic Faiss-style IVF recall/compute trade
+    (cf. Johnson et al., "Billion-scale similarity search with GPUs").
+    Batches never materialize the full score matrix; the final global
+    top-k reduce shuffles O(batches x k) rows.
+    """
+    import ray
+
+    train = train_sample if train_sample is not None else query_df
+    cents = _kmeans(_normalize(_emb_matrix(train[emb_col])), num_lists, seed=seed)
+    qmat = _normalize(_emb_matrix(query_df[emb_col]))
+    qids = query_df[id_col].to_numpy()
+    # each query probes its nprobe nearest lists
+    qlists = np.argsort(-(qmat @ cents.T), axis=1)[:, : max(1, nprobe)]
+    ref = ray.put((qids, qmat, qlists, cents))
+
+    class IVFTopK:
+        def __init__(self):
+            self.qids, self.qmat, self.qlists, self.cents = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = _normalize(_emb_matrix(batch[emb_col]))
+            ids = batch[id_col].to_numpy()
+            assign = (emb @ self.cents.T).argmax(axis=1)
+            rows = []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(assign, self.qlists[qi]) & (ids != qid)
+                cand = np.flatnonzero(mask)
+                if len(cand) == 0:
+                    continue
+                s = self.qmat[qi] @ emb[cand].T
+                order = np.lexsort((ids[cand], -s))[:k]
+                for o in order:
+                    rows.append((int(qid), int(ids[cand[o]]), float(s[o])))
+            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    local = emb_ds.map_batches(
+        IVFTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "neighbor_id": g["neighbor_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")

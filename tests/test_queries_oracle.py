@@ -101,3 +101,40 @@ def test_minhash_finds_exact_dups_as_clusters():
     lab = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
     for g in dup_groups:
         assert len({lab[d] for d in g}) == 1, f"exact dups split: {g}"
+
+
+def test_ivf_recall_vs_exact_knn(ray_session):
+    """IVF with nprobe=num_lists must equal exact knn (probes every
+    list); with fewer probes recall stays high on sf0.001."""
+    from etl_reconciliate_ray.pipelines.queries import _query_vectors
+    from etl_reconciliate_ray.sources.catalog import read_table
+    from etl_reconciliate_ray.stages.similarity import ivf_topk, knn_cosine
+
+    q = _query_vectors(SF_DIR)
+    import pyarrow.parquet as pq
+
+    train = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+
+    def pairs(df):
+        return set(map(tuple, df[["query_id", "neighbor_id"]].to_numpy()))
+
+    exact = pairs(
+        knn_cosine(read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"]), q, k=5).to_pandas()
+    )
+    full_probe = pairs(
+        ivf_topk(
+            read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"]),
+            q, k=5, num_lists=8, nprobe=8, train_sample=train,
+        ).to_pandas()
+    )
+    assert full_probe == exact  # probing every list == exact search
+    part_probe = pairs(
+        ivf_topk(
+            read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"]),
+            q, k=5, num_lists=8, nprobe=4, train_sample=train,
+        ).to_pandas()
+    )
+    recall = len(part_probe & exact) / len(exact)
+    assert recall >= 0.6, recall
