@@ -37,6 +37,20 @@ def whitespace_token_count(text: str) -> int:
     return len(text.split())
 
 
+def whitespace_quality(text: str) -> tuple[int, float]:
+    """(n_tokens, stopword_ratio) over WHITESPACE tokens of the
+    lowercased trimmed text — bit-identical to the DuckDB oracle's
+    ``regexp_split_to_array(lower(trim(text)), '\\s+')`` tokenization
+    (a token like 'the,' counts as one token and is NOT a stopword on
+    either side)."""
+    toks = text.lower().split()
+    n = len(toks)
+    if n == 0:
+        return 0, 0.0
+    stop = STOPWORDS["en"]
+    return n, sum(t in stop for t in toks) / n
+
+
 def quality_signals(text: str) -> dict:
     """Cheap quality-scoring signals: length, token stats, punctuation
     and stopword ratios (the classic pre-training heuristics)."""

@@ -634,8 +634,8 @@ ORACLE_SQL = {
         "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
     ),
     "reconcile_rollup": _RECONCILE_ORACLE_CTE + (
-        "SELECT grp, COUNT(*) AS n_rows, "
-        "SUM(CASE WHEN status = 'MATCHED' THEN 1 ELSE 0 END) AS n_matched, "
+        "SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CASE WHEN status = 'MATCHED' THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, "
         "CASE WHEN SUM(CASE WHEN status <> 'MISSING_RIGHT' THEN 1 ELSE 0 END) = 0 THEN 'ERROR' "
         "WHEN SUM(CASE WHEN status LIKE 'DUP_RIGHT_%' THEN 1 ELSE 0 END) > 0 THEN 'DUP_IN_RIGHT' "
         "WHEN SUM(CASE WHEN status <> 'MATCHED' THEN 1 ELSE 0 END) > 0 THEN 'ROWS_WITH_ERRORS' "

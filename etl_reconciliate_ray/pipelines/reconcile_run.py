@@ -110,7 +110,10 @@ def _spool_bucketed(ds, spool_dir: str, columns: list[str]) -> dict[int, list[tu
         rows = []
         with pq.ParquetWriter(fname + ".tmp", t.schema) as w:
             for rg, (s, e) in enumerate(zip(starts, ends)):
-                w.write_table(t.slice(int(s), int(e - s)))
+                sl = t.slice(int(s), int(e - s))
+                # one row group per bucket slice, even past 1Mi rows —
+                # rg ordinals below index into exactly these writes
+                w.write_table(sl, row_group_size=max(1, sl.num_rows))
                 rows.append({"part": int(gb[s]), "file": fname, "rg": rg})
         os.replace(fname + ".tmp", fname)
         return pa.Table.from_pylist(rows)

@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 
-from ..functions.hashing import table_state_sha256
+from ..functions.hashing import HASH_IMPL, table_state_sha256
 from ..stages.merge import _unify_concat, make_merge_fn, read_chain
 from ..stages.normalize import make_normalizer
 from ..stages.writer import make_writer_pool
@@ -83,6 +83,15 @@ class ReplayConfig:
     # - "shuffle": groupby(epoch, bucket) sort shuffle, one merge task
     #   per group (most general; group-local logic sees all rows).
     merge_strategy: str = "direct"
+
+    def layout(self) -> dict:
+        """The physical-layout fingerprint fenced by the commit log —
+        resuming a lake under a different bucket routing is refused."""
+        return {
+            "num_buckets": self.num_buckets,
+            "salt": {k: int(v) for k, v in sorted(self.salt_for_repo.items())},
+            "hash_impl": HASH_IMPL,
+        }
 
 
 def _commit_manifest_rows(
@@ -162,6 +171,7 @@ def run_epoch(
     ``writers``: the persistent LakeWriterActor pool; created here if
     not passed (``replay()`` creates it once for all epochs)."""
     log = log or CommitLog.open(cfg.lake_root)
+    log.ensure_layout(cfg.layout())
     t0 = time.monotonic()
     if log.is_sealed(epoch):
         return {"epoch": epoch, "skipped": True, "parts_committed": 0, "sec": 0.0}
@@ -265,6 +275,7 @@ def replay(
     with open(os.path.join(fixture_dir, "fixture.json")) as fh:
         fixture = json.load(fh)
     log = CommitLog.open(cfg.lake_root)
+    log.ensure_layout(cfg.layout())
     writers = make_writer_pool(cfg.lake_root, cfg.writer_concurrency)
     seed_path = os.path.join(fixture_dir, "lake_seed.parquet")
     kwargs = {"override_num_blocks": cfg.read_parallelism} if cfg.read_parallelism else {}
@@ -419,7 +430,11 @@ def _run_epoch_batch(
                     tmp = fname + f".tmp{os.getpid()}"
                     with pq.ParquetWriter(tmp, slices[0][1].schema) as w:
                         for _, sl, _ in slices:
-                            w.write_table(sl)  # one row group per bucket
+                            # row_group_size=num_rows: EXACTLY one row
+                            # group per bucket slice — pyarrow would
+                            # otherwise silently split slices over 1Mi
+                            # rows, desyncing every later rg ordinal
+                            w.write_table(sl, row_group_size=max(1, sl.num_rows))
                     os.replace(tmp, fname)
                 for rg, (part, sl, sha) in enumerate(slices):
                     rows.append({

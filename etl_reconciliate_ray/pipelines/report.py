@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 
@@ -33,13 +34,19 @@ def write_report(detail_ds, rollup_ds, counts_df, out_dir: str, meta: dict | Non
     ``detail_ds`` / ``rollup_ds``: Ray Datasets (detail has a
     ``status`` column); ``counts_df``: the exact per-status counts
     (pandas). Partitioned by status so discrepancy classes are
-    separately addressable and a failed run resumes per class.
+    separately addressable and a completed table is skipped on re-run.
+
+    Resume safety: a table directory WITHOUT its ``_DONE`` marker may
+    hold a crashed attempt's partial files (Ray names files
+    per-execution, so a blind rewrite would duplicate rows) — it is
+    cleared before rewriting; only ``_DONE``-marked directories skip.
     """
     t0 = time.monotonic()
     os.makedirs(out_dir, exist_ok=True)
 
     detail_dir = os.path.join(out_dir, "detail")
     if not os.path.exists(os.path.join(detail_dir, "_DONE")):
+        shutil.rmtree(detail_dir, ignore_errors=True)  # drop partial attempt
         # ONE pass, hive-partitioned by status: discrepancy classes are
         # separately addressable (status=MATCHED/ is the bulk; consumers
         # usually read only the small discrepancy partitions)
@@ -49,6 +56,7 @@ def write_report(detail_ds, rollup_ds, counts_df, out_dir: str, meta: dict | Non
 
     rollup_dir = os.path.join(out_dir, "rollup")
     if not os.path.exists(os.path.join(rollup_dir, "_DONE")):
+        shutil.rmtree(rollup_dir, ignore_errors=True)
         rollup_ds.write_parquet(rollup_dir)
         with open(os.path.join(rollup_dir, "_DONE"), "w") as fh:
             fh.write("ok\n")

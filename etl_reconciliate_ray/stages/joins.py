@@ -33,7 +33,9 @@ from ..functions.hashing import hash64
 def _bucket_expr(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     typ = col.type if hasattr(col, "type") else col.chunk(0).type
     if pa.types.is_integer(typ):
-        vals = np.asarray(col.to_pylist(), dtype=np.int64)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = pc.fill_null(col, 0).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.array((vals % num_buckets).astype(np.int32))
     return pa.array((hash64(col) % np.uint64(num_buckets)).astype(np.int32))
 
@@ -119,14 +121,16 @@ def broadcast_anti_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int 
     set (reference J7 right-anti leg shape, done without a shuffle)."""
     import ray
 
-    ref = ray.put(set(keys_df[on].tolist()))
+    ref = ray.put(pa.array(sorted(set(keys_df[on].tolist()))))
 
     class AntiFilter:
         def __init__(self):
-            self.keys = ray.get(ref)
+            self.keys = ray.get(ref)  # pa.Array value set, fetched once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([v not in self.keys for v in batch[on].to_pylist()])
+            # vectorized membership (Arrow C kernel; null keys -> not in
+            # set -> kept, matching Python `v not in keys` semantics)
+            mask = pc.invert(pc.is_in(batch[on], value_set=self.keys))
             return batch.filter(mask)
 
     return big_ds.map_batches(
@@ -137,14 +141,14 @@ def broadcast_anti_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int 
 def broadcast_semi_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int = 65536):
     import ray
 
-    ref = ray.put(set(keys_df[on].tolist()))
+    ref = ray.put(pa.array(sorted(set(keys_df[on].tolist()))))
 
     class SemiFilter:
         def __init__(self):
             self.keys = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([v in self.keys for v in batch[on].to_pylist()])
+            mask = pc.is_in(batch[on], value_set=self.keys)
             return batch.filter(mask)
 
     return big_ds.map_batches(

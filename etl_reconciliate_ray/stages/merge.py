@@ -107,7 +107,12 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
     sort_keys = [("__epoch", "ascending")]
     if "seq" in merged.column_names:
         sort_keys.append(("seq", "ascending"))
-    merged = merged.sort_by(sort_keys)
+    # null_placement at_start: a seq-null row (whole-epoch pre-reduced
+    # delta) must LOSE to seq-carrying partial-delta rows if the two
+    # delta kinds ever mix within one (epoch, part) chain — enforce the
+    # invariant instead of assuming it (pyarrow defaults to at_end,
+    # which would let the null row win the "last" aggregate).
+    merged = merged.sort_by(sort_keys, null_placement="at_start")
     aggs = [(c, "last", _LAST_OPTS) for c in merged.column_names if c not in keys]
     red = merged.group_by(keys, use_threads=False).aggregate(aggs)
     winners = pa.table(

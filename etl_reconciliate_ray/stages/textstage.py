@@ -29,14 +29,23 @@ class TokenStats:
 
 
 class QualityScore:
-    """Pre-training quality heuristics: stopword/punct ratios etc."""
+    """Pre-training quality heuristics: stopword/punct ratios etc.
+
+    ``n_tokens``/``stop_ratio`` use WHITESPACE tokens of the lowercased
+    trimmed text — the exact tokenization of the DuckDB oracle
+    (``regexp_split_to_array(lower(trim(text)), '\\s+')``), so the
+    correctness cell holds on punctuation-bearing text too ('the,' is
+    one whitespace token on both sides). punct/mean-token-len signals
+    keep the regex tokenization (not oracle-compared)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sig = batch["text"].map(T.quality_signals)
         out = pd.DataFrame({"doc_id": batch["doc_id"]})
-        for k in ("n_tokens", "stop_ratio", "punct_ratio", "mean_token_len"):
+        ws = batch["text"].map(T.whitespace_quality)
+        out["n_tokens"] = ws.map(lambda s: s[0]).astype("int64")
+        out["stop_ratio"] = ws.map(lambda s: s[1])
+        for k in ("punct_ratio", "mean_token_len"):
             out[k] = sig.map(lambda s, k=k: s[k])
-        out["n_tokens"] = out["n_tokens"].astype("int64")
         return out
 
 

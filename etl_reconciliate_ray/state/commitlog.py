@@ -54,6 +54,12 @@ class CommitLog:
     root: str
     _entries: dict[tuple[int, int], PartEntry] = field(default_factory=dict)
     _sealed: set[int] = field(default_factory=set)
+    #: physical-layout fence: {"num_buckets", "salt", "hash_impl"} —
+    #: bucket ids are persisted in the lake layout, so resuming under a
+    #: different bucket-hash scheme or salt config would silently route
+    #: existing (repo, path) keys to new buckets and duplicate keys
+    #: across partitions. Recorded on first write; mismatch = hard error.
+    _layout: dict | None = None
     # pipelined replay commits epochs from worker threads; the log
     # stays single-writer per PROCESS, serialized by this lock
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
@@ -77,6 +83,8 @@ class CommitLog:
                     self._sealed.add(rec["epoch"])
                 elif rec.get("type") == "SNAPSHOT_SEALED":
                     self._sealed.update(rec["sealed"])
+                elif rec.get("type") == "LAYOUT":
+                    self._layout = rec["layout"]
                 else:
                     e = PartEntry(
                         epoch=rec["epoch"],
@@ -119,7 +127,10 @@ class CommitLog:
                 # entries newer than the newest sealed epoch (committed
                 # but unsealed — a crash window) must survive too
                 live += [e for (ep, _), e in self._entries.items() if ep > sealed_upto]
-            recs = [{"type": "SNAPSHOT_SEALED", "sealed": sorted(self._sealed)}]
+            recs = []
+            if self._layout is not None:
+                recs.append({"type": "LAYOUT", "layout": self._layout})
+            recs.append({"type": "SNAPSHOT_SEALED", "sealed": sorted(self._sealed)})
             recs += [self._entry_rec(e) for e in sorted(live, key=lambda x: (x.epoch, x.part))]
             tmp = self.snapshot_path + ".tmp"
             with open(tmp, "w") as fh:
@@ -151,6 +162,21 @@ class CommitLog:
             os.fsync(fh.fileno())
 
     # -- fencing ---------------------------------------------------------
+    def ensure_layout(self, layout: dict) -> None:
+        """Record the lake's physical layout (bucket count, salt map,
+        hash implementation) on first write; refuse to resume under a
+        different one — the all-rows-of-one-key-in-one-bucket invariant
+        every merge/cogroup relies on would otherwise silently break."""
+        with self._lock:
+            if self._layout is None:
+                self._append({"type": "LAYOUT", "layout": layout})
+                self._layout = layout
+            elif self._layout != layout:
+                raise ValueError(
+                    f"lake at {self.root} was written under layout {self._layout}; "
+                    f"refusing to resume with {layout} — bucket routing would change"
+                )
+
     def is_committed(self, epoch: int, part: int) -> bool:
         return (epoch, part) in self._entries
 
