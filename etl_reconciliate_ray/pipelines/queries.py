@@ -243,13 +243,14 @@ def q_simhash_docs(sf_dir: str):
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    """LSH candidate pairs with exact shingle-Jaccard >= 0.8."""
-    from ..stages.dedup import verify_jaccard_pairs
+    """LSH candidate pairs with exact shingle-Jaccard >= 0.8, verified
+    DISTRIBUTED (pairs enriched with texts via two hash joins; no
+    corpus-sized driver materialization)."""
+    from ..stages.dedup import verify_pairs_distributed
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = lsh_candidate_pairs(ds).to_pandas()
-    docs = read_table_pandas(sf_dir, "documents", columns=["doc_id", "text"])
-    return verify_jaccard_pairs(pairs, docs, threshold=0.8)
+    pairs = lsh_candidate_pairs(ds)
+    return verify_pairs_distributed(pairs, ds, threshold=0.8)
 
 
 # ---------------------------------------------------------------- similarity

@@ -7,14 +7,17 @@ Scale shapes (ray_guide.md "Aggregation at scale" / "Exact dedup"):
   min(doc_id) per hash -> one small ``groupby(hash).min`` shuffle.
 - **MinHash LSH**: signature per doc (actor pool holds the permutation
   tables) -> explode to (band, band_hash, doc_id) rows -> groupby the
-  band bucket -> candidate pairs -> exact Jaccard verify -> connected
-  components by iterated min-label propagation (a groupby per round,
-  no driver union-find at scale; rounds ~ diameter of dup clusters,
-  almost always <= 3).
+  band bucket (hot buckets capped, logged) -> candidate pairs ->
+  exact Jaccard verify as a DISTRIBUTED pipeline (pairs ⋈ texts via
+  two partitioned hash joins, per-batch verification) -> connected
+  components by iterated min-label propagation (one hash join + one
+  vectorized groupby-aggregate per round, no driver union-find;
+  rounds ~ diameter of dup clusters, almost always <= 3).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -62,9 +65,17 @@ class MinHashBands:
         return pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": bhashes})
 
 
-def lsh_candidate_pairs(docs_ds, **mh_kwargs):
+def lsh_candidate_pairs(docs_ds, max_bucket_size: int = 512, **mh_kwargs):
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    Returns Dataset(doc_a, doc_b) with doc_a < doc_b, deduplicated."""
+    Returns Dataset(doc_a, doc_b) with doc_a < doc_b, deduplicated.
+
+    ``max_bucket_size`` caps the O(n^2) per-bucket pair expansion: a
+    degenerate band hash (boilerplate docs) would otherwise produce one
+    quadratic group. Oversized buckets contribute only pairs among
+    their ``max_bucket_size`` smallest doc_ids (deterministic) and the
+    drop is logged — never silent (ray_guide.md "no silent caps")."""
+    import logging
+
     bands = docs_ds.map_batches(
         MinHashBands, fn_constructor_kwargs=mh_kwargs, batch_format="pandas",
         batch_size=2048, concurrency=(1, 8),
@@ -72,15 +83,22 @@ def lsh_candidate_pairs(docs_ds, **mh_kwargs):
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"].tolist()))
+        if len(ids) > max_bucket_size:
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: band bucket (band=%s hash=%s) has %d docs; "
+                "capping to %d smallest ids (%d docs dropped from this bucket)",
+                g["band"].iloc[0], g["band_hash"].iloc[0],
+                len(ids), max_bucket_size, len(ids) - max_bucket_size,
+            )
+            ids = ids[:max_bucket_size]
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        import numpy as np
+
+        arr = np.asarray(ids, dtype=np.int64)
+        ai, bj = np.triu_indices(len(arr), k=1)
+        return pd.DataFrame({"doc_a": arr[ai], "doc_b": arr[bj]})
 
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
         pairs_in_bucket, batch_format="pandas"
@@ -97,8 +115,9 @@ def lsh_candidate_pairs(docs_ds, **mh_kwargs):
 
 def verify_jaccard_pairs(pairs_df: pd.DataFrame, docs_df: pd.DataFrame,
                          threshold: float = 0.8, shingle_k: int = 5) -> pd.DataFrame:
-    """Exact shingle-Jaccard verification of candidate pairs (driver- or
-    group-side; candidate sets are tiny relative to the corpus)."""
+    """Exact shingle-Jaccard verification of candidate pairs over
+    in-memory tables — the per-group kernel used by unit tests; the
+    distributed path is ``verify_pairs_distributed``."""
     texts = dict(zip(docs_df["doc_id"], docs_df["text"]))
     rows = []
     cache: dict[int, set] = {}
@@ -115,32 +134,167 @@ def verify_jaccard_pairs(pairs_df: pd.DataFrame, docs_df: pd.DataFrame,
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
+def verify_pairs_distributed(
+    pairs_ds,
+    docs_ds,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_buckets: int = 16,
+):
+    """Exact shingle-Jaccard verification of candidate pairs, fully
+    distributed: the pair list is enriched with both documents' texts
+    via two partitioned hash joins (pairs ⋈ docs on doc_a, then on
+    doc_b — O(pairs + docs) shuffle volume, nothing corpus-sized ever
+    reaches the driver), then each batch verifies its rows vectorized
+    per row with a per-batch shingle cache (a doc repeated across many
+    pairs in one batch is shingled once).
+
+    Returns Dataset(doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    from .joins import hash_join
+
+    def as_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_a": df["doc_id"], "text_a": df["text"]})
+
+    def as_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_b": df["doc_id"], "text_b": df["text"]})
+
+    docs_a = docs_ds.map_batches(as_a, batch_format="pandas")
+    docs_b = docs_ds.map_batches(as_b, batch_format="pandas")
+    j1 = hash_join(pairs_ds, docs_a, on="doc_a", num_buckets=num_buckets)
+    j2 = hash_join(j1, docs_b, on="doc_b", num_buckets=num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[int, set] = {}
+
+        def sh(d, txt):
+            if d not in cache:
+                cache[d] = set(T.char_shingles(txt, shingle_k).tolist())
+            return cache[d]
+
+        rows = []
+        for a, b, ta, tb in zip(df["doc_a"], df["doc_b"], df["text_a"], df["text_b"]):
+            j = T.jaccard(sh(int(a), ta), sh(int(b), tb))
+            if j >= threshold:
+                rows.append((int(a), int(b), round(float(j), 6)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
+def connected_components_min_label(nodes_ds, edges_ds, num_buckets: int = 16,
+                                   max_rounds: int = 50):
+    """Distributed connected components by iterated min-label
+    propagation: each round every node takes the min label over itself
+    and its neighbors (one hash join + one groupby per round; rounds ~
+    diameter of the largest component — near-dup clusters are almost
+    always <= 3 hops). Nothing corpus-sized touches the driver; the
+    label table ((node, label) int64 pairs) is materialized per round,
+    which is O(nodes) narrow rows spread across the cluster.
+
+    ``nodes_ds``: Dataset with a ``node`` column (int64).
+    ``edges_ds``: Dataset(doc_a, doc_b) undirected edges.
+    Returns Dataset(node, label) with label = min node id of the
+    component.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_join
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True).astype("int64"),
+            "node": pd.concat([df["doc_b"], df["doc_a"]], ignore_index=True).astype("int64"),
+        })
+
+    import pyarrow.compute as pc
+
+    def _i64(col):
+        return pc.cast(col, pa.int64())
+
+    def symmetrize_arrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([_i64(t["doc_a"]).combine_chunks(),
+                                     _i64(t["doc_b"]).combine_chunks()]),
+            "node": pa.concat_arrays([_i64(t["doc_b"]).combine_chunks(),
+                                      _i64(t["doc_a"]).combine_chunks()]),
+        })
+
+    edges_sym = edges_ds.map_batches(symmetrize_arrow, batch_format="pyarrow").materialize()
+    identity = lambda t: pa.table(  # noqa: E731
+        {"node": _i64(t["node"]), "label": _i64(t["node"])}
+    )
+    if edges_sym.count() == 0:
+        return nodes_ds.map_batches(identity, batch_format="pyarrow")
+
+    # each node's own row carries its label twice: once as a Min
+    # candidate, once in self_label (exactly one self row per node, so
+    # Sum(self_label) recovers the previous label) — both rounds'
+    # reduction steps are then plain vectorized hash aggregates, never
+    # per-group Python. All stages emit Arrow blocks (union requires
+    # one uniform block type).
+    labels = nodes_ds.map_batches(
+        lambda t: pa.table({"node": _i64(t["node"]), "label": _i64(t["node"]),
+                            "self_label": _i64(t["node"])}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # neighbor messages: edge (src -> node) carries src's label
+        src_labels = labels.map_batches(
+            lambda t: pa.table({"src": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        msgs = hash_join(edges_sym, src_labels, on="src", num_buckets=num_buckets).map_batches(
+            lambda t: pa.table({"node": _i64(t["node"]), "label": _i64(t["label"]),
+                                "self_label": pa.array(np.zeros(t.num_rows, np.int64))}),
+            batch_format="pyarrow",
+        )
+        red = labels.union(msgs).groupby("node").aggregate(
+            Min(on="label", alias_name="label"),
+            Sum(on="self_label", alias_name="prev"),
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": _i64(t["node"]),
+                "label": _i64(t["label"]),
+                "self_label": _i64(t["label"]),
+                "changed": pc.cast(pc.less(t["label"], t["prev"]), pa.int64()),
+            })
+
+        new_labels = red.map_batches(finish, batch_format="pyarrow").materialize()
+        changed = new_labels.aggregate(Sum(on="changed", alias_name="n"))["n"]
+        labels = new_labels.drop_columns(["changed"])
+        if not changed:
+            break
+
+    return labels.drop_columns(["self_label"])
+
+
 def minhash_clusters(docs_ds, threshold: float = 0.8, **mh_kwargs):
     """Near-dup clusters: doc_id -> cluster_id (min doc_id of its
-    component), via LSH candidates + Jaccard verify + min-label
-    propagation over the verified edge list."""
-    import ray
-
-    pairs = lsh_candidate_pairs(docs_ds, **mh_kwargs).to_pandas()
-    docs_df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
-    verified = verify_jaccard_pairs(pairs, docs_df, threshold=threshold,
-                                    shingle_k=mh_kwargs.get("shingle_k", 5))
-    # min-label propagation (edge list is small after verification; at
-    # 100 TB this loop runs as repeated groupby-min over a pair Dataset)
-    label = {int(d): int(d) for d in docs_df["doc_id"]}
-    edges = [(int(a), int(b)) for a, b in zip(verified["doc_a"], verified["doc_b"])]
-    changed = True
-    while changed:
-        changed = False
-        for a, b in edges:
-            m = min(label[a], label[b])
-            if label[a] != m or label[b] != m:
-                label[a] = label[b] = m
-                changed = True
-    out = pd.DataFrame(
-        {"doc_id": sorted(label), "cluster_id": [label[d] for d in sorted(label)]}
+    component), via LSH candidates + distributed Jaccard verify +
+    distributed min-label connected components. End-to-end Dataset
+    pipeline: no corpus-sized ``to_pandas`` anywhere (the round-1
+    driver-side materialization was the 100 TB scale-killer)."""
+    pairs = lsh_candidate_pairs(docs_ds, **mh_kwargs)
+    verified = verify_pairs_distributed(
+        pairs, docs_ds, threshold=threshold,
+        shingle_k=mh_kwargs.get("shingle_k", 5),
     )
-    return out
+    nodes = docs_ds.map_batches(
+        lambda df: pd.DataFrame({"node": df["doc_id"].astype("int64")}),
+        batch_format="pandas",
+    )
+    labels = connected_components_min_label(nodes, verified)
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
+                                 "cluster_id": df["label"].astype("int64")}),
+        batch_format="pandas",
+    )
 
 
 class SimHashStage:

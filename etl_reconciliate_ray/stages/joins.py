@@ -81,8 +81,18 @@ def hash_join(
     """
     on = [on] if isinstance(on, str) else list(on)
     ls, rs = left_ds.schema(), right_ds.schema()  # ray.data Schema: .names/.types
-    l_types = dict(zip(ls.names, ls.types))
-    r_types = dict(zip(rs.names, rs.types))
+
+    def _pa_type(t):
+        # Ray reports numpy dtypes/classes for pandas-block datasets
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    l_types = {n: _pa_type(t) for n, t in zip(ls.names, ls.types)}
+    r_types = {n: _pa_type(t) for n, t in zip(rs.names, rs.types)}
     l_only = [c for c in ls.names if c not in on]
     r_only = [c for c in rs.names if c not in on]
     collide = set(l_only) & set(r_only)
@@ -108,12 +118,18 @@ def hash_join(
         right_ds.map_batches(tag("R", r_names, l_fields), batch_format="pyarrow")
     )
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        left = df.loc[df["__side__"] == "L", on + l_final]
-        right = df.loc[df["__side__"] == "R", on + r_final]
-        return left.merge(right, on=on, how=how)
+    def join_bucket(t: pa.Table) -> pa.Table:
+        # split sides while still Arrow: the other side's null-padded
+        # columns stay TYPED nulls and are dropped before the pandas
+        # conversion, so an int64 join key can never degrade to float64
+        # (which would silently empty a chained join on that key)
+        mask = pc.equal(t["__side__"], "L")
+        left = t.filter(mask).select(on + l_final).to_pandas()
+        right = t.filter(pc.invert(mask)).select(on + r_final).to_pandas()
+        merged = left.merge(right, on=on, how=how)
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
-    return tagged.groupby("__bucket__").map_groups(join_bucket, batch_format="pandas")
+    return tagged.groupby("__bucket__").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def broadcast_anti_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int = 65536):

@@ -103,6 +103,60 @@ def test_minhash_finds_exact_dups_as_clusters():
         assert len({lab[d] for d in g}) == 1, f"exact dups split: {g}"
 
 
+def test_minhash_chain_transitive_cluster(ray_session):
+    """A~B~C near-dup chain where A !~ C must still form ONE cluster
+    (min-label propagation crosses the 2-hop chain); an unrelated doc
+    stays its own cluster. Thresholds are derived from the actual
+    pairwise Jaccards so the chain precondition is self-validating."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.functions import text as T
+    from etl_reconciliate_ray.stages.dedup import minhash_clusters
+
+    words = [f"tok{i}x" for i in range(300)]
+    a = " ".join(words)
+    b = " ".join(words[:270] + [f"chg{i}" for i in range(30)])
+    c = " ".join(words[:240] + [f"oth{i}" for i in range(30)] + [f"chg{i}" for i in range(30)])
+    d = " ".join(f"unrelated{i}" for i in range(300))
+
+    def sh(t):
+        return set(T.char_shingles(t, 5).tolist())
+
+    j_ab, j_bc, j_ac = (T.jaccard(sh(a), sh(b)), T.jaccard(sh(b), sh(c)),
+                        T.jaccard(sh(a), sh(c)))
+    assert j_ac < min(j_ab, j_bc)
+    thr = (j_ac + min(j_ab, j_bc)) / 2  # between the chain edges and the A-C gap
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [a, b, c, d]}))
+    out = _to_pandas(minhash_clusters(docs, threshold=thr, num_perm=64, num_bands=16))
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert lab[1] == lab[2] == lab[3] == 1, lab
+    assert lab[4] == 4, lab
+
+
+def test_distributed_verify_matches_kernel(ray_session):
+    """verify_pairs_distributed (two hash joins + per-batch verify)
+    must produce exactly the in-memory kernel's verified pairs."""
+    import pyarrow.parquet as pq
+
+    from etl_reconciliate_ray.sources.catalog import read_table
+    from etl_reconciliate_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        verify_jaccard_pairs,
+        verify_pairs_distributed,
+    )
+
+    docs_ds = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+    pairs = lsh_candidate_pairs(docs_ds).materialize()
+    got = verify_pairs_distributed(pairs, docs_ds, threshold=0.8).to_pandas()
+    docs_df = pq.read_table(table_path(SF_DIR, "documents"), columns=["doc_id", "text"]).to_pandas()
+    want = verify_jaccard_pairs(pairs.to_pandas(), docs_df, threshold=0.8)
+    key = ["doc_a", "doc_b"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_ivf_recall_vs_exact_knn(ray_session):
     """IVF with nprobe=num_lists must equal exact knn (probes every
     list); with fewer probes recall stays high on sf0.001."""
