@@ -40,7 +40,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
     entries (minhash_clusters, simhash_docs, ngram_jaccard_pairs,
-    ann_lsh, langid_docs, media_features) are intentionally omitted."""
+    ann_lsh, ann_ivf, langid_docs, media_features, fingerprint_docs,
+    embdup_pairs_ivf) are intentionally omitted — each carries a
+    falsifiable recall/property unit test instead (tests/test_queries_oracle.py)."""
     from etl_reconciliate_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -490,15 +490,53 @@ def q_fingerprint_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------- emb near-dup
+def _plant_dup_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic planted near-dups: every vec_id % 37 == 0 vector
+    gets a clone at id+1000000 scaled by 2 (same direction, cosine
+    exactly 1) — the derived query exercises REAL pairs (the raw table
+    has max pairwise cosine ~0.51, so a 0.99-threshold query over it
+    proves nothing)."""
+    keep = df[df["vec_id"] % 37 == 0]
+    clones = pd.DataFrame(
+        {
+            "vec_id": (keep["vec_id"] + 1_000_000).astype("int64"),
+            "embedding": [np.asarray(e, dtype=np.float64) * 2.0 for e in keep["embedding"]],
+        }
+    )
+    return pd.concat([df, clones], ignore_index=True)
+
+
+def _dup_embeddings(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(_plant_dup_rows, batch_format="pandas")
+
+
 def q_embdup_pairs(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (cos >= 0.99): brute-force
-    per-batch matmul against the broadcast matrix — the oracle-checked
-    baseline; ann_lsh is the bucketed scale path."""
+    """Embedding-cosine near-duplicate pairs (cos >= 0.99) over the
+    planted-dup derived table: brute-force per-batch matmul against the
+    broadcast matrix — the oracle-checked baseline; embdup_pairs_ivf is
+    the bucketed scale path."""
     from ..stages.similarity import cosine_dup_pairs
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    all_df = read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return cosine_dup_pairs(ds, all_df, threshold=0.99)
+    all_df = _plant_dup_rows(
+        read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+    return cosine_dup_pairs(_dup_embeddings(sf_dir), all_df, threshold=0.99)
+
+
+def q_embdup_pairs_ivf(sf_dir: str):
+    """Same pairs through the IVF-bucketed scale path (no corpus
+    broadcast: map-side list assignment + within-list scoring; recall
+    vs brute force asserted in tests)."""
+    from ..stages.similarity import ivf_dup_pairs
+
+    train = _plant_dup_rows(
+        read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+    return ivf_dup_pairs(
+        _dup_embeddings(sf_dir), threshold=0.99, num_lists=8, assign_probes=2,
+        train_sample=train,
+    )
 
 
 QUERIES = {
@@ -533,6 +571,7 @@ QUERIES = {
     "sample_orders": q_sample_orders,
     "fingerprint_docs": q_fingerprint_docs,
     "embdup_pairs": q_embdup_pairs,
+    "embdup_pairs_ivf": q_embdup_pairs_ivf,
 }
 
 ORACLE_SQL = {
@@ -646,7 +685,20 @@ ORACLE_SQL = {
     "sample_orders": (
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 20 = 3"
     ),
+    "embdup_pairs": (
+        "WITH planted AS (SELECT vec_id + 1000000 AS vec_id, "
+        "list_transform(embedding, x -> x * 2.0) AS embedding "
+        "FROM embeddings WHERE vec_id % 37 = 0), "
+        "e AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT * FROM planted) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99"
+        # threshold sits in a wide margin: planted clones have cosine 1,
+        # the raw table's max pairwise cosine is ~0.51 — no float-boundary
+        # fragility between numpy and DuckDB
+    ),
     # rows-only (non-SQL-expressible or float-boundary-fragile):
     # minhash_clusters, simhash_docs, ngram_jaccard_pairs, ann_lsh,
-    # langid_docs, media_features, fingerprint_docs, embdup_pairs
+    # ann_ivf, langid_docs, media_features, fingerprint_docs,
+    # embdup_pairs_ivf (recall-traded approximations; each carries a
+    # falsifiable recall/property unit test instead)
 }

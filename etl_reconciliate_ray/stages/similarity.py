@@ -184,6 +184,82 @@ def cosine_dup_pairs(
     )
 
 
+def ivf_dup_pairs(
+    emb_ds,
+    threshold: float = 0.99,
+    num_lists: int = 16,
+    assign_probes: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    train_sample: pd.DataFrame | None = None,
+    seed: int = 42,
+):
+    """IVF-bucketed embedding near-duplicate pairs — the SCALE path for
+    ``cosine_dup_pairs`` (same output contract: id_a < id_b with cosine
+    >= threshold): instead of broadcasting the full corpus matrix
+    (O(corpus) per actor), vectors are assigned map-side to their
+    ``assign_probes`` nearest IVF lists (k-means coarse quantizer
+    trained once on a driver-side sample, broadcast via ``ray.put``)
+    and pairs are scored ONLY within each list (one groupby shuffle of
+    O(rows x probes); per-list matmul).
+
+    Multi-assignment is the recall mechanism: a near-dup pair has
+    near-identical centroid similarities, so the two vectors share at
+    least one of their top-``assign_probes`` lists with high
+    probability (recall >= 0.9 vs brute force asserted in tests).
+    Partitioning assumption: one list's members fit one task — at 100
+    TB pick num_lists so corpus/num_lists rows fit a worker.
+    """
+    import ray
+
+    from ray.data.aggregate import Count
+
+    train = train_sample
+    if train is None:
+        raise ValueError("ivf_dup_pairs needs a driver-side train_sample")
+    cents = _kmeans(_normalize(_emb_matrix(train[emb_col])), num_lists, seed=seed)
+    ref = ray.put(cents)
+    probes = max(1, assign_probes)
+
+    class AssignLists:
+        def __init__(self):
+            self.cents = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = _normalize(_emb_matrix(batch[emb_col]))
+            ids = batch[id_col].to_numpy()
+            sims = emb @ self.cents.T
+            k = min(probes, sims.shape[1])
+            lists = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            rep = np.repeat(np.arange(len(ids)), k)
+            return pd.DataFrame({
+                "list_id": lists.reshape(-1).astype(np.int64),
+                id_col: ids[rep].astype(np.int64),
+                emb_col: [emb[i] for i in rep],
+            })
+
+    assigned = emb_ds.map_batches(
+        AssignLists, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def pairs_in_list(g: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(g[emb_col].to_numpy())
+        ids = g[id_col].to_numpy().astype(np.int64)
+        s = emb @ emb.T
+        ai, bj = np.nonzero(np.triu(s >= threshold, k=1))
+        lo, hi = np.minimum(ids[ai], ids[bj]), np.maximum(ids[ai], ids[bj])
+        keep = lo != hi  # same id probed into one list twice is not a pair
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    pairs = assigned.groupby("list_id").map_groups(pairs_in_list, batch_format="pandas")
+    # a pair found in several shared lists reports once
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__n__"))
+        .select_columns(["id_a", "id_b"])
+    )
+
+
 def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
     """Tiny seeded Lloyd's k-means on a driver-side sample — the coarse
     quantizer for IVF. Deterministic in (sample, k, iters, seed)."""

@@ -103,6 +103,92 @@ def test_minhash_finds_exact_dups_as_clusters():
         assert len({lab[d] for d in g}) == 1, f"exact dups split: {g}"
 
 
+def test_ann_lsh_recall_vs_exact_knn(ray_session):
+    """LSH ANN with zero hyperplanes puts everything in one bucket and
+    must EQUAL exact knn (the falsifiable anchor); with 4 planes the
+    recall floor still holds on sf0.001."""
+    from etl_reconciliate_ray.pipelines.queries import _query_vectors
+    from etl_reconciliate_ray.sources.catalog import read_table
+    from etl_reconciliate_ray.stages.similarity import ann_lsh_topk, knn_cosine
+
+    q = _query_vectors(SF_DIR)
+
+    def pairs(df):
+        return set(map(tuple, df[["query_id", "neighbor_id"]].to_numpy()))
+
+    emb = lambda: read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"])  # noqa: E731
+    exact = pairs(knn_cosine(emb(), q, k=5).to_pandas())
+    zero_planes = pairs(ann_lsh_topk(emb(), q, k=5, num_planes=0).to_pandas())
+    assert zero_planes == exact  # one bucket == brute force
+    # random 128-dim embeddings are near-orthogonal (max pairwise cos
+    # ~0.5), so each hyperplane halves recall (~p=0.5/plane) — assert
+    # the measured floor at 1 and 2 planes (0.48 / 0.20 on this seed)
+    r1 = pairs(ann_lsh_topk(emb(), q, k=5, num_planes=1).to_pandas())
+    r2 = pairs(ann_lsh_topk(emb(), q, k=5, num_planes=2).to_pandas())
+    recall1 = len(r1 & exact) / len(exact)
+    recall2 = len(r2 & exact) / len(exact)
+    assert recall1 >= 0.3, recall1
+    assert recall2 >= 0.1, recall2
+    assert recall1 >= recall2  # more buckets, less recall: the LSH trade
+
+
+def test_simhash_hamming_property():
+    """Near-duplicate texts must land within a small simhash hamming
+    distance; unrelated texts far apart — the property that makes
+    simhash a dedup signal at all."""
+    from etl_reconciliate_ray.functions.text import simhash64
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}token" for i in range(400)]
+    a = " ".join(words)
+    near = " ".join(words[:396] + [f"x{i}" for i in range(4)])  # 1% changed
+    unrelated = " ".join(f"u{rng.integers(10**9)}" for _ in range(400))
+
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+
+    assert hamming(simhash64(a), simhash64(a)) == 0
+    d_near = hamming(simhash64(a), simhash64(near))
+    d_far = hamming(simhash64(a), simhash64(unrelated))
+    assert d_near <= 12, d_near
+    assert d_far >= 18, d_far
+    assert d_near < d_far
+
+
+def test_rolling_fingerprint_containment():
+    """A document EMBEDDED inside a larger one shares (almost) all its
+    fingerprints with the container — the shift-tolerant containment
+    property the winnowing scheme exists for; an unrelated doc shares
+    none."""
+    from etl_reconciliate_ray.functions.text import rolling_fingerprint
+
+    inner = " ".join(f"tok{i}abc" for i in range(120))  # ~1000 bytes >> window
+    container = "prefix text here. " + inner + " and a suffix tail."
+    unrelated = " ".join(f"other{i}xyz" for i in range(120))
+
+    fp_inner = set(rolling_fingerprint(inner))
+    fp_container = set(rolling_fingerprint(container))
+    fp_unrelated = set(rolling_fingerprint(unrelated))
+    # every 64-byte window fully inside `inner` also occurs in container
+    assert fp_inner <= fp_container, fp_inner - fp_container
+    assert not (fp_inner & fp_unrelated)
+
+
+def test_ivf_dup_pairs_recall_vs_brute_force(ray_session):
+    """The IVF-bucketed near-dup path must recover >= 0.9 of the
+    brute-force pairs on the planted-dup table (and find the planted
+    clones themselves)."""
+    from etl_reconciliate_ray.pipelines.queries import QUERIES
+
+    brute = _to_pandas(QUERIES["embdup_pairs"](SF_DIR))
+    ivf = _to_pandas(QUERIES["embdup_pairs_ivf"](SF_DIR))
+    bset = set(map(tuple, brute[["id_a", "id_b"]].to_numpy()))
+    iset = set(map(tuple, ivf[["id_a", "id_b"]].to_numpy()))
+    assert bset, "planted dups must produce brute-force pairs"
+    assert len(iset & bset) / len(bset) >= 0.9, (len(iset & bset), len(bset))
+    assert iset <= bset  # IVF scores exactly — no false positives
+
+
 def test_minhash_chain_transitive_cluster(ray_session):
     """A~B~C near-dup chain where A !~ C must still form ONE cluster
     (min-label propagation crosses the 2-hop chain); an unrelated doc
