@@ -41,13 +41,16 @@ def _cents(tbl: pa.Table, src: str, dst: str, scale: int) -> pa.Table:
 # ---------------------------------------------------------------- S2/M1-M5
 def q_filter_project(sf_dir: str):
     """Filter + projection (reference S2: status filter + aliased
-    projection, AsMonitoringPaymentsDAOImpl.java:34-51)."""
-    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value", "event_type"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
-            ["event_id", "user_id", "value"]
-        ),
-        batch_format="pyarrow",
+    projection, AsMonitoringPaymentsDAOImpl.java:34-51). The filter is
+    PUSHED TO THE PARQUET SCAN (row-group stats pruning + scan-level
+    filtering — at 100 TB the difference between reading 5% and 100%
+    of the lake); only the projected columns are materialized."""
+    import pyarrow.dataset as pads
+
+    return read_table(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "value"],
+        filter=(pads.field("event_type") == "click"),
     )
 
 
@@ -407,17 +410,18 @@ def q_asof_join_events(sf_dir: str):
     """Backward as-of join: each click paired with the user's most
     recent prior-or-simultaneous purchase (custom operator — Ray Data
     has none; stages/joins.asof_join)."""
+    import pyarrow.dataset as pads
+
     from ..stages.joins import asof_join
 
     cols = ["event_id", "ts", "user_id", "value"]
-    base = read_table(sf_dir, "events", columns=cols + ["event_type"])
-    clicks = base.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(cols),
-        batch_format="pyarrow",
+    # per-side predicate pushed to the parquet scan: only each side's
+    # rows leave storage (never the full events table twice)
+    clicks = read_table(
+        sf_dir, "events", columns=cols, filter=(pads.field("event_type") == "click")
     )
-    purchases = base.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(cols),
-        batch_format="pyarrow",
+    purchases = read_table(
+        sf_dir, "events", columns=cols, filter=(pads.field("event_type") == "purchase")
     )
     out = asof_join(
         clicks, purchases, on="ts", by="user_id",

@@ -193,8 +193,10 @@ def reconcile_lake_vs_snapshot(
             part = int(rec["part"])
             lake_t = read_chain(_json.loads(rec["chain"]), columns=cols, part=part)
             left = lake_t.to_pandas() if lake_t is not None else pd.DataFrame(columns=cols)
+            from ..stages.merge import _pqfile
+
             snaps = [
-                pq.ParquetFile(f).read_row_group(rg, columns=cols).to_pandas()
+                _pqfile(f).read_row_group(rg, columns=cols).to_pandas()
                 for f, rg in _json.loads(rec["snap"])
             ]
             right = pd.concat(snaps, ignore_index=True) if snaps else pd.DataFrame(columns=cols)

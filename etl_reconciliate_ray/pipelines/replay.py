@@ -270,18 +270,85 @@ def replay(
     driver seals epochs strictly in order afterwards, so a crash leaves
     a prefix of sealed epochs + fenced partial commits that a restart
     completes idempotently."""
-    import ray.data as rd
-
     with open(os.path.join(fixture_dir, "fixture.json")) as fh:
         fixture = json.load(fh)
+    seed_path = os.path.join(fixture_dir, "lake_seed.parquet")
+    return _replay_epoch_descs(fixture["epochs"], cfg, seed_path, stop_after_epoch)
+
+
+def _discover_epochs(binlog_dir: str) -> list[dict]:
+    """Discover binlog epoch files in a directory WITHOUT a fixture
+    manifest — the binlog/WAL-tail ingestion surface (north rule "tails
+    a binlog/WAL stream"; reference trigger surface
+    ``controller/ReconciliationController.java:35-42``).
+
+    Epoch ordinal comes from ``epoch=NNNNN`` in the file name when
+    present (rank order of the seq range otherwise); the seq range
+    comes from the parquet FOOTER's row-group min/max statistics — a
+    metadata-only read, no data pages decoded."""
+    import glob as _g
+    import re
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_g.glob(os.path.join(binlog_dir, "*.parquet")))
+    descs = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        si = pf.schema_arrow.names.index("seq")
+        los, his = [], []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(si).statistics
+            los.append(int(st.min))
+            his.append(int(st.max))
+        m = re.search(r"epoch=(\d+)", os.path.basename(f))
+        descs.append({
+            "epoch": int(m.group(1)) if m else None,
+            "file": f,
+            "seq_range": [min(los), max(his) + 1],
+            "rows": md.num_rows,
+        })
+    descs.sort(key=lambda e: e["seq_range"][0])
+    for rank, e in enumerate(descs):
+        if e["epoch"] is None:
+            e["epoch"] = rank
+    return descs
+
+
+def replay_stream(
+    binlog_dir: str,
+    cfg: ReplayConfig,
+    lake_seed: str | None = None,
+    stop_after_epoch: int | None = None,
+) -> list[dict]:
+    """Tail-a-growing-binlog ingestion: replay every epoch file
+    currently in ``binlog_dir`` (discovered by naming + footer seq
+    stats — no ``fixture.json``), resumable via the commit log. Call
+    again after new epoch files land and only the new ones run; a
+    converged stream replay is sha256-identical to the one-shot batch
+    replay (tested). ``lake_seed``: optional bootstrap parquet applied
+    as epoch 0 on first call."""
+    return _replay_epoch_descs(_discover_epochs(binlog_dir), cfg, lake_seed, stop_after_epoch)
+
+
+def _replay_epoch_descs(
+    epoch_descs: list[dict],
+    cfg: ReplayConfig,
+    seed_path: str | None,
+    stop_after_epoch: int | None = None,
+) -> list[dict]:
+    """Shared replay core over epoch descriptors ``{"epoch", "file",
+    "seq_range"}`` (from a fixture manifest or directory discovery)."""
+    import ray.data as rd
+
     log = CommitLog.open(cfg.lake_root)
     log.ensure_layout(cfg.layout())
     writers = make_writer_pool(cfg.lake_root, cfg.writer_concurrency)
-    seed_path = os.path.join(fixture_dir, "lake_seed.parquet")
     kwargs = {"override_num_blocks": cfg.read_parallelism} if cfg.read_parallelism else {}
 
     todo = []
-    for ep in fixture["epochs"]:
+    for ep in epoch_descs:
         engine_epoch = ep["epoch"] + 1  # epoch 0 is the bootstrap
         if stop_after_epoch is not None and engine_epoch > stop_after_epoch:
             break
@@ -291,8 +358,9 @@ def replay(
     if cfg.pipeline_epochs > 1:
         # bootstrap through the same scaled batch path (the sequential
         # bootstrap's shuffle is a fixed cost that would cap scaling)
-        if log.is_sealed(0):
-            out.append({"epoch": 0, "skipped": True, "parts_committed": 0, "sec": 0.0})
+        if seed_path is None or log.is_sealed(0):
+            if seed_path is not None:
+                out.append({"epoch": 0, "skipped": True, "parts_committed": 0, "sec": 0.0})
         else:
             def as_insert(batch: pa.Table) -> pa.Table:
                 n = batch.num_rows
@@ -314,7 +382,8 @@ def replay(
             if chunk:
                 out.extend(_run_epoch_batch(chunk, cfg, log, writers))
     else:
-        out.append(bootstrap(seed_path, cfg, log=log, writers=writers))
+        if seed_path is not None:
+            out.append(bootstrap(seed_path, cfg, log=log, writers=writers))
         for engine_epoch, ep in todo:
             ds = rd.read_parquet(ep["file"], **kwargs)
             out.append(
@@ -323,6 +392,42 @@ def replay(
 
     if cfg.post_compact:
         out.append(compact(cfg, log=log, writers=writers))
+    return out
+
+
+def follow_stream(
+    binlog_dir: str,
+    cfg: ReplayConfig,
+    lake_seed: str | None = None,
+    poll_sec: float = 1.0,
+    idle_polls: int = 5,
+) -> list[dict]:
+    """Continuous-tail mode (the reference's cron/trigger surface,
+    ``ReconciliationController.java:41-42``): poll ``binlog_dir`` for
+    new epoch files, replay each batch as it lands, stop when an
+    ``_EOS`` marker file appears or ``idle_polls`` consecutive polls
+    find nothing new. Polling is control-plane only — the data path
+    stays deterministic (epoch content + commit log define the state,
+    never the wall clock)."""
+    out: list[dict] = []
+    seen: set[str] = set()
+    idle = 0
+    while True:
+        descs = _discover_epochs(binlog_dir)
+        fresh = [d for d in descs if d["file"] not in seen]
+        if fresh:
+            idle = 0
+            out.extend(_replay_epoch_descs(descs, cfg, lake_seed))
+            seen.update(d["file"] for d in descs)
+        else:
+            idle += 1
+        if os.path.exists(os.path.join(binlog_dir, "_EOS")):
+            descs = _discover_epochs(binlog_dir)
+            if all(d["file"] in seen for d in descs):
+                break
+        elif idle >= idle_polls:
+            break
+        time.sleep(poll_sec)
     return out
 
 

@@ -20,7 +20,14 @@ import os
 
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(description="CDC replay + reconcile + report")
-    p.add_argument("--fixture", required=True, help="fixture dir (lake_seed/binlog/snapshot)")
+    p.add_argument("--fixture", default=None, help="fixture dir (lake_seed/binlog/snapshot)")
+    p.add_argument("--binlog-dir", default=None,
+                   help="tail a binlog directory instead of a fixture (epoch files "
+                        "discovered by name + footer seq stats; no fixture.json)")
+    p.add_argument("--lake-seed", default=None, help="bootstrap parquet for --binlog-dir mode")
+    p.add_argument("--snapshot", default=None, help="snapshot parquet for --binlog-dir reconcile")
+    p.add_argument("--follow", action="store_true",
+                   help="keep polling --binlog-dir for new epochs until an _EOS marker")
     p.add_argument("--lake", required=True, help="lake root (commit log + partitions)")
     p.add_argument("--report", default=None, help="report output dir (default <lake>/report)")
     p.add_argument("--num-buckets", type=int, default=64)
@@ -28,6 +35,8 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--compact", action="store_true", help="compact chains after replay")
     p.add_argument("--num-cpus", type=int, default=None, help="only used if Ray is not initialised")
     args = p.parse_args(argv)
+    if (args.fixture is None) == (args.binlog_dir is None):
+        p.error("exactly one of --fixture / --binlog-dir is required")
 
     import ray
 
@@ -41,13 +50,18 @@ def main(argv: list[str] | None = None) -> dict:
     import ray.data as rd
 
     from .pipelines.reconcile_run import reconcile_lake_vs_snapshot
-    from .pipelines.replay import ReplayConfig, replay
+    from .pipelines.replay import ReplayConfig, follow_stream, replay, replay_stream
     from .pipelines.report import write_report
     from .stages.normalize import make_normalizer
 
-    with open(os.path.join(args.fixture, "fixture.json")) as fh:
-        man = json.load(fh)
-    salt = man.get("salt_hot_repos", {})
+    if args.fixture:
+        with open(os.path.join(args.fixture, "fixture.json")) as fh:
+            man = json.load(fh)
+        salt = man.get("salt_hot_repos", {})
+        snapshot_path = os.path.join(args.fixture, "snapshot.parquet")
+    else:
+        salt = {}
+        snapshot_path = args.snapshot
     cfg = ReplayConfig(
         lake_root=args.lake,
         num_buckets=args.num_buckets,
@@ -55,9 +69,19 @@ def main(argv: list[str] | None = None) -> dict:
         pipeline_epochs=args.pipeline_epochs,
         post_compact=args.compact,
     )
-    metrics = replay(args.fixture, cfg)
+    if args.fixture:
+        metrics = replay(args.fixture, cfg)
+    elif args.follow:
+        metrics = follow_stream(args.binlog_dir, cfg, lake_seed=args.lake_seed)
+    else:
+        metrics = replay_stream(args.binlog_dir, cfg, lake_seed=args.lake_seed)
 
-    snap = rd.read_parquet(os.path.join(args.fixture, "snapshot.parquet")).map_batches(
+    if snapshot_path is None:
+        summary = {"epochs": len(metrics), "lake_root": args.lake, "reconciled": False}
+        print(json.dumps(summary, sort_keys=True))
+        return summary
+
+    snap = rd.read_parquet(snapshot_path).map_batches(
         make_normalizer(args.num_buckets, salt), batch_format="pyarrow"
     )
     detail, rollup, counts = reconcile_lake_vs_snapshot(

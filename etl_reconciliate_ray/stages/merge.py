@@ -125,6 +125,26 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
     return winners.drop_columns(drop)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _pqfile(path: str) -> pq.ParquetFile:
+    """Per-worker ParquetFile cache: direct-mode delta files hold one
+    row group per bucket, so a long chain re-opens the SAME files for
+    many partitions — each open parses the footer (O(row groups)
+    metadata). Lake files are content-addressed and immutable, so the
+    cache can never serve stale metadata. Ray reuses worker processes
+    across tasks, which is what makes this cache pay off at
+    240-files-per-epoch layouts (a known 65s compaction pathology)."""
+    return pq.ParquetFile(path)
+
+
+@lru_cache(maxsize=4096)
+def _schema_names(path: str) -> tuple[str, ...]:
+    return tuple(_pqfile(path).schema_arrow.names)
+
+
 def read_chain(
     chain: list[dict],
     columns: list[str] | None = None,
@@ -152,12 +172,13 @@ def read_chain(
         for f, rg in zip(link["files"], rgs):
             cols = None
             if need is not None:
-                avail = pq.read_schema(f).names
+                avail = _schema_names(f)
                 cols = [c for c in avail if c in need or c == "bucket"]
             if rg is not None and int(rg) >= 0:
                 # direct-mode delta: this partition's rows are exactly
-                # one row group — O(1) access, no scanner/filter pass
-                t = pq.ParquetFile(f).read_row_group(int(rg), columns=cols)
+                # one row group — O(1) access, no scanner/filter pass;
+                # the ParquetFile (footer parse) is cached per worker
+                t = _pqfile(f).read_row_group(int(rg), columns=cols)
             else:
                 t = pq.read_table(f, columns=cols, filters=filters)
             tagged.append((int(link["epoch"]), t))

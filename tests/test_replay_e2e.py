@@ -262,3 +262,92 @@ def test_log_snapshot_bounds_history_and_preserves_state(fixture_small, tmp_path
     m2 = replay(fixture_dir, cfg)
     assert all(x.get("skipped") or x.get("mode") == "compact" for x in m2)
     assert lake_state_hash(cfg.lake_root) == before
+
+
+def test_replay_stream_tail_converges_to_batch(fixture_small, tmp_path):
+    """Binlog-tail ingestion (no fixture.json): epoch files land
+    incrementally in a watched directory; repeated replay_stream calls
+    pick up only the new ones (commit-log resume) and the converged
+    lake is sha256-identical to the one-shot batch replay."""
+    import glob
+    import os
+    import shutil
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+
+    batch_cfg = _cfg(tmp_path, "lake_batch", manifest)
+    replay(fixture_dir, batch_cfg)
+    want = lake_state_hash(batch_cfg.lake_root)
+
+    from etl_reconciliate_ray.pipelines.replay import replay_stream
+
+    tail_dir = str(tmp_path / "tail_binlog")
+    os.makedirs(tail_dir)
+    stream_cfg = _cfg(tmp_path, "lake_stream", manifest)
+    seed = f"{fixture_dir}/lake_seed.parquet"
+    epoch_files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    ran_epochs = []
+    for f in epoch_files:  # files arrive one at a time
+        shutil.copy(f, os.path.join(tail_dir, os.path.basename(f)))
+        metrics = replay_stream(tail_dir, stream_cfg, lake_seed=seed)
+        ran = [m["epoch"] for m in metrics if not m.get("skipped")]
+        ran_epochs.append(ran)
+    # each call ran exactly the newly-landed epoch (earlier ones fenced)
+    assert all(len(r) <= 2 for r in ran_epochs)  # bootstrap + first epoch, then 1 each
+    assert lake_state_hash(stream_cfg.lake_root) == want
+
+
+def test_follow_stream_eos(fixture_small, tmp_path):
+    """follow_stream drains the directory and stops at the _EOS marker
+    with the same converged state."""
+    import glob
+    import os
+    import shutil
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    batch_cfg = _cfg(tmp_path, "lake_batch2", manifest)
+    replay(fixture_dir, batch_cfg)
+    want = lake_state_hash(batch_cfg.lake_root)
+
+    from etl_reconciliate_ray.pipelines.replay import follow_stream
+
+    tail_dir = str(tmp_path / "follow_binlog")
+    os.makedirs(tail_dir)
+    for f in sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet")):
+        shutil.copy(f, os.path.join(tail_dir, os.path.basename(f)))
+    open(os.path.join(tail_dir, "_EOS"), "w").close()
+    cfg = _cfg(tmp_path, "lake_follow", manifest)
+    follow_stream(tail_dir, cfg, lake_seed=f"{fixture_dir}/lake_seed.parquet", poll_sec=0.05)
+    assert lake_state_hash(cfg.lake_root) == want
+
+
+def test_parquet_filter_pushdown_prunes_row_groups(tmp_path):
+    """catalog.read_table(filter=...) must (a) return exactly the
+    post-filter rows and (b) let the scanner PRUNE row groups via
+    footer stats — evidenced by split_by_row_group on the fragment."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from etl_reconciliate_ray.sources.catalog import read_table
+
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    # two row groups with disjoint event_type value ranges
+    t = pa.table({
+        "event_id": pa.array(range(200), pa.int64()),
+        "event_type": pa.array(["click"] * 100 + ["view"] * 100),
+        "value": pa.array([1.0] * 200),
+    })
+    pq.write_table(t, f"{sf}/events.parquet", row_group_size=100)
+
+    ds = read_table(sf, "events", columns=["event_id"],
+                    filter=(pads.field("event_type") == "click"))
+    got = ds.to_pandas()
+    assert len(got) == 100 and got["event_id"].max() == 99
+
+    frag = list(pads.dataset(f"{sf}/events.parquet").get_fragments())[0]
+    pruned = list(frag.split_by_row_group(pads.field("event_type") == "click"))
+    assert len(pruned) == 1  # of 2 row groups, stats prune one at the footer
