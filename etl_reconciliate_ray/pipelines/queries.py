@@ -469,6 +469,38 @@ def q_reconcile_rollup(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- decimal money
+def q_money_dual_eq(sf_dir: str):
+    """Decimal128 dual-equality reconciliation (reference's BigDecimal
+    compareTo at ``ReconciliationService.java:151`` vs equals at
+    ``:199``): ledger amounts at decimal(18,2) against a wire-side
+    re-quote at decimal(19,4) with a per-row declared scale —
+    MATCHED_STRICT (value+scale), MATCHED_CMP (value only, ``1.50 ==
+    1.5000``), VALUE_DIFF (a 0.0001 sub-cent discrepancy an
+    integer-cents engine would miss). Map-only: streams at 100 TB."""
+    from ..stages.money import classify_money_batch
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.map_batches(classify_money_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.drop_columns(["wire_e4"]), batch_format="pyarrow"
+    )
+
+
+def q_money_rollup(sf_dir: str):
+    """Scale-sensitive money rollup over the dual-equality detail: the
+    per-status count plus the EXACT decimal sum of wire amounts in
+    0.0001 units (decimal → int64 is lossless, so the rollup equality
+    is exact where a float sum would drift). Partial pre-agg inside
+    map_batches; only (status, n, sum) partials shuffle."""
+    from ..stages.money import classify_money_batch
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    detail = ds.map_batches(classify_money_batch, batch_format="pyarrow")
+    return preagg_groupby(
+        detail, keys=["status"], sums={"sum_wire_e4": "wire_e4"}, count_alias="n"
+    )
+
+
 # ---------------------------------------------------------------- sampling
 def q_sample_orders(sf_dir: str):
     """Deterministic systematic sample (1-in-20 by key residue) —
@@ -572,6 +604,8 @@ QUERIES = {
     "session_window_events": q_session_window_events,
     "asof_join_events": q_asof_join_events,
     "reconcile_rollup": q_reconcile_rollup,
+    "money_dual_eq": q_money_dual_eq,
+    "money_rollup": q_money_rollup,
     "sample_orders": q_sample_orders,
     "fingerprint_docs": q_fingerprint_docs,
     "embdup_pairs": q_embdup_pairs,
@@ -685,6 +719,31 @@ ORACLE_SQL = {
         "WHEN SUM(CASE WHEN status <> 'MATCHED' THEN 1 ELSE 0 END) > 0 THEN 'ROWS_WITH_ERRORS' "
         "ELSE 'OK' END AS rollup_status "
         "FROM (SELECT orderkey % 97 AS grp, status FROM labeled) GROUP BY grp"
+    ),
+    "money_dual_eq": (
+        "WITH m AS (SELECT o_orderkey AS orderkey, "
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS led, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,4)) "
+        "+ CASE WHEN o_orderkey % 7 = 0 THEN CAST(0.0001 AS DECIMAL(5,4)) ELSE CAST(0 AS DECIMAL(5,4)) END AS wire, "
+        "CAST(CASE WHEN o_orderkey % 2 = 0 THEN 4 ELSE 2 END AS INTEGER) AS wire_scale "
+        "FROM orders) "
+        "SELECT orderkey, CAST(led AS VARCHAR) AS amt_ledger, "
+        "CAST(CAST(wire AS DECIMAL(19,4)) AS VARCHAR) AS amt_wire, wire_scale, "
+        "CASE WHEN led = wire AND wire_scale = 2 THEN 'MATCHED_STRICT' "
+        "WHEN led = wire THEN 'MATCHED_CMP' ELSE 'VALUE_DIFF' END AS status FROM m"
+    ),
+    "money_rollup": (
+        "WITH m AS (SELECT o_orderkey AS orderkey, "
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS led, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,4)) "
+        "+ CASE WHEN o_orderkey % 7 = 0 THEN CAST(0.0001 AS DECIMAL(5,4)) ELSE CAST(0 AS DECIMAL(5,4)) END AS wire, "
+        "CASE WHEN o_orderkey % 2 = 0 THEN 4 ELSE 2 END AS wire_scale "
+        "FROM orders) "
+        "SELECT status, CAST(SUM(wire_e4) AS BIGINT) AS sum_wire_e4, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "SELECT CASE WHEN led = wire AND wire_scale = 2 THEN 'MATCHED_STRICT' "
+        "WHEN led = wire THEN 'MATCHED_CMP' ELSE 'VALUE_DIFF' END AS status, "
+        "CAST(wire * 10000 AS BIGINT) AS wire_e4 FROM m) GROUP BY status"
     ),
     "sample_orders": (
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 20 = 3"

@@ -278,3 +278,39 @@ def test_ivf_recall_vs_exact_knn(ray_session):
     )
     recall = len(part_probe & exact) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_money_dual_equality_semantics():
+    """BigDecimal semantics on decimal128: compareTo says 1.50 == 1.5000
+    (scale-insensitive), equals says they differ when the declared
+    scales differ (reference ReconciliationService.java:151 vs :199)."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.money import classify_money_batch, dual_equality
+
+    from decimal import Decimal
+
+    ledger = pa.array([Decimal("1.50")] * 3, pa.decimal128(18, 2))
+    wire = pa.array(
+        [Decimal("1.5000"), Decimal("1.5000"), Decimal("1.5001")], pa.decimal128(19, 4)
+    )
+    scales = pa.array([2, 4, 2], pa.int32())
+    cmp_eq, strict_eq = dual_equality(ledger, wire, scales)
+    assert cmp_eq.to_pylist() == [True, True, False]
+    assert strict_eq.to_pylist() == [True, False, False]
+
+    # classify over a batch: statuses + exact decimal renderings
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, 7, 14], pa.int64()),
+        "o_totalprice": pa.array([10.5, 10.5, 10.5, 10.5], pa.float64()),
+    })
+    out = classify_money_batch(t)
+    assert out["status"].to_pylist() == [
+        "MATCHED_STRICT",  # odd, not %7: value+scale match
+        "MATCHED_CMP",     # even: 10.50 == 10.5000 but scale 4
+        "VALUE_DIFF",      # %7: +0.0001 sub-cent discrepancy
+        "VALUE_DIFF",      # even AND %7
+    ]
+    assert out["amt_ledger"].to_pylist() == ["10.50"] * 4
+    assert out["amt_wire"].to_pylist() == ["10.5000", "10.5000", "10.5001", "10.5001"]
+    assert out["wire_e4"].to_pylist() == [105000, 105000, 105001, 105001]
