@@ -185,6 +185,10 @@ def table_state_sha256(tbl: pa.Table, key_cols: tuple[str, ...], value_col: str)
     """
     if tbl.num_rows == 0:
         return hashlib.sha256(b"EMPTY").hexdigest()
+    # digest touches only key+value columns — select BEFORE the sort so
+    # the canonical-order copy never moves the content payload bytes
+    # (the digest runs per delta slice on the bandwidth-bound hot path)
+    tbl = tbl.select([*key_cols, value_col])
     tbl = tbl.sort_by([(c, "ascending") for c in key_cols])
     cols = [
         pc.fill_null(pc.cast(tbl[c], pa.large_string()), "\x00NULL\x00")

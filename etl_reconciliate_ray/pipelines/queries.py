@@ -469,6 +469,54 @@ def q_reconcile_rollup(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- N1 nesting
+def q_nested_order_lines(sf_dir: str):
+    """Parent/child ``list<struct>`` materialization (reference N1,
+    LoadSwiftMessagesTasklet.java:43-53) and its consumption: lineitems
+    nest under their order as one vectorized bucket pass (stages/nest),
+    then the nested column is consumed with zero-copy list kernels
+    (length / first element / segmented sum) — never exploded back to
+    rows, never touched by per-row Python."""
+    from ..stages.nest import nest_children
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), dtype=np.float64)
+            * 100
+        ).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    nested = nest_children(
+        li.map_batches(prep, batch_format="pyarrow"),
+        parent_key="l_orderkey", order_col="l_linenumber", list_col="lines",
+    )
+
+    def consume(t: pa.Table) -> pa.Table:
+        lst = t["lines"].combine_chunks()
+        lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lst)
+        vals = pc.struct_field(flat, "cents").to_numpy(zero_copy_only=False)
+        cs = np.concatenate([[0], np.cumsum(vals)])
+        offs = np.concatenate([[0], np.cumsum(lengths)])
+        first = pc.struct_field(pc.list_element(lst, 0), "l_linenumber")
+        return pa.table({
+            "orderkey": t["l_orderkey"],
+            "n_lines": pa.array(lengths, pa.int64()),
+            "first_linenumber": first,
+            "sum_cents": pa.array(cs[offs[1:]] - cs[offs[:-1]], pa.int64()),
+        })
+
+    return nested.map_batches(consume, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- decimal money
 def q_money_dual_eq(sf_dir: str):
     """Decimal128 dual-equality reconciliation (reference's BigDecimal
@@ -604,6 +652,7 @@ QUERIES = {
     "session_window_events": q_session_window_events,
     "asof_join_events": q_asof_join_events,
     "reconcile_rollup": q_reconcile_rollup,
+    "nested_order_lines": q_nested_order_lines,
     "money_dual_eq": q_money_dual_eq,
     "money_rollup": q_money_rollup,
     "sample_orders": q_sample_orders,
@@ -719,6 +768,12 @@ ORACLE_SQL = {
         "WHEN SUM(CASE WHEN status <> 'MATCHED' THEN 1 ELSE 0 END) > 0 THEN 'ROWS_WITH_ERRORS' "
         "ELSE 'OK' END AS rollup_status "
         "FROM (SELECT orderkey % 97 AS grp, status FROM labeled) GROUP BY grp"
+    ),
+    "nested_order_lines": (
+        "SELECT l_orderkey AS orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "MIN(l_linenumber) AS first_linenumber, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM lineitem GROUP BY l_orderkey"
     ),
     "money_dual_eq": (
         "WITH m AS (SELECT o_orderkey AS orderkey, "

@@ -489,7 +489,8 @@ def _run_epoch_batch(
     if cfg.merge_strategy == "direct":
         import hashlib
 
-        from ..stages.merge import delta_of
+        import pyarrow.compute as pc
+
         from ..functions.hashing import table_state_sha256
 
         lake_root = cfg.lake_root
@@ -500,25 +501,61 @@ def _run_epoch_batch(
             no object-store round trip). One file per (task, epoch) with
             one row group per bucket slice so chain readers prune by the
             ``bucket`` filter; file names are content-addressed, so a
-            retried task rewrites byte-identical bytes — idempotent."""
+            retried task rewrites byte-identical bytes — idempotent.
+
+            The LWW winner per (epoch, bucket, repo, path) is computed
+            as an index permutation over the SMALL columns only (int64
+            lexsort + dictionary-coded keys); the content payload is
+            then gathered ONCE, winners-only, by a single ``take``.
+            The previous full-table ``sort_by`` copied every event's
+            content bytes before dropping the losers — on this
+            memory-bandwidth-bound stage that copy was the scaling
+            bottleneck (BENCH/BASELINE.md)."""
             if batch.num_rows == 0:
                 return pa.table({})
-            # ONE sort orders slices AND seq-within-slice; delta_of then
-            # skips its own re-sort (saves a full copy of the content
-            # bytes — the stage is memory-bandwidth-bound at high core
-            # counts)
-            t = batch.sort_by(
-                [("epoch", "ascending"), ("bucket", "ascending"), ("seq", "ascending")]
+            from ..functions.hashing import key_strings
+
+            ge0 = batch["epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gb0 = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            seq0 = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = key_strings(batch["repo"], batch["path"])
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            codes = (
+                pc.dictionary_encode(keys)
+                .indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            ge = t["epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
-            gb = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-            gid = ge * (int(gb.max()) + 1) + gb
-            cuts = np.flatnonzero(np.diff(gid)) + 1
+            ncodes = int(codes.max()) + 1
+            nb = int(gb0.max()) + 1
+            gid = (ge0 * nb + gb0) * ncodes + codes
+            # stable sort by (gid, seq): last row of each gid run is the
+            # max-seq winner (ties -> later batch position, matching the
+            # stable-sort + "last" aggregate semantics of lww_reduce)
+            perm = np.lexsort((seq0, gid))
+            g = gid[perm]
+            winners = perm[np.flatnonzero(np.append(g[1:] != g[:-1], True))]
+            t = batch.take(pa.array(winners))  # the ONE content gather
+            t = t.drop_columns([c for c in ("ts", "epoch") if c in t.column_names])
+            from ..stages.merge import LAKE_COLS
+
+            extras = sorted(
+                c for c in t.column_names if c not in LAKE_COLS + ["bucket", "op", "seq"]
+            )
+            order = [
+                c for c in LAKE_COLS + ["op", "seq", "bucket"] + extras
+                if c in t.column_names
+            ]
+            t = t.select(order)  # delta_of's column contract (zero-copy)
+            ge = ge0[winners]
+            gb = gb0[winners]
+            sid = ge * nb + gb  # winners are grouped: gid asc => (epoch, bucket) asc
+            cuts = np.flatnonzero(np.diff(sid)) + 1
             starts = np.concatenate([[0], cuts]).astype(np.int64)
-            ends = np.concatenate([cuts, [len(gid)]]).astype(np.int64)
+            ends = np.concatenate([cuts, [len(sid)]]).astype(np.int64)
             by_epoch: dict[int, list[tuple[int, pa.Table, str]]] = {}
             for s, e in zip(starts, ends):
-                sl = delta_of(t.slice(int(s), int(e - s)), keep_seq=True, presorted=True)
+                sl = t.slice(int(s), int(e - s))
                 sha = table_state_sha256(sl, ("repo", "path"), "content_sha256")
                 by_epoch.setdefault(int(ge[s]), []).append((int(gb[s]), sl, sha))
             import pyarrow.parquet as pq

@@ -314,3 +314,24 @@ def test_money_dual_equality_semantics():
     assert out["amt_ledger"].to_pylist() == ["10.50"] * 4
     assert out["amt_wire"].to_pylist() == ["10.5000", "10.5000", "10.5001", "10.5001"]
     assert out["wire_e4"].to_pylist() == [105000, 105000, 105001, 105001]
+
+
+def test_nest_table_builds_ordered_lists():
+    """nest_table: one row per parent, children ordered by order_col,
+    list<struct> layout, vectorized offsets."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.nest import nest_table
+
+    child = pa.table({
+        "pk": pa.array([2, 1, 2, 2, 1], pa.int64()),
+        "ln": pa.array([3, 1, 1, 2, 2], pa.int32()),
+        "v": pa.array([30, 10, 11, 21, 20], pa.int64()),
+    })
+    out = nest_table(child, "pk", order_col="ln", list_col="kids")
+    assert out["pk"].to_pylist() == [1, 2]
+    kids = out["kids"].to_pylist()
+    assert [k["ln"] for k in kids[0]] == [1, 2]
+    assert [k["v"] for k in kids[1]] == [11, 21, 30]
+    assert pa.types.is_list(out.schema.field("kids").type)
+    assert pa.types.is_struct(out.schema.field("kids").type.value_type)
