@@ -220,9 +220,24 @@ def reconcile_lake_vs_snapshot(
     detail = rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
         cogroup_part, batch_format="pyarrow", batch_size=1
     )
-    detail = detail.materialize()  # reused by rollup + counts below
-    rollup = rollup_by_key(detail, "repo")
-    counts = status_counts(detail)
+    # Spill the detail to partitioned parquet and re-read, instead of
+    # materialize(): detail is O(lake keys) wide rows — pinning it in
+    # the object store for the rollup+counts consumers would hold the
+    # whole table in cluster memory at 100 TB, whereas the spill
+    # streams block-by-block to disk and each consumer re-reads only
+    # the columns it needs (status/repo) via projection pushdown.
+    spill = os.path.join(lake_root, "_reconcile_detail")
+    shutil.rmtree(spill, ignore_errors=True)
+    detail.write_parquet(spill)
+    import glob as _glob
+
+    if _glob.glob(os.path.join(spill, "*.parquet")):
+        detail = rd.read_parquet(spill)
+        rollup = rollup_by_key(rd.read_parquet(spill, columns=["repo", "status"]), "repo")
+        counts = status_counts(rd.read_parquet(spill, columns=["status"]))
+    else:  # empty reconcile: keep the typed empty dataset contract
+        rollup = rollup_by_key(detail, "repo")
+        counts = status_counts(detail)
     return detail, rollup, counts
 
 
