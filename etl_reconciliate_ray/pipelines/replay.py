@@ -385,7 +385,16 @@ def _replay_epoch_descs(
         if seed_path is not None:
             out.append(bootstrap(seed_path, cfg, log=log, writers=writers))
         for engine_epoch, ep in todo:
-            ds = rd.read_parquet(ep["file"], **kwargs)
+            import pyarrow.parquet as _pq
+
+            if os.path.isdir(ep["file"]):
+                import glob as _g
+
+                first = sorted(_g.glob(os.path.join(ep["file"], "*.parquet")))[0]
+            else:
+                first = ep["file"]
+            cols = [c for c in _pq.read_schema(first).names if c != "ts"]
+            ds = rd.read_parquet(ep["file"], columns=cols, **kwargs)
             out.append(
                 run_epoch(ds, engine_epoch, cfg, log=log, input_seq=tuple(ep["seq_range"]), writers=writers)
             )
@@ -464,7 +473,14 @@ def _run_epoch_batch(
     epochs = [engine_epoch for engine_epoch, _ in chunk]
     seq_by_epoch = {engine_epoch: tuple(ep["seq_range"]) for engine_epoch, ep in chunk}
 
-    ds = rd.read_parquet(files, **kwargs)
+    # projection pushdown at the binlog scan: ``ts`` is dead weight in
+    # replay (LWW orders on seq; the delta drops ts anyway) — pruning it
+    # here saves decoding AND carrying 8B/event through every
+    # downstream copy of the bandwidth-bound path
+    import pyarrow.parquet as _pq
+
+    scan_cols = [c for c in _pq.read_schema(files[0]).names if c != "ts"]
+    ds = rd.read_parquet(files, columns=scan_cols, **kwargs)
     if prep_fn is not None:
         ds = ds.map_batches(prep_fn, batch_format="pyarrow")
 
