@@ -469,6 +469,43 @@ def q_reconcile_rollup(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- order stats
+def q_topk_orders_per_priority(sf_dir: str):
+    """Top-5 orders by totalprice per priority class — the J9
+    best-candidate selection (ReconciliationService.java:129-147)
+    generalized to k per key; map-side combiner keeps the shuffle at
+    O(groups x k) rows per batch."""
+    from ..stages.topk import topk_per_group
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return topk_per_group(
+        ds, group_key="o_orderpriority", order_col="o_totalprice", k=5,
+        tiebreak="o_orderkey", descending=True,
+    )
+
+
+def q_event_value_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (median / p95) by explicit
+    rank semantics — value at sorted index floor(q*(n-1)) — so both
+    engines index the same multiset element (no interpolation-mode
+    ambiguity)."""
+    from ..stages.topk import grouped_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), dtype=np.float64) * 100
+        ).astype(np.int64)
+        return pa.table({"event_type": t["event_type"], "cents": pa.array(v, pa.int64())})
+
+    return grouped_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        group_key="event_type", value_col="cents",
+        quantiles={"median_cents": 0.5, "p95_cents": 0.95},
+    )
+
+
 # ---------------------------------------------------------------- N1 nesting
 def q_nested_order_lines(sf_dir: str):
     """Parent/child ``list<struct>`` materialization (reference N1,
@@ -652,6 +689,8 @@ QUERIES = {
     "session_window_events": q_session_window_events,
     "asof_join_events": q_asof_join_events,
     "reconcile_rollup": q_reconcile_rollup,
+    "topk_orders_per_priority": q_topk_orders_per_priority,
+    "event_value_quantiles": q_event_value_quantiles,
     "nested_order_lines": q_nested_order_lines,
     "money_dual_eq": q_money_dual_eq,
     "money_rollup": q_money_rollup,
@@ -768,6 +807,23 @@ ORACLE_SQL = {
         "WHEN SUM(CASE WHEN status <> 'MATCHED' THEN 1 ELSE 0 END) > 0 THEN 'ROWS_WITH_ERRORS' "
         "ELSE 'OK' END AS rollup_status "
         "FROM (SELECT orderkey % 97 AS grp, status FROM labeled) GROUP BY grp"
+    ),
+    "topk_orders_per_priority": (
+        "SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM ("
+        "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank "
+        "FROM orders) WHERE rank <= 5"
+    ),
+    "event_value_quantiles": (
+        "WITH v AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "r AS (SELECT event_type, cents, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) - 1 AS rn, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM v) "
+        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, "
+        "CAST(MAX(CASE WHEN rn = (n - 1) // 2 THEN cents END) AS BIGINT) AS median_cents, "
+        "CAST(MAX(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) THEN cents END) AS BIGINT) "
+        "AS p95_cents FROM r GROUP BY event_type"
     ),
     "nested_order_lines": (
         "SELECT l_orderkey AS orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines, "

@@ -1,0 +1,96 @@
+"""Per-group order statistics: distributed top-k per group and exact
+grouped quantiles.
+
+Top-k per group is the training-data workhorse ("best N documents per
+domain/language by quality score"). Scale shape: a map-side COMBINER
+keeps at most k rows per group per batch (so the shuffle moves
+O(groups x k) rows per batch, never the corpus), then one final
+per-group reduction applies the identical selection — associative, so
+the two-level result equals a global sort. The reference's only
+ordering is the report sort (SURVEY.md §2.6); top-k-per-group
+generalizes its J9 first-candidate selection
+(``ReconciliationService.java:129-147``: best match per message) to k
+candidates per key.
+
+Quantiles are exact by explicit rank semantics — the value at sorted
+index ``floor(q * (n-1))`` — because "median" defined by an
+interpolation mode can silently disagree between engines; an index into
+the sorted multiset cannot. Groups are reduced whole (map_groups):
+right for low-cardinality group keys (event types, languages); for
+high-cardinality keys swap in a sketch (t-digest) — documented
+partitioning assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _rank_in_group(sorted_keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """0-based position of each row within its (contiguous) key run."""
+    import pyarrow.compute as pc
+
+    keys = sorted_keys.combine_chunks() if isinstance(sorted_keys, pa.ChunkedArray) else sorted_keys
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    starts = np.concatenate([[0], np.flatnonzero(neq) + 1]).astype(np.int64)
+    lengths = np.diff(np.concatenate([starts, [n]]))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
+
+
+def _select_topk(t: pa.Table, group_key: str, order_col: str, k: int,
+                 tiebreak: str, descending: bool) -> pa.Table:
+    order = "descending" if descending else "ascending"
+    t = t.sort_by([(group_key, "ascending"), (order_col, order), (tiebreak, "ascending")])
+    pos = _rank_in_group(t[group_key])
+    out = t.filter(pa.array(pos < k))
+    return out.append_column("rank", pa.array(pos[pos < k] + 1, pa.int64()))
+
+
+def topk_per_group(
+    ds,
+    group_key: str,
+    order_col: str,
+    k: int,
+    tiebreak: str,
+    descending: bool = True,
+):
+    """Top-k rows per group with a deterministic total order
+    (order_col, then tiebreak asc). Two-level: batch combiner then
+    per-group final — only O(groups x k) rows shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return _select_topk(t, group_key, order_col, k, tiebreak, descending).drop_columns(
+            ["rank"]
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        return _select_topk(t, group_key, order_col, k, tiebreak, descending)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def grouped_quantiles(ds, group_key: str, value_col: str, quantiles: dict[str, float]):
+    """Exact per-group order statistics: for each named quantile q, the
+    value at sorted index ``floor(q * (n-1))`` (int64 values). One
+    shuffle; each group reduced whole (see module docstring for the
+    cardinality assumption)."""
+
+    def reduce_group(t: pa.Table) -> pa.Table:
+        v = np.sort(t[value_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        n = len(v)
+        row: dict[str, object] = {group_key: t[group_key][0].as_py(), "n": n}
+        for name, q in quantiles.items():
+            row[name] = int(v[int(np.floor(q * (n - 1)))])
+        return pa.Table.from_pylist([row])
+
+    return ds.groupby(group_key).map_groups(reduce_group, batch_format="pyarrow")

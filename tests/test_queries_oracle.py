@@ -335,3 +335,39 @@ def test_nest_table_builds_ordered_lists():
     assert [k["v"] for k in kids[1]] == [11, 21, 30]
     assert pa.types.is_list(out.schema.field("kids").type)
     assert pa.types.is_struct(out.schema.field("kids").type.value_type)
+
+
+def test_topk_combiner_equals_global_sort(ray_session):
+    """The two-level (batch combiner -> per-group final) top-k must
+    equal a global sort regardless of how rows split across batches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.topk import topk_per_group
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 7, n),
+        "score": rng.integers(0, 100, n),  # heavy ties -> tiebreak matters
+        "id": np.arange(n, dtype=np.int64),
+    })
+    got = (
+        topk_per_group(
+            rd.from_pandas(df, override_num_blocks=13), "g", "score", 3, "id"
+        )
+        .to_pandas()
+        .sort_values(["g", "rank"]) 
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["g", "score", "id"], ascending=[True, False, True])
+        .groupby("g")
+        .head(3)
+        .assign(rank=lambda d: d.groupby("g").cumcount() + 1)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["g", "score", "id", "rank"]].astype("int64"),
+        want[["g", "score", "id", "rank"]].astype("int64"),
+    )
