@@ -469,6 +469,58 @@ def q_reconcile_rollup(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- training-set assembly
+def q_split_docs(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split by doc_id residue —
+    key-derived, identical at any parallelism level; rollup per split
+    (n docs, total whitespace tokens)."""
+    from ..functions import text as T
+    from ..stages.packing import split_assign
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        lab = split_assign(
+            pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            {"train": 90, "val": 5, "test": 5},
+        )
+        return pd.DataFrame({
+            "split": lab.to_pandas(),
+            "n_tokens": df["text"].map(T.whitespace_token_count).astype("int64"),
+        })
+
+    return preagg_groupby(
+        ds.map_batches(assign, batch_format="pandas"),
+        keys=["split"], sums={"sum_tokens": "n_tokens"}, count_alias="n_docs",
+    )
+
+
+def q_pack_docs(sf_dir: str):
+    """Sequence packing: greedy first-fit of documents into 2048-token
+    bins within each batch (LLM pre-training sample assembly). Not
+    SQL-expressible (stateful greedy); invariants are property-tested:
+    every doc packed exactly once, no bin over budget unless a single
+    doc exceeds it alone."""
+    from ..functions import text as T
+    from ..stages.packing import pack_documents
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": df["text"].map(T.whitespace_token_count).astype("int64"),
+        })
+
+    packed = pack_documents(
+        ds.map_batches(toks, batch_format="pandas"),
+        id_col="doc_id", ntok_col="n_tokens", budget=2048,
+    )
+    return packed.map_batches(
+        lambda t: t.drop_columns(["doc_ids"]), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------- order stats
 def q_topk_orders_per_priority(sf_dir: str):
     """Top-5 orders by totalprice per priority class — the J9
@@ -689,6 +741,8 @@ QUERIES = {
     "session_window_events": q_session_window_events,
     "asof_join_events": q_asof_join_events,
     "reconcile_rollup": q_reconcile_rollup,
+    "split_docs": q_split_docs,
+    "pack_docs": q_pack_docs,
     "topk_orders_per_priority": q_topk_orders_per_priority,
     "event_value_quantiles": q_event_value_quantiles,
     "nested_order_lines": q_nested_order_lines,
@@ -807,6 +861,14 @@ ORACLE_SQL = {
         "WHEN SUM(CASE WHEN status <> 'MATCHED' THEN 1 ELSE 0 END) > 0 THEN 'ROWS_WITH_ERRORS' "
         "ELSE 'OK' END AS rollup_status "
         "FROM (SELECT orderkey % 97 AS grp, status FROM labeled) GROUP BY grp"
+    ),
+    "split_docs": (
+        "SELECT CASE WHEN doc_id % 100 < 90 THEN 'train' "
+        "WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END AS split, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens "
+        "FROM documents GROUP BY 1"
     ),
     "topk_orders_per_priority": (
         "SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM ("

@@ -371,3 +371,47 @@ def test_topk_combiner_equals_global_sort(ray_session):
         got[["g", "score", "id", "rank"]].astype("int64"),
         want[["g", "score", "id", "rank"]].astype("int64"),
     )
+
+
+def test_packing_invariants(ray_session):
+    """Every doc packed exactly once; no bin over budget unless a
+    single over-budget doc rides alone; totals add up."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.packing import pack_batch, pack_documents
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    toks = rng.integers(1, 900, n)
+    toks[::97] = 3000  # some docs alone exceed the 2048 budget
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "n_tokens": pa.array(toks, pa.int64())})
+    out = pack_batch(t, "doc_id", "n_tokens", 2048)
+    packed = [d for row in out["doc_ids"].to_pylist() for d in row]
+    assert sorted(packed) == list(range(n))  # exactly once
+    for docs, total in zip(out["doc_ids"].to_pylist(), out["total_tokens"].to_pylist()):
+        assert total <= 2048 or len(docs) == 1
+    assert sum(out["total_tokens"].to_pylist()) == int(toks.sum())
+
+    # dataset-level: still exactly-once across multiple blocks
+    df = t.to_pandas()
+    ds = rd.from_pandas(df, override_num_blocks=7)
+    allout = pack_documents(ds, "doc_id", "n_tokens", 2048).to_pandas()
+    flat = [d for row in allout["doc_ids"] for d in row]
+    assert sorted(flat) == list(range(n))
+
+
+def test_split_assign_partitions_exactly():
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.packing import split_assign
+
+    ids = pa.array(list(range(1000)), pa.int64())
+    lab = split_assign(ids, {"train": 90, "val": 5, "test": 5}).to_pylist()
+    from collections import Counter
+
+    assert Counter(lab) == {"train": 900, "val": 50, "test": 50}
+    # stable under permutation: label depends only on the id
+    assert lab[123] == split_assign(pa.array([123], pa.int64()),
+                                    {"train": 90, "val": 5, "test": 5})[0].as_py()
