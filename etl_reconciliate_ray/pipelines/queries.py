@@ -405,6 +405,43 @@ def q_media_features(sf_dir: str):
     return media_features(ds.map_batches(to_media, batch_format="pyarrow"))
 
 
+def _media_table(sf_dir: str):
+    """Synthetic opaque-media table derived from documents: payload =
+    utf-8 bytes, duration keyed off doc_id (deterministic)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payload = pa.array([x.encode() for x in t["text"].to_pylist()], pa.large_binary())
+        k = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({
+            "media_id": t["doc_id"],
+            "media_type": pa.array(["video"] * t.num_rows),
+            "payload": payload,
+            "meta_duration_ms": pa.array((k % 5) * 700 + 100, pa.int32()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_media_resize(sf_dir: str):
+    """Decode -> resize -> re-encode actor-pool stage (stubbed pixel
+    kernel; real batch/actor/meta plumbing). Rows-only."""
+    from ..stages.multimodal import media_resize
+
+    return media_resize(_media_table(sf_dir))
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame sampling: one row per sampled frame (fan-out
+    ceil(duration/interval) per input). The frame count per media_id is
+    SQL-expressible from the metadata, so this one carries an oracle:
+    per-media frame counts."""
+    from ..stages.multimodal import frame_sample
+
+    frames = frame_sample(_media_table(sf_dir), interval_ms=1000)
+    return preagg_groupby(frames, keys=["media_id"], count_alias="n_frames")
+
+
 # ---------------------------------------------------------------- asof join
 def q_asof_join_events(sf_dir: str):
     """Backward as-of join: each click paired with the user's most
@@ -737,6 +774,8 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "payload_meta": q_payload_meta,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "frame_sample": q_frame_sample,
     "hopping_window_events": q_hopping_window_events,
     "session_window_events": q_session_window_events,
     "asof_join_events": q_asof_join_events,
@@ -861,6 +900,11 @@ ORACLE_SQL = {
         "WHEN SUM(CASE WHEN status <> 'MATCHED' THEN 1 ELSE 0 END) > 0 THEN 'ROWS_WITH_ERRORS' "
         "ELSE 'OK' END AS rollup_status "
         "FROM (SELECT orderkey % 97 AS grp, status FROM labeled) GROUP BY grp"
+    ),
+    "frame_sample": (
+        "SELECT doc_id AS media_id, "
+        "CAST(CEIL(((doc_id % 5) * 700 + 100) / 1000.0) AS BIGINT) AS n_frames "
+        "FROM documents"
     ),
     "split_docs": (
         "SELECT CASE WHEN doc_id % 100 < 90 THEN 'train' "

@@ -92,6 +92,97 @@ def media_features(media_ds, concurrency=(1, 4), batch_size: int = 64):
 def payload_meta_stage(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Treat a text column as an opaque utf-8 payload and surface its
     byte size — the binary-column metadata path exercised on driver
-    data (oracle: DuckDB ``strlen`` = utf-8 byte length)."""
-    sizes = [len(t.encode("utf-8")) if t is not None else None for t in batch[text_col].to_pylist()]
-    return pa.table({id_col: batch[id_col], "payload_bytes": pa.array(sizes, pa.int64())})
+    data (oracle: DuckDB ``strlen`` = utf-8 byte length). Vectorized:
+    string -> large_binary cast is a zero-copy view; ``binary_length``
+    counts BYTES over the offsets buffer (never decodes)."""
+    import pyarrow.compute as pc
+
+    sizes = pc.binary_length(pc.cast(batch[text_col], pa.large_binary()))
+    return pa.table({id_col: batch[id_col], "payload_bytes": pc.cast(sizes, pa.int64())})
+
+
+class MediaResize:
+    """Actor-pool stage: decode -> resize -> re-encode (the standard
+    image-normalization step before feature extraction / training).
+    The pixel kernel is the deterministic fake (real deployment:
+    PIL.Image.resize / cv2.resize initialized once per actor in
+    ``__init__``); the Ray plumbing — target dims as constructor args,
+    small batches, per-row output metadata — is real and tested."""
+
+    def __init__(self, width: int = 224, height: int = 224, deterministic_fake: bool = True):
+        self.w, self.h, self.fake = width, height, deterministic_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads, out_w, out_h = [], [], []
+        for payload, mtype in zip(
+            batch["payload"].to_pylist(), batch["media_type"].to_pylist()
+        ):
+            decode_stub(payload, mtype, deterministic_fake=self.fake)
+            # fake re-encode: content-derived bytes sized like a thumbnail
+            digest = hashlib.sha256(payload + f"{self.w}x{self.h}".encode()).digest()
+            out_payloads.append(digest * 4)
+            out_w.append(self.w)
+            out_h.append(self.h)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "payload": pa.array(out_payloads, pa.large_binary()),
+            "meta_width": pa.array(out_w, pa.int32()),
+            "meta_height": pa.array(out_h, pa.int32()),
+        })
+
+
+class FrameSampler:
+    """Actor-pool stage: sample one frame reference every
+    ``interval_ms`` of a video payload's duration (flat_map shape: one
+    input row -> ceil(duration/interval) output rows). Real deployment
+    seeks keyframes via ffmpeg; here the frame payload is the
+    deterministic fake, while the row expansion, timestamps, and
+    (media_id, frame_idx) layout — what downstream training jobs key
+    on — are real."""
+
+    def __init__(self, interval_ms: int = 1000, deterministic_fake: bool = True):
+        self.interval = int(interval_ms)
+        self.fake = deterministic_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, ts, frames = [], [], [], []
+        for mid, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta_duration_ms"].to_pylist(),
+        ):
+            n = max(1, -(-int(dur or 0) // self.interval))  # ceil, >= 1
+            for i in range(n):
+                ids.append(mid)
+                idxs.append(i)
+                ts.append(i * self.interval)
+                frames.append(
+                    hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+                    if self.fake else b""
+                )
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame_ts_ms": pa.array(ts, pa.int32()),
+            "frame": pa.array(frames, pa.large_binary()),
+        })
+
+
+def media_resize(media_ds, width=224, height=224, concurrency=(1, 4), batch_size: int = 64):
+    return media_ds.map_batches(
+        MediaResize,
+        fn_constructor_kwargs={"width": width, "height": height, "deterministic_fake": True},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+def frame_sample(media_ds, interval_ms=1000, concurrency=(1, 4), batch_size: int = 16):
+    """batch_size deliberately smaller: output fan-out is
+    duration/interval rows per input row."""
+    return media_ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"interval_ms": interval_ms, "deterministic_fake": True},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )

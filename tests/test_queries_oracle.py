@@ -415,3 +415,31 @@ def test_split_assign_partitions_exactly():
     # stable under permutation: label depends only on the id
     assert lab[123] == split_assign(pa.array([123], pa.int64()),
                                     {"train": 90, "val": 5, "test": 5})[0].as_py()
+
+
+def test_media_resize_and_frame_sampler_plumbing():
+    """Resize emits fixed target dims per row; frame sampler fans out
+    exactly ceil(duration/interval) deterministic frames per media."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.multimodal import FrameSampler, MediaResize
+
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "media_type": pa.array(["image", "video"]),
+        "payload": pa.array([b"aaa", b"bbbb"], pa.large_binary()),
+        "meta_duration_ms": pa.array([0, 2500], pa.int32()),
+    })
+    r = MediaResize(width=64, height=32)(t)
+    assert r["meta_width"].to_pylist() == [64, 64]
+    assert r["meta_height"].to_pylist() == [32, 32]
+    assert all(len(p) > 0 for p in r["payload"].to_pylist())
+    # deterministic: same payload + dims -> same bytes
+    assert r["payload"].to_pylist() == MediaResize(width=64, height=32)(t)["payload"].to_pylist()
+
+    f = FrameSampler(interval_ms=1000)(t)
+    per = {}
+    for mid in f["media_id"].to_pylist():
+        per[mid] = per.get(mid, 0) + 1
+    assert per == {1: 1, 2: 3}  # zero-duration -> 1 frame; 2500ms -> ceil = 3
+    assert f["frame_ts_ms"].to_pylist()[-3:] == [0, 1000, 2000]
