@@ -1,0 +1,233 @@
+"""Incrementally-maintained aggregates — a streaming materialized view
+over the CDC lake.
+
+The view here is per-repo ``(n_files, content_bytes)``; the maintenance
+algorithm is the general delta-state-delta pattern for any
+sum/count-decomposable aggregate:
+
+    view(e) = view(e-1) + delta(e)
+    delta(e) = agg(state-after(touched keys)) - agg(state-before(touched keys))
+
+Per sealed epoch, per touched partition: read ONLY that epoch's delta
+rows from the commit-log chain (tombstones included — this is why the
+raw link reader below exists; ``read_chain`` resolves D-rows away),
+resolve the prior state of just the touched keys from the pre-epoch
+chain, and emit per-repo (d_files, d_bytes) rows. A tiny per-repo
+groupby folds the deltas into the previous view, which is written as
+``view/epoch=NNNNN`` parquet with a ``_DONE`` marker — resumable and
+idempotent by construction (re-running a maintained epoch is a no-op).
+
+Scale shape: the per-epoch cost is O(epoch delta rows + prior chains of
+the TOUCHED partitions) — in real CDC (sparse touch) this is orders of
+magnitude below recomputing the view from the full lake, which is the
+entire point of maintaining it incrementally. The correctness anchor is
+the recompute oracle: ``view_of_state(lake_table(...))`` must equal the
+maintained view at every sealed epoch (tested).
+
+Reference anchor: this generalizes the reference's A4 count
+diagnostics (``ReconciliationService.java:171-177`` recounts statuses
+per run from scratch) to a view that survives across runs without the
+recount.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.hashing import key_strings
+from ..stages.merge import _pqfile, lww_reduce, read_chain
+from ..state.commitlog import CommitLog
+
+VIEW_SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("n_files", pa.int64()),
+    ("content_bytes", pa.int64()),
+])
+
+
+def _read_epoch_links(links: list[dict], part: int) -> pa.Table | None:
+    """Raw rows of one epoch's links for one partition — op/tombstones
+    preserved (unlike ``read_chain``, which resolves them away)."""
+    cols_needed = {"repo", "path", "content", "op", "seq", "bucket"}
+    tables = []
+    for link in links:
+        rgs = link.get("rgs") or [-1] * len(link["files"])
+        for f, rg in zip(link["files"], rgs):
+            avail = _pqfile(f).schema_arrow.names
+            cols = [c for c in avail if c in cols_needed]
+            if rg is not None and int(rg) >= 0:
+                t = _pqfile(f).read_row_group(int(rg), columns=cols)
+            else:
+                t = pq.read_table(f, columns=cols, filters=[("bucket", "=", part)])
+            tables.append(t)
+    if not tables:
+        return None
+    t = pa.concat_tables(tables, promote_options="permissive")
+    if t.num_rows == 0:
+        return None
+    # in-epoch LWW: partial deltas from different tasks may overlap keys
+    if "seq" in t.column_names:
+        t = lww_reduce(t)
+    return t
+
+
+def _agg_rows(keys: pa.Array, content: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
+    """Per-repo (count, bytes) of a live-row set; vectorized."""
+    if len(keys) == 0:
+        return {}
+    nbytes = pc.fill_null(
+        pc.cast(pc.binary_length(pc.cast(content, pa.large_binary())), pa.int64()), 0
+    )
+    t = pa.table({"repo": keys, "b": nbytes})
+    red = t.group_by(["repo"], use_threads=False).aggregate([("b", "sum"), ("b", "count")])
+    return {
+        r: (int(n), int(b))
+        for r, b, n in zip(
+            red["repo"].to_pylist(), red["b_sum"].to_pylist(), red["b_count"].to_pylist()
+        )
+    }
+
+
+def _part_epoch_delta(chain: list[dict], epoch: int, part: int) -> pa.Table:
+    """Per-repo (d_files, d_bytes) contributed by ``epoch`` in one
+    partition: agg(after) - agg(before) over the touched keys only."""
+    now_links = [l for l in chain if int(l["epoch"]) == epoch]
+    events = _read_epoch_links(now_links, part)
+    if events is None:
+        return pa.table({"repo": pa.array([], pa.string()),
+                         "d_files": pa.array([], pa.int64()),
+                         "d_bytes": pa.array([], pa.int64())})
+    prior_links = [l for l in chain if int(l["epoch"]) < epoch]
+    old = read_chain(prior_links, columns=["repo", "path", "content"], part=part)
+
+    ekeys = key_strings(events["repo"], events["path"]).combine_chunks()
+    if old is not None and old.num_rows:
+        okeys = key_strings(old["repo"], old["path"])
+        old_touched = old.filter(pc.is_in(okeys, value_set=ekeys))
+    else:
+        old_touched = None
+
+    # after: epoch winners (minus tombstones) replace the touched keys
+    op = pc.fill_null(events["op"], "I") if "op" in events.column_names else None
+    live = events if op is None else events.filter(pc.not_equal(op, "D"))
+
+    before = (
+        _agg_rows(old_touched["repo"].combine_chunks(), old_touched["content"])
+        if old_touched is not None else {}
+    )
+    after = _agg_rows(live["repo"].combine_chunks(), live["content"])
+    repos = sorted(set(before) | set(after))
+    return pa.table({
+        "repo": pa.array(repos, pa.string()),
+        "d_files": pa.array(
+            [after.get(r, (0, 0))[0] - before.get(r, (0, 0))[0] for r in repos], pa.int64()),
+        "d_bytes": pa.array(
+            [after.get(r, (0, 0))[1] - before.get(r, (0, 0))[1] for r in repos], pa.int64()),
+    })
+
+
+def view_of_state(state: pa.Table) -> pa.Table:
+    """Recompute oracle: the view aggregated directly from a resolved
+    lake state table."""
+    agg = _agg_rows(state["repo"].combine_chunks(), state["content"])
+    repos = sorted(agg)
+    return pa.table({
+        "repo": pa.array(repos, pa.string()),
+        "n_files": pa.array([agg[r][0] for r in repos], pa.int64()),
+        "content_bytes": pa.array([agg[r][1] for r in repos], pa.int64()),
+    })
+
+
+def maintain_repo_view(lake_root: str, view_dir: str | None = None) -> pa.Table:
+    """Bring the per-repo view up to the latest sealed epoch.
+
+    Distributed per epoch over partitions (one task per touched part —
+    the same unit as compaction), then a tiny per-repo fold into the
+    previous view; each epoch's view is written with a ``_DONE`` marker
+    so maintenance resumes exactly where it stopped."""
+    import ray.data as rd
+
+    from .replay import _chains_payload
+
+    view_dir = view_dir or os.path.join(lake_root, "view")
+    log = CommitLog.open(lake_root)
+    upto = log.latest_sealed_epoch()
+    if upto is None:
+        return pa.table({c: pa.array([], VIEW_SCHEMA.field(c).type) for c in VIEW_SCHEMA.names})
+    chains = _chains_payload(log, upto_epoch=upto)
+
+    def _epoch_dir(e: int) -> str:
+        return os.path.join(view_dir, f"epoch={e:05d}")
+
+    def _load(e: int) -> pa.Table:
+        return pq.read_table(os.path.join(_epoch_dir(e), "view.parquet"))
+
+    view: pa.Table | None = None
+    for e in range(0, upto + 1):
+        if os.path.exists(os.path.join(_epoch_dir(e), "_DONE")):
+            view = _load(e)  # already maintained (resume)
+            continue
+        touched = [
+            p for p, chain in chains.items()
+            if any(int(l["epoch"]) == e for l in chain)
+        ]
+        if touched:
+            items = [
+                {"part": p, "chain": _json.dumps(chains[p])} for p in sorted(touched)
+            ]
+
+            def part_delta(batch: pa.Table) -> pa.Table:
+                outs = [
+                    _part_epoch_delta(_json.loads(r["chain"]), e, int(r["part"]))
+                    for r in batch.to_pylist()
+                ]
+                return pa.concat_tables(outs)
+
+            deltas = (
+                rd.from_items(items, override_num_blocks=len(items))
+                .map_batches(part_delta, batch_format="pyarrow", batch_size=1)
+                .to_arrow_refs()
+            )
+            import ray
+
+            delta_t = pa.concat_tables([ray.get(r) for r in deltas])
+        else:
+            delta_t = pa.table({"repo": pa.array([], pa.string()),
+                                "d_files": pa.array([], pa.int64()),
+                                "d_bytes": pa.array([], pa.int64())})
+        # fold: view(e) = view(e-1) + delta(e)  (tiny per-repo table)
+        base = view if view is not None else pa.table({
+            "repo": pa.array([], pa.string()),
+            "n_files": pa.array([], pa.int64()),
+            "content_bytes": pa.array([], pa.int64()),
+        })
+        merged = pa.concat_tables([
+            base,
+            pa.table({"repo": delta_t["repo"],
+                      "n_files": delta_t["d_files"],
+                      "content_bytes": delta_t["d_bytes"]}),
+        ])
+        red = merged.group_by(["repo"], use_threads=False).aggregate(
+            [("n_files", "sum"), ("content_bytes", "sum")]
+        )
+        red = pa.table({
+            "repo": red["repo"],
+            "n_files": pc.cast(red["n_files_sum"], pa.int64()),
+            "content_bytes": pc.cast(red["content_bytes_sum"], pa.int64()),
+        })
+        view = red.filter(pc.greater(red["n_files"], 0)).sort_by([("repo", "ascending")])
+        tmp = _epoch_dir(e) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(view, os.path.join(tmp, "view.parquet"))
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        shutil.rmtree(_epoch_dir(e), ignore_errors=True)
+        os.replace(tmp, _epoch_dir(e))
+    return view

@@ -388,3 +388,52 @@ def test_cli_binlog_dir_mode(fixture_small, tmp_path, ray_session):
         from etl_reconciliate_ray.pipelines.replay import lake_table
 
         assert lake_table(lake_tail).num_rows == manifest["final_rows"]
+
+
+def test_incremental_view_equals_recompute(fixture_small, tmp_path):
+    """The incrementally-maintained per-repo view (delta-state-delta
+    across epochs, tombstones included) must equal the recompute oracle
+    over the final resolved lake state; re-running maintenance is a
+    resume no-op with the identical result."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.pipelines.incremental import (
+        maintain_repo_view, view_of_state,
+    )
+    from etl_reconciliate_ray.pipelines.replay import lake_table
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_view", manifest)
+    replay(fixture_dir, cfg)
+
+    got = maintain_repo_view(cfg.lake_root)
+    want = view_of_state(lake_table(cfg.lake_root))
+    assert got.equals(want), (
+        got.to_pandas().compare(want.to_pandas())
+        if got.num_rows == want.num_rows else (got.num_rows, want.num_rows)
+    )
+    again = maintain_repo_view(cfg.lake_root)  # resume: all epochs _DONE
+    assert again.equals(want)
+
+
+def test_incremental_view_resumes_after_partial_loss(fixture_small, tmp_path):
+    """Losing the most recent maintained epoch (crash before _DONE)
+    must be repaired by re-running maintenance from the survivors."""
+    import glob
+    import shutil
+
+    from etl_reconciliate_ray.pipelines.incremental import (
+        maintain_repo_view, view_of_state,
+    )
+    from etl_reconciliate_ray.pipelines.replay import lake_table
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_view2", manifest)
+    replay(fixture_dir, cfg)
+    want = view_of_state(lake_table(cfg.lake_root))
+
+    maintain_repo_view(cfg.lake_root)
+    epochs = sorted(glob.glob(f"{cfg.lake_root}/view/epoch=*"))
+    shutil.rmtree(epochs[-1])  # simulate crash losing the newest epoch
+    got = maintain_repo_view(cfg.lake_root)
+    assert got.equals(want)
