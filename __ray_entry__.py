@@ -40,9 +40,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
     entries (minhash_clusters, simhash_docs, ngram_jaccard_pairs,
-    ann_lsh, ann_ivf, langid_docs, media_features, fingerprint_docs,
-    embdup_pairs_ivf) are intentionally omitted — each carries a
-    falsifiable recall/property unit test instead (tests/test_queries_oracle.py)."""
+    ann_lsh, ann_ivf, langid_docs, media_features, media_resize,
+    fingerprint_docs, embdup_pairs_ivf, pack_docs) are intentionally
+    omitted — each carries a falsifiable recall/property/invariant unit
+    test instead (tests/test_queries_oracle.py)."""
     from etl_reconciliate_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

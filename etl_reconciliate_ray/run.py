@@ -33,6 +33,8 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--pipeline-epochs", type=int, default=4)
     p.add_argument("--compact", action="store_true", help="compact chains after replay")
+    p.add_argument("--view", action="store_true",
+                   help="maintain the incremental per-repo aggregate view after replay")
     p.add_argument("--num-cpus", type=int, default=None, help="only used if Ray is not initialised")
     args = p.parse_args(argv)
     if (args.fixture is None) == (args.binlog_dir is None):
@@ -76,8 +78,16 @@ def main(argv: list[str] | None = None) -> dict:
     else:
         metrics = replay_stream(args.binlog_dir, cfg, lake_seed=args.lake_seed)
 
+    view_rows = None
+    if args.view:
+        from .pipelines.incremental import maintain_repo_view
+
+        view_rows = maintain_repo_view(args.lake).num_rows
+
     if snapshot_path is None:
         summary = {"epochs": len(metrics), "lake_root": args.lake, "reconciled": False}
+        if view_rows is not None:
+            summary["view_repos"] = view_rows
         print(json.dumps(summary, sort_keys=True))
         return summary
 
@@ -87,9 +97,12 @@ def main(argv: list[str] | None = None) -> dict:
     detail, rollup, counts = reconcile_lake_vs_snapshot(
         args.lake, snap, num_buckets=args.num_buckets, salt_for_repo=salt
     )
+    meta = {"epochs": len(metrics), "lake_root": args.lake}
+    if view_rows is not None:
+        meta["view_repos"] = view_rows
     summary = write_report(
         detail, rollup, counts, args.report or os.path.join(args.lake, "report"),
-        meta={"epochs": len(metrics), "lake_root": args.lake},
+        meta=meta,
     )
     print(json.dumps(summary, sort_keys=True))
     return summary

@@ -1,20 +1,97 @@
 """Table catalog over a parquet directory (the driver's sf dirs or any
-lake path).
+lake path) + the pluggable connector registry.
 
 Replaces the reference's named-JDBC-datasource registry (S5,
-``config/datasource/*.java`` + prefixed properties) with the Ray Data
-equivalent: one parquet path per logical table, read with column
-pruning and optional row filters pushed to the parquet reader.
+``config/datasource/*.java`` + prefixed properties; swap a backing
+store by providing another DAO impl, ``swift/dao/*.java`` —
+SURVEY.md §2.9) with the Ray Data equivalent:
+
+- one path per logical table, read with column pruning and optional
+  row filters pushed to the reader;
+- a **connector registry**: format name -> reader callable returning a
+  Dataset. Built-ins cover parquet (full pushdown), csv and json
+  (column pruning post-read — those formats have no row-group stats);
+  ``register_connector`` adds a custom backing store without touching
+  any pipeline code — the "connector plugin" surface.
+
+The reference's other §2.9 surface (the Tasklet step plugin) needs no
+registry here: a pipeline step IS any callable/class passed to
+``map_batches`` — composition happens in plain Python.
 """
 
 from __future__ import annotations
 
 import os
+from typing import Callable
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def _parquet_connector(path: str, columns=None, filter=None):
+    import ray.data as rd
+
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = columns
+    if filter is not None:
+        kwargs["filter"] = filter
+    return rd.read_parquet(path, **kwargs)
+
+
+def _csv_connector(path: str, columns=None, filter=None):
+    import ray.data as rd
+
+    ds = rd.read_csv(path)
+    return _post_prune(ds, columns, filter)
+
+
+def _json_connector(path: str, columns=None, filter=None):
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+    return _post_prune(ds, columns, filter)
+
+
+def _post_prune(ds, columns, filter):
+    """Row-oriented formats can't prune at the scan; apply the same
+    contract (columns + pyarrow-expression filter) right after it."""
+    if filter is not None:
+        import pyarrow.dataset as pads  # noqa: F401  (expression type)
+
+        ds = ds.map_batches(
+            lambda t: t.filter(filter), batch_format="pyarrow"
+        )
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+CONNECTORS: dict[str, Callable] = {
+    "parquet": _parquet_connector,
+    "csv": _csv_connector,
+    "json": _json_connector,
+}
+
+
+def register_connector(fmt: str, reader: Callable) -> None:
+    """Plug in a backing store: ``reader(path, columns, filter) ->
+    Dataset``. Registered names are usable by ``read_source`` (and by
+    any pipeline taking a ``fmt=``) exactly like the built-ins."""
+    CONNECTORS[fmt] = reader
+
+
+def read_source(path: str, fmt: str = "parquet", columns=None, filter=None):
+    """Read any registered source format into a Dataset with the
+    uniform (columns, filter) pushdown contract."""
+    try:
+        conn = CONNECTORS[fmt]
+    except KeyError:
+        raise ValueError(f"no connector registered for format {fmt!r}; "
+                         f"known: {sorted(CONNECTORS)}") from None
+    return conn(path, columns=columns, filter=filter)
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -26,14 +103,7 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None, filter=
     read; ``filter`` is a pyarrow dataset expression pushed to row
     groups (prune at the read — never load all columns for a
     2-column transform)."""
-    import ray.data as rd
-
-    kwargs = {}
-    if columns is not None:
-        kwargs["columns"] = columns
-    if filter is not None:
-        kwargs["filter"] = filter
-    return rd.read_parquet(table_path(sf_dir, name), **kwargs)
+    return read_source(table_path(sf_dir, name), "parquet", columns=columns, filter=filter)
 
 
 def read_table_pandas(sf_dir: str, name: str, columns: list[str] | None = None):

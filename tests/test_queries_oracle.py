@@ -443,3 +443,37 @@ def test_media_resize_and_frame_sampler_plumbing():
         per[mid] = per.get(mid, 0) + 1
     assert per == {1: 1, 2: 3}  # zero-duration -> 1 frame; 2500ms -> ceil = 3
     assert f["frame_ts_ms"].to_pylist()[-3:] == [0, 1000, 2000]
+
+
+def test_connector_registry_csv_json_custom(ray_session, tmp_path):
+    """S5 connector surface: csv/json built-ins honor the uniform
+    (columns, filter) contract; a custom-registered backing store is
+    indistinguishable from a built-in."""
+    import pyarrow.dataset as pads
+
+    from etl_reconciliate_ray.sources.catalog import read_source, register_connector
+
+    df = pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"], "x": [9, 8, 7, 6]})
+    csv_p = str(tmp_path / "t.csv")
+    json_p = str(tmp_path / "t.json")
+    df.to_csv(csv_p, index=False)
+    df.to_json(json_p, orient="records", lines=True)
+
+    got = read_source(csv_p, "csv", columns=["k", "v"],
+                      filter=(pads.field("k") > 2)).to_pandas()
+    assert list(got.columns) == ["k", "v"] and got["k"].tolist() == [3, 4]
+
+    got = read_source(json_p, "json", columns=["k"]).to_pandas()
+    assert got["k"].tolist() == [1, 2, 3, 4]
+
+    def mem_reader(path, columns=None, filter=None):
+        import ray.data as rd
+
+        ds = rd.from_pandas(df)
+        return ds.select_columns(columns) if columns else ds
+
+    register_connector("mem", mem_reader)
+    assert read_source("ignored", "mem", columns=["x"]).to_pandas()["x"].tolist() == [9, 8, 7, 6]
+
+    with pytest.raises(ValueError, match="no connector"):
+        read_source("p", "avro")
