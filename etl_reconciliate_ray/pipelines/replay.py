@@ -687,14 +687,19 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
     if not todo:
         return {"epoch": None, "compacted": 0, "sec": 0.0, "skipped": True}
     epoch = (log.latest_sealed_epoch() or 0) + 1
-    if writers is None:
-        writers = make_writer_pool(cfg.lake_root, cfg.writer_concurrency)
 
     from ..stages.merge import read_chain
+    from ..stages.writer import write_piece_local
 
+    lake_root = cfg.lake_root
     items = [{"part": p, "chain": json.dumps(c)} for p, c in sorted(todo.items())]
 
     def compact_one(batch: pa.Table) -> pa.Table:
+        # task-side write (write_piece_local): the task already holds
+        # the resolved state, so shipping it through the object store to
+        # a writer actor would add a full serialization hop and funnel
+        # 64 buckets through writer_concurrency actors; the commit-log
+        # fence + content-addressed names keep retries idempotent
         rows = []
         for rec in batch.to_pylist():
             part = int(rec["part"])
@@ -704,8 +709,7 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
                 cols = {c: pa.array([None], pa.string()) for c in LAKE_COLS}
                 cols["bucket"] = pa.array([part], pa.int32())
                 state = pa.table(cols)
-            rows.append(ray.get(writers[part % len(writers)].write_piece.remote(
-                epoch, part, state, "full")))
+            rows.append(write_piece_local(lake_root, epoch, part, state, "full"))
         return pa.Table.from_pylist(rows)
 
     rows_ds = rd.from_items(items, override_num_blocks=len(items)).map_batches(

@@ -34,6 +34,39 @@ import pyarrow.parquet as pq
 from ..functions.hashing import table_state_sha256
 from ..state.commitlog import CommitLog
 
+def write_piece_local(lake_root: str, epoch: int, part: int, tbl: pa.Table,
+                      kind: str = "full") -> dict:
+    """Task-side piece write — idempotent WITHOUT an actor: the file
+    name is content-addressed (sha of the key->hash state), published
+    tmp + atomic replace, so a retried task that recomputes the same
+    state rewrites byte-identical bytes to the same name. Tasks that
+    already HOLD their output (compaction resolves the chain in the
+    task) write here directly — no object-store hop, no actor
+    round-trip, no writer-pool serialization point; the run-level fence
+    stays with the driver's commit log (``_commit_manifest_rows``)."""
+    if kind == "full":
+        # strip empty-partition tombstone rows (see merge.make_merge_fn)
+        tbl = tbl.filter(pc.is_valid(tbl["repo"]))
+    piece_sha = table_state_sha256(tbl, ("repo", "path"), "content_sha256")
+    out_dir = os.path.join(lake_root, f"epoch={epoch:05d}", f"part={part:05d}")
+    os.makedirs(out_dir, exist_ok=True)
+    fname = os.path.join(
+        out_dir, f"{'state' if kind == 'full' else 'delta'}-{piece_sha[:16]}.parquet"
+    )
+    if not os.path.exists(fname):  # idempotent: same content -> same name
+        tmp = fname + f".tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, fname)  # atomic publish of the file itself
+    return {
+        "epoch": epoch,
+        "part": part,
+        "file": fname,
+        "rows": tbl.num_rows,
+        "state_sha256": piece_sha,
+        "kind": kind,
+    }
+
+
 class LakeWriterActor:
     """One member of the writer pool. Plain class — wrapped with
     ``ray.remote`` by ``make_writer_pool`` so tests can also drive it
@@ -63,25 +96,7 @@ class LakeWriterActor:
         key = (epoch, part)
         if key in self._fence:
             return self._fence[key]  # epoch fence: already written/committed
-        if kind == "full":
-            # strip empty-partition tombstone rows (see merge.make_merge_fn)
-            tbl = tbl.filter(pc.is_valid(tbl["repo"]))
-        piece_sha = table_state_sha256(tbl, ("repo", "path"), "content_sha256")
-        out_dir = os.path.join(self.lake_root, f"epoch={epoch:05d}", f"part={part:05d}")
-        os.makedirs(out_dir, exist_ok=True)
-        fname = os.path.join(out_dir, f"{'state' if kind == 'full' else 'delta'}-{piece_sha[:16]}.parquet")
-        if not os.path.exists(fname):  # idempotent: same content -> same name
-            tmp = fname + f".tmp{os.getpid()}"
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, fname)  # atomic publish of the file itself
-        row = {
-            "epoch": epoch,
-            "part": part,
-            "file": fname,
-            "rows": tbl.num_rows,
-            "state_sha256": piece_sha,
-            "kind": kind,
-        }
+        row = write_piece_local(self.lake_root, epoch, part, tbl, kind)
         self._fence[key] = row
         return row
 
