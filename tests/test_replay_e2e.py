@@ -437,3 +437,90 @@ def test_incremental_view_resumes_after_partial_loss(fixture_small, tmp_path):
     shutil.rmtree(epochs[-1])  # simulate crash losing the newest epoch
     got = maintain_repo_view(cfg.lake_root)
     assert got.equals(want)
+
+
+def test_fuzz_replay_matches_oracle(ray_session, tmp_path):
+    """Property fuzz: ARBITRARY small CDC streams (random keys, I/U/D
+    ops, random epoch splits, key collisions guaranteed by a tiny key
+    pool) replayed through the real engine equal the independent
+    pure-pandas LWW oracle."""
+    import shutil as _sh
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_reconciliate_ray.datagen import oracle_replay
+    from etl_reconciliate_ray.pipelines.replay import (
+        ReplayConfig, lake_table, replay_stream,
+    )
+
+    KEYS = [("r%d" % (i % 3), "p%d" % i) for i in range(8)]  # collisions likely
+
+    events_st = st.lists(
+        st.tuples(
+            st.integers(0, len(KEYS) - 1),            # key
+            st.sampled_from(["I", "U", "D"]),         # op
+            st.text(alphabet="abcxyz", min_size=0, max_size=6),  # content
+        ),
+        min_size=1, max_size=40,
+    )
+
+    case_n = [0]
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(events=events_st, n_epochs=st.integers(1, 3), seed_keys=st.sets(
+        st.integers(0, len(KEYS) - 1), max_size=4))
+    def run_case(events, n_epochs, seed_keys):
+        case_n[0] += 1
+        root = tmp_path / f"fuzz{case_n[0]}"
+        _sh.rmtree(root, ignore_errors=True)
+        (root / "binlog").mkdir(parents=True)
+
+        lake = pd.DataFrame({
+            "repo": [KEYS[i][0] for i in sorted(seed_keys)],
+            "path": [KEYS[i][1] for i in sorted(seed_keys)],
+            "commit": ["c0"] * len(seed_keys),
+            "lang": ["py"] * len(seed_keys),
+            "content": [f"seed{i}" for i in sorted(seed_keys)],
+        })
+        pq.write_table(pa.Table.from_pandas(lake, preserve_index=False),
+                       str(root / "lake_seed.parquet"))
+
+        binlog = pd.DataFrame({
+            "seq": range(len(events)),
+            "op": [op for _, op, _ in events],
+            "repo": [KEYS[k][0] for k, _, _ in events],
+            "path": [KEYS[k][1] for k, _, _ in events],
+            "commit": [f"c{s}" for s in range(len(events))],
+            "lang": ["py"] * len(events),
+            "content": [c if op != "D" else None for _, op, c in events],
+        })
+        per = max(1, -(-len(binlog) // n_epochs))
+        for e in range(n_epochs):
+            chunk = binlog.iloc[e * per:(e + 1) * per]
+            if len(chunk) == 0:
+                continue
+            pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
+                           str(root / "binlog" / f"epoch={e:05d}.parquet"))
+
+        cfg = ReplayConfig(lake_root=str(root / "lake"), num_buckets=4,
+                           writer_concurrency=2, read_parallelism=2,
+                           pipeline_epochs=2, merge_strategy="direct")
+        replay_stream(str(root / "binlog"), cfg,
+                      lake_seed=str(root / "lake_seed.parquet"))
+
+        got_t = lake_table(cfg.lake_root)
+        cols = ["repo", "path", "content"]
+        got = (got_t.select(cols).to_pandas() if got_t.num_rows else
+               pd.DataFrame(columns=cols))
+        want = oracle_replay(lake, binlog)[cols]
+        got = got.sort_values(cols).reset_index(drop=True).astype(object)
+        want = want.sort_values(cols).reset_index(drop=True).astype(object)
+        pd.testing.assert_frame_equal(got, want)
+        _sh.rmtree(root, ignore_errors=True)
+
+    run_case()
