@@ -506,6 +506,65 @@ def q_reconcile_rollup(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- pivot / rolling
+def q_pivot_user_events(sf_dir: str):
+    """Pivot: per-user event-type counts as columns (conditional
+    aggregation — the Arrow-native pivot; no row explosion, map-side
+    partials then one tiny shuffle)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    types = ["click", "view", "purchase"]
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols: dict[str, pa.Array] = {"user_id": t["user_id"]}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        return pa.table(cols)
+
+    return preagg_groupby(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        keys=["user_id"], sums={f"n_{ty}": f"n_{ty}" for ty in types},
+    )
+
+
+def q_rolling_user_values(sf_dir: str):
+    """Per-key ordered rolling aggregate: each user's 3-event moving
+    sum of value (cents), ordered by (ts, event_id). One key-hash
+    shuffle co-locates a user's events; the rolling sum inside each
+    group is a vectorized cumsum difference — no per-row Python."""
+    from ..functions.hashing import hash64
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(16)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def roll(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100
+        ).astype(np.int64)
+        n = len(uid)
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1]).astype(np.int64)
+        lengths = np.diff(np.concatenate([starts, [n]]))
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        # window floor per row: max(its group's start, i-2)
+        lo = np.maximum(np.arange(n, dtype=np.int64) - 2, np.repeat(starts, lengths))
+        rolling = cs[np.arange(n) + 1] - cs[lo]
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "rolling3_cents": pa.array(rolling, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda t: roll(t.drop_columns(["__b"])), batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------- training-set assembly
 def q_split_docs(sf_dir: str):
     """Deterministic 90/5/5 train/val/test split by doc_id residue —
@@ -570,6 +629,28 @@ def q_topk_orders_per_priority(sf_dir: str):
     return topk_per_group(
         ds, group_key="o_orderpriority", order_col="o_totalprice", k=5,
         tiebreak="o_orderkey", descending=True,
+    )
+
+
+def q_approx_quantiles_events(sf_dir: str):
+    """Mergeable histogram-sketch quantiles (the high-cardinality scale
+    path; error bounded by one bin width, property-tested). Rows-only:
+    the sketch is deliberately approximate."""
+    from ..stages.topk import histogram_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), dtype=np.float64) * 100
+        ).astype(np.int64)
+        return pa.table({"event_type": t["event_type"], "cents": pa.array(v, pa.int64())})
+
+    return histogram_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        group_key="event_type", value_col="cents",
+        quantiles={"median_cents": 0.5, "p95_cents": 0.95},
+        lo=0, hi=200_000, num_bins=2048,
     )
 
 
@@ -780,10 +861,13 @@ QUERIES = {
     "session_window_events": q_session_window_events,
     "asof_join_events": q_asof_join_events,
     "reconcile_rollup": q_reconcile_rollup,
+    "pivot_user_events": q_pivot_user_events,
+    "rolling_user_values": q_rolling_user_values,
     "split_docs": q_split_docs,
     "pack_docs": q_pack_docs,
     "topk_orders_per_priority": q_topk_orders_per_priority,
     "event_value_quantiles": q_event_value_quantiles,
+    "approx_quantiles_events": q_approx_quantiles_events,
     "nested_order_lines": q_nested_order_lines,
     "money_dual_eq": q_money_dual_eq,
     "money_rollup": q_money_rollup,
@@ -900,6 +984,20 @@ ORACLE_SQL = {
         "WHEN SUM(CASE WHEN status <> 'MATCHED' THEN 1 ELSE 0 END) > 0 THEN 'ROWS_WITH_ERRORS' "
         "ELSE 'OK' END AS rollup_status "
         "FROM (SELECT orderkey % 97 AS grp, status FROM labeled) GROUP BY grp"
+    ),
+    "pivot_user_events": (
+        "SELECT user_id, "
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click, "
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view, "
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase "
+        "FROM events GROUP BY user_id"
+    ),
+    "rolling_user_values": (
+        "SELECT event_id, user_id, CAST(SUM(cents) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling3_cents "
+        "FROM (SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents "
+        "FROM events)"
     ),
     "frame_sample": (
         "SELECT doc_id AS media_id, "

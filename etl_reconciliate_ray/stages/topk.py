@@ -79,6 +79,62 @@ def topk_per_group(
     )
 
 
+def histogram_quantiles(
+    ds,
+    group_key: str,
+    value_col: str,
+    quantiles: dict[str, float],
+    lo: int,
+    hi: int,
+    num_bins: int = 1024,
+):
+    """MERGEABLE approximate quantiles — the scale path for
+    high-cardinality groups where ``grouped_quantiles``' whole-group
+    reduction is too big: each batch collapses to per-(group, bin)
+    counts (vectorized bincount — a combiner), counts merge by sum (one
+    tiny shuffle), and the quantile is the lower edge of the bin where
+    the cumulative count crosses q*n. Error is bounded by ONE BIN WIDTH
+    ((hi-lo)/num_bins) by construction — property-tested against the
+    exact reduction, not assumed."""
+    import pyarrow.compute as pc
+
+    width = max(1, (hi - lo + num_bins - 1) // num_bins)
+
+    def to_bins(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip((v - lo) // width, 0, num_bins - 1)
+        keys = t[group_key]
+        tb = pa.table({group_key: keys, "bin": pa.array(b, pa.int64())})
+        red = tb.group_by([group_key, "bin"], use_threads=False).aggregate([("bin", "count")])
+        return pa.table({
+            group_key: red[group_key],
+            "bin": red["bin"],
+            "n": pc.cast(red["bin_count"], pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(to_bins, batch_format="pyarrow")
+        .groupby([group_key, "bin"])
+        .sum("n")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("bin", "ascending")])
+        n_col = "sum(n)" if "sum(n)" in t.column_names else "n"
+        counts = t[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bins = t["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(counts.sum())
+        cum = np.cumsum(counts)
+        row: dict[str, object] = {group_key: t[group_key][0].as_py(), "n": total}
+        for name, q in quantiles.items():
+            target = int(np.floor(q * (total - 1))) + 1  # rank, 1-based
+            idx = int(np.searchsorted(cum, target))
+            row[name] = int(lo + bins[idx] * width)  # lower bin edge
+        return pa.Table.from_pylist([row])
+
+    return merged.groupby(group_key).map_groups(finalize, batch_format="pyarrow")
+
+
 def grouped_quantiles(ds, group_key: str, value_col: str, quantiles: dict[str, float]):
     """Exact per-group order statistics: for each named quantile q, the
     value at sorted index ``floor(q * (n-1))`` (int64 values). One

@@ -477,3 +477,33 @@ def test_connector_registry_csv_json_custom(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="no connector"):
         read_source("p", "avro")
+
+
+def test_histogram_quantiles_bounded_error(ray_session):
+    """The mergeable histogram sketch must land within ONE bin width of
+    the exact rank-indexed quantile on every group — the advertised
+    bound, measured."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.topk import grouped_quantiles, histogram_quantiles
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, n),
+        "v": rng.integers(0, 100000, n).astype("int64"),
+    })
+    ds = lambda: rd.from_pandas(df, override_num_blocks=9)  # noqa: E731
+    qs = {"p50": 0.5, "p95": 0.95}
+    lo, hi, bins = 0, 100000, 512
+    width = (hi - lo + bins - 1) // bins
+
+    exact = grouped_quantiles(ds(), "g", "v", qs).to_pandas().set_index("g")
+    approx = histogram_quantiles(ds(), "g", "v", qs, lo=lo, hi=hi, num_bins=bins)
+    approx = approx.to_pandas().set_index("g")
+    for g in exact.index:
+        for name in qs:
+            err = abs(int(exact.loc[g, name]) - int(approx.loc[g, name]))
+            assert err <= width, (g, name, err, width)
+        assert int(exact.loc[g, "n"]) == int(approx.loc[g, "n"])
