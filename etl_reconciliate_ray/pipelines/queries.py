@@ -506,6 +506,43 @@ def q_reconcile_rollup(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- interval join
+def q_interval_join_events(sf_dir: str):
+    """Range join (multi-match): every click within one hour AFTER any
+    purchase by the same user — the interval generalization of the
+    as-of join (stages/joins.interval_join)."""
+    import pyarrow.dataset as pads
+
+    from ..stages.joins import interval_join
+
+    cols = ["event_id", "user_id", "ts"]
+    clicks = read_table(
+        sf_dir, "events", columns=cols, filter=(pads.field("event_type") == "click")
+    )
+    purchases = read_table(
+        sf_dir, "events", columns=cols, filter=(pads.field("event_type") == "purchase")
+    )
+
+    def to_interval(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "purchase_event_id": df["event_id"],
+            "lo": df["ts"],
+            "hi": df["ts"] + pd.Timedelta(hours=1),
+        })
+
+    out = interval_join(
+        clicks, purchases.map_batches(to_interval, batch_format="pandas"),
+        by="user_id", on="ts", right_lower="lo", right_upper="hi",
+        left_cols={"event_id": "click_event_id"},
+        right_cols={"purchase_event_id": "purchase_event_id"},
+    )
+    return out.map_batches(
+        lambda df: df.astype({"click_event_id": "int64", "purchase_event_id": "int64"}),
+        batch_format="pandas",
+    )
+
+
 # ---------------------------------------------------------------- pivot / rolling
 def q_pivot_user_events(sf_dir: str):
     """Pivot: per-user event-type counts as columns (conditional
@@ -861,6 +898,7 @@ QUERIES = {
     "session_window_events": q_session_window_events,
     "asof_join_events": q_asof_join_events,
     "reconcile_rollup": q_reconcile_rollup,
+    "interval_join_events": q_interval_join_events,
     "pivot_user_events": q_pivot_user_events,
     "rolling_user_values": q_rolling_user_values,
     "split_docs": q_split_docs,
@@ -984,6 +1022,12 @@ ORACLE_SQL = {
         "WHEN SUM(CASE WHEN status <> 'MATCHED' THEN 1 ELSE 0 END) > 0 THEN 'ROWS_WITH_ERRORS' "
         "ELSE 'OK' END AS rollup_status "
         "FROM (SELECT orderkey % 97 AS grp, status FROM labeled) GROUP BY grp"
+    ),
+    "interval_join_events": (
+        "SELECT c.event_id AS click_event_id, p.event_id AS purchase_event_id "
+        "FROM events c JOIN events p ON c.user_id = p.user_id "
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+        "AND p.ts <= c.ts AND c.ts < p.ts + INTERVAL '1 hour'"
     ),
     "pivot_user_events": (
         "SELECT user_id, "

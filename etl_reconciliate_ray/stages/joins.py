@@ -226,3 +226,73 @@ def asof_join(
     return tagged_l.union(tagged_r).groupby("__bucket").map_groups(
         asof_bucket, batch_format="pandas"
     )
+
+
+def interval_join(
+    left_ds,
+    right_ds,
+    by: str,
+    on: str,
+    right_lower: str,
+    right_upper: str,
+    left_cols: dict[str, str],
+    right_cols: dict[str, str],
+    num_buckets: int = 16,
+):
+    """Range (interval) join: every left row paired with EVERY right
+    interval ``[right_lower, right_upper)`` of the same ``by`` key that
+    contains its ``on`` value — the multi-match generalization of
+    ``asof_join`` (which keeps only the latest candidate; reference J2's
+    range predicate ``LoadJpatBatchesTasklet.java:91-106`` keeps one).
+
+    Shape: ONE hash shuffle on ``by`` co-locates each key's rows, then
+    a per-bucket pandas merge on the key + vectorized interval filter.
+    Partitioning assumption (documented, as all custom operators here):
+    per-``by``-key data fits a task; a pathologically hot key needs
+    salting on the interval's time-bin, which changes only the bucket
+    fn, not the semantics.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import hash64
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            b = (hash64(t[by]) % np.uint64(num_buckets)).astype(np.int32)
+            t = t.append_column("__b", pa.array(b))
+            return t.append_column("__side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    both = left_ds.map_batches(tag("L"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("R"), batch_format="pyarrow")
+    )
+
+    out_cols = list(left_cols.values()) + list(right_cols.values())
+
+    if {right_lower, right_upper} & ({on} | set(left_cols)):
+        raise ValueError(
+            "interval bounds must not collide with left column names — "
+            "rename them on the right side before joining"
+        )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "L"]
+        r = df[df["__side"] == "R"]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(columns=out_cols)
+        pairs = l[[by, on, *left_cols]].merge(
+            r[[by, right_lower, right_upper, *right_cols]], on=by, how="inner",
+            suffixes=("", "__r"),
+        )
+        keep = (pairs[right_lower] <= pairs[on]) & (pairs[on] < pairs[right_upper])
+        pairs = pairs[keep]
+        out = pd.DataFrame({dst: pairs[src].to_numpy() for src, dst in left_cols.items()})
+        for src, dst in right_cols.items():
+            col = src if src in pairs.columns else f"{src}__r"
+            out[dst] = pairs[col].to_numpy()
+        return out
+
+    return both.groupby("__b").map_groups(join_bucket, batch_format="pandas")
