@@ -31,6 +31,16 @@ def make_normalizer(
     """Build the per-batch normalize fn (zero-copy Arrow in/out)."""
 
     def normalize(batch: pa.Table) -> pa.Table:
+        # a batch whose string column is entirely null can arrive as
+        # Arrow `null` type (e.g. an all-delete epoch written by a
+        # schema-inferring producer); rebind to string so every
+        # downstream hash/aggregate kernel has a real type
+        for c in batch.column_names:
+            if pa.types.is_null(batch.schema.field(c).type):
+                batch = batch.set_column(
+                    batch.column_names.index(c), c,
+                    pa.nulls(batch.num_rows, pa.string()),
+                )
         if "content_sha256" not in batch.column_names:
             batch = batch.append_column("content_sha256", sha256_hex_array(batch[content_col]))
         if "bucket" not in batch.column_names:
