@@ -156,6 +156,9 @@ def maintain_repo_view(lake_root: str, view_dir: str | None = None) -> pa.Table:
 
     from .replay import _chains_payload
 
+    import glob as _glob
+    import re as _re
+
     view_dir = view_dir or os.path.join(lake_root, "view")
     log = CommitLog.open(lake_root)
     upto = log.latest_sealed_epoch()
@@ -165,6 +168,26 @@ def maintain_repo_view(lake_root: str, view_dir: str | None = None) -> pa.Table:
 
     def _epoch_dir(e: int) -> str:
         return os.path.join(view_dir, f"epoch={e:05d}")
+
+    # Compaction fence: a compaction at epoch f truncates every chain to
+    # [full@f, deltas>f] — pre-f history is gone, and a view resumed
+    # from a pre-f snapshot would count the full@f state ON TOP of it
+    # (double count). If the maintained view does not already reach f,
+    # drop it and rebuild from the truncated chains (full@f from an
+    # empty view is exactly the correct state).
+    trunc = 0
+    for chain in chains.values():
+        if chain and chain[0].get("kind") == "full" and int(chain[0]["epoch"]) > 0:
+            trunc = max(trunc, int(chain[0]["epoch"]))
+    if trunc:
+        done = [
+            int(m.group(1))
+            for d in _glob.glob(os.path.join(view_dir, "epoch=*"))
+            if os.path.exists(os.path.join(d, "_DONE"))
+            and (m := _re.search(r"epoch=(\d+)", d))
+        ]
+        if done and max(done) < trunc:
+            shutil.rmtree(view_dir, ignore_errors=True)
 
     def _load(e: int) -> pa.Table:
         return pq.read_table(os.path.join(_epoch_dir(e), "view.parquet"))

@@ -855,11 +855,20 @@ def q_embdup_pairs(sf_dir: str):
 def q_embdup_pairs_ivf(sf_dir: str):
     """Same pairs through the IVF-bucketed scale path (no corpus
     broadcast: map-side list assignment + within-list scoring; recall
-    vs brute force asserted in tests)."""
+    vs brute force asserted in tests). The quantizer trains on a
+    BOUNDED deterministic sample (first 4096 ids, predicate pushed to
+    the scan) — an 8-centroid k-means never needs the corpus, and
+    pulling it to the driver would reintroduce the exact O(corpus)
+    materialization this path exists to avoid."""
+    import pyarrow.dataset as pads
+
     from ..stages.similarity import ivf_dup_pairs
 
     train = _plant_dup_rows(
-        read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        read_table(
+            sf_dir, "embeddings", columns=["vec_id", "embedding"],
+            filter=(pads.field("vec_id") < 4096),
+        ).to_pandas()
     )
     return ivf_dup_pairs(
         _dup_embeddings(sf_dir), threshold=0.99, num_lists=8, assign_probes=2,
@@ -965,11 +974,15 @@ ORACLE_SQL = {
         "length(text) AS n_chars FROM documents"
     ),
     "quality_docs": (
-        "SELECT doc_id, length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+        # trim-empty guard matches the engine: zero tokens, ratio 0.0
+        # (regexp_split_to_array('', ...) would yield [''] -> 1 token)
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+        "CASE WHEN trim(text) = '' THEN 0.0 ELSE "
         "ROUND(CAST(list_aggregate(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), "
         "x -> CASE WHEN x IN ('the','a','and','of','to','in','is','it','that','for') "
         "THEN 1 ELSE 0 END), 'sum') AS DOUBLE) / "
-        "length(regexp_split_to_array(trim(text), '\\s+')), 6) AS stop_ratio FROM documents"
+        "length(regexp_split_to_array(trim(text), '\\s+')), 6) END AS stop_ratio FROM documents"
     ),
     "sha256_docs": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
     "window_events": (

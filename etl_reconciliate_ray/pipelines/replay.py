@@ -294,7 +294,17 @@ def _discover_epochs(binlog_dir: str) -> list[dict]:
     files = sorted(_g.glob(os.path.join(binlog_dir, "*.parquet")))
     descs = []
     for f in files:
-        pf = pq.ParquetFile(f)
+        try:
+            pf = pq.ParquetFile(f)
+        except Exception:
+            # a partially-copied file (producer not using atomic rename)
+            # has no valid footer yet — skip it; the next poll retries
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skipping unreadable binlog file %s (partial write?)", f
+            )
+            continue
         md = pf.metadata
         si = pf.schema_arrow.names.index("seq")
         los, his = [], []

@@ -270,6 +270,15 @@ def connected_components_min_label(nodes_ds, edges_ds, num_buckets: int = 16,
         labels = new_labels.drop_columns(["changed"])
         if not changed:
             break
+    else:
+        # round budget exhausted with labels still moving: clusters of
+        # diameter > max_rounds would come back SPLIT. Never silent
+        # (repo rule: no silent caps) — raise; callers with genuinely
+        # enormous components should pass a larger max_rounds.
+        raise RuntimeError(
+            f"connected components did not converge within {max_rounds} rounds "
+            f"({changed} labels still changing) — raise max_rounds"
+        )
 
     return labels.drop_columns(["self_label"])
 

@@ -137,7 +137,9 @@ def broadcast_anti_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int 
     set (reference J7 right-anti leg shape, done without a shuffle)."""
     import ray
 
-    ref = ray.put(pa.array(sorted(set(keys_df[on].tolist()))))
+    ref = ray.put(pa.array([v for v in set(keys_df[on].tolist()) if v is not None]))
+    # nulls dropped from the value set: a NULL key matches nothing
+    # (and sorted() would crash on mixed None/value sets)
 
     class AntiFilter:
         def __init__(self):
@@ -157,7 +159,9 @@ def broadcast_anti_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int 
 def broadcast_semi_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int = 65536):
     import ray
 
-    ref = ray.put(pa.array(sorted(set(keys_df[on].tolist()))))
+    ref = ray.put(pa.array([v for v in set(keys_df[on].tolist()) if v is not None]))
+    # nulls dropped from the value set: a NULL key matches nothing
+    # (and sorted() would crash on mixed None/value sets)
 
     class SemiFilter:
         def __init__(self):
@@ -291,7 +295,9 @@ def interval_join(
         pairs = pairs[keep]
         out = pd.DataFrame({dst: pairs[src].to_numpy() for src, dst in left_cols.items()})
         for src, dst in right_cols.items():
-            col = src if src in pairs.columns else f"{src}__r"
+            # on a name collision pandas keeps the LEFT column unsuffixed
+            # and renames the right one `src__r` — prefer the suffix
+            col = f"{src}__r" if f"{src}__r" in pairs.columns else src
             out[dst] = pairs[col].to_numpy()
         return out
 

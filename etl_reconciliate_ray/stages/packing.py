@@ -95,8 +95,9 @@ def pack_documents(ds, id_col: str, ntok_col: str, budget: int):
     never span batches — see module docstring for why)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({})
+        # pack_batch yields the correct 4-column schema even for an
+        # empty batch — never return a schema-less table (it would break
+        # downstream column ops and block unification)
         return pack_batch(batch, id_col, ntok_col, budget)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -169,6 +169,18 @@ class CommitLog:
         every merge/cogroup relies on would otherwise silently break."""
         with self._lock:
             if self._layout is None:
+                if self._entries or self._sealed:
+                    # committed data but no LAYOUT record: a lake written
+                    # by a pre-fence engine build. Stamping the CURRENT
+                    # layout would silently bless whatever hash routed
+                    # the existing files — the exact corruption the
+                    # fence exists to stop.
+                    raise ValueError(
+                        f"lake at {self.root} has committed epochs but no recorded "
+                        "layout; refusing to resume — rebuild the lake (or append a "
+                        "LAYOUT record matching the hash/bucket config it was "
+                        "written under)"
+                    )
                 self._append({"type": "LAYOUT", "layout": layout})
                 self._layout = layout
             elif self._layout != layout:

@@ -507,3 +507,24 @@ def test_histogram_quantiles_bounded_error(ray_session):
             err = abs(int(exact.loc[g, name]) - int(approx.loc[g, name]))
             assert err <= width, (g, name, err, width)
         assert int(exact.loc[g, "n"]) == int(approx.loc[g, "n"])
+
+
+def test_interval_join_right_column_collision(ray_session):
+    """A right_cols source name that collides with a left column must
+    surface the RIGHT side's values (pandas renames it `src__r` on
+    merge — regression for the inverted suffix lookup)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.joins import interval_join
+
+    left = pd.DataFrame({"k": [1, 1], "t": [5, 50], "event_id": [100, 101]})
+    right = pd.DataFrame({"k": [1], "lo": [0], "hi": [10], "event_id": [900]})
+    out = interval_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        by="k", on="t", right_lower="lo", right_upper="hi",
+        left_cols={"event_id": "left_id"}, right_cols={"event_id": "right_id"},
+        num_buckets=2,
+    ).to_pandas()
+    assert out["left_id"].tolist() == [100]   # only t=5 falls in [0, 10)
+    assert out["right_id"].tolist() == [900]  # the RIGHT event id, not 100

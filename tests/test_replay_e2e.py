@@ -524,3 +524,22 @@ def test_fuzz_replay_matches_oracle(ray_session, tmp_path):
         _sh.rmtree(root, ignore_errors=True)
 
     run_case()
+
+
+def test_incremental_view_survives_compaction(fixture_small, tmp_path):
+    """Compaction truncates chain history; resuming the maintained view
+    across it must NOT double-count (the full link replays the whole
+    state). The fence rebuilds the view from the truncated chains."""
+    from etl_reconciliate_ray.pipelines.incremental import (
+        maintain_repo_view, view_of_state,
+    )
+    from etl_reconciliate_ray.pipelines.replay import compact, lake_table
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_view3", manifest)
+    replay(fixture_dir, cfg)
+    maintain_repo_view(cfg.lake_root)       # view maintained pre-compaction
+    compact(cfg)                            # truncates every chain to [full@N+1]
+    got = maintain_repo_view(cfg.lake_root)  # must rebuild, not double-count
+    want = view_of_state(lake_table(cfg.lake_root))
+    assert got.equals(want), (got.num_rows, want.num_rows)
