@@ -14,8 +14,10 @@ message (J1 ``LoadSwiftMessagesTasklet.java:44``, J2
   merge within each bucket (explicit partitioned hash join;
   ray_guide.md "Joins and lookups" portable pattern).
 - **broadcast_semi_join / anti_join** — membership filter against a
-  broadcast key set (at 100 TB this key set becomes a Bloom filter;
-  the stage contract is unchanged).
+  broadcast key set. At 100 TB the exact set stops fitting an actor's
+  heap: prune the stream first with ``functions.bloom.bloom_prefilter``
+  (~10 bits/key, zero false negatives) and run the exact filter/join on
+  the survivors.
 """
 
 from __future__ import annotations

@@ -528,3 +528,33 @@ def test_interval_join_right_column_collision(ray_session):
     ).to_pandas()
     assert out["left_id"].tolist() == [100]   # only t=5 falls in [0, 10)
     assert out["right_id"].tolist() == [900]  # the RIGHT event id, not 100
+
+
+def test_bloom_prefilter_properties(ray_session):
+    """Bloom contract: ZERO false negatives (every inserted key passes);
+    FP rate near theory; prefilter + exact semi filter == exact result."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.functions.bloom import (
+        bloom_contains, bloom_prefilter, build_bloom,
+    )
+
+    keys = pa.array([f"k{i}" for i in range(50_000)])
+    other = pa.array([f"x{i}" for i in range(50_000)])
+    bloom = build_bloom(keys, bits_log2=19, k=7)  # ~10.5 bits/key
+
+    assert bloom_contains(bloom, keys).all()  # no false negatives, ever
+    fp = bloom_contains(bloom, other).mean()
+    assert fp < 0.03, fp  # theory ~0.9% at 10.5 bits/key; generous margin
+
+    df = pd.DataFrame({"k": [f"k{i}" for i in range(0, 2000)]
+                       + [f"x{i}" for i in range(2000)]})
+    ds = rd.from_pandas(df, override_num_blocks=5)
+    pre = bloom_prefilter(ds, bloom, on="k").to_pandas()
+    exact = {f"k{i}" for i in range(50_000)}
+    kept = set(pre["k"])
+    assert {k for k in df["k"] if k in exact} <= kept  # prefilter loses nothing
+    # definitely-absent fast path is a correct SUBSET of the anti result
+    anti_fast = set(bloom_prefilter(ds, bloom, on="k", invert=True).to_pandas()["k"])
+    assert anti_fast <= {k for k in df["k"] if k not in exact}
