@@ -761,6 +761,36 @@ def q_nested_order_lines(sf_dir: str):
     return nested.map_batches(consume, batch_format="pyarrow")
 
 
+def q_unnest_roundtrip(sf_dir: str):
+    """nest -> unnest round trip: lineitems nested under their order
+    then exploded back — one row per lineitem with the parent key
+    repeated (reference N1's parent(list(child)) consumed the way the
+    reconcile loop does at ReconciliationService.java:109-111)."""
+    from ..stages.nest import nest_children, unnest
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    nested = nest_children(
+        li, parent_key="l_orderkey", order_col="l_linenumber", list_col="lines"
+    )
+    return unnest(nested, "lines")
+
+
+def q_normalize_text(sf_dir: str):
+    """Text normalization (lowercase + whitespace collapse + trim): the
+    standard cleanup pass before dedup/tokenization, as vectorized
+    Arrow kernels (utf8_lower + regex replace — compiled once in the
+    kernel, C speed)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.table({"doc_id": t["doc_id"], "norm_text": x})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- decimal money
 def q_money_dual_eq(sf_dir: str):
     """Decimal128 dual-equality reconciliation (reference's BigDecimal
@@ -916,6 +946,8 @@ QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "approx_quantiles_events": q_approx_quantiles_events,
     "nested_order_lines": q_nested_order_lines,
+    "unnest_roundtrip": q_unnest_roundtrip,
+    "normalize_text": q_normalize_text,
     "money_dual_eq": q_money_dual_eq,
     "money_rollup": q_money_rollup,
     "sample_orders": q_sample_orders,
@@ -1085,6 +1117,13 @@ ORACLE_SQL = {
         "CAST(MAX(CASE WHEN rn = (n - 1) // 2 THEN cents END) AS BIGINT) AS median_cents, "
         "CAST(MAX(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) THEN cents END) AS BIGINT) "
         "AS p95_cents FROM r GROUP BY event_type"
+    ),
+    "unnest_roundtrip": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem"
+    ),
+    "normalize_text": (
+        "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text "
+        "FROM documents"
     ),
     "nested_order_lines": (
         "SELECT l_orderkey AS orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines, "

@@ -61,6 +61,36 @@ def nest_table(
     return pa.table({parent_key: parents, list_col: lists})
 
 
+def unnest_table(t: pa.Table, list_col: str, parent_cols: list[str] | None = None) -> pa.Table:
+    """Inverse of ``nest_table``: explode ``list<struct>`` back to one
+    row per child, repeating the parent columns — zero-copy where Arrow
+    allows (``list_flatten`` is a view; parents gather once via the
+    repeat index)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    parent_cols = parent_cols or [c for c in t.column_names if c != list_col]
+    lst = t[list_col].combine_chunks()
+    lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), lengths))
+    flat = pc.list_flatten(lst)
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        c: t[c].combine_chunks().take(idx) for c in parent_cols
+    }
+    for f in flat.type:
+        cols[f.name] = pc.struct_field(flat, f.name)
+    return pa.table(cols)
+
+
+def unnest(ds, list_col: str, parent_cols: list[str] | None = None):
+    """Dataset-level explode of a ``list<struct>`` column (map-only)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return unnest_table(t, list_col, parent_cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def nest_children(
     child_ds,
     parent_key: str,
