@@ -32,8 +32,10 @@ recount.
 
 from __future__ import annotations
 
+import glob as _glob
 import json as _json
 import os
+import re as _re
 import shutil
 
 import numpy as np
@@ -155,9 +157,6 @@ def maintain_repo_view(lake_root: str, view_dir: str | None = None) -> pa.Table:
     import ray.data as rd
 
     from .replay import _chains_payload
-
-    import glob as _glob
-    import re as _re
 
     view_dir = view_dir or os.path.join(lake_root, "view")
     log = CommitLog.open(lake_root)

@@ -171,27 +171,22 @@ def reconcile_lake_vs_snapshot(
             "bucket", bucket_of(batch["repo"], batch["path"], num_buckets, salt_for_repo)
         )
 
+    # layout fence FIRST — before any O(snapshot) work: the snapshot
+    # MUST be bucketed exactly as the lake was written (same bucket
+    # count, salt map, hash impl) or keys land on different sides of
+    # the cogroup and every one reads as a missing/extra pair — a
+    # silent total mis-reconcile. The fingerprint is the SHARED
+    # definition (state.commitlog.layout_fingerprint), so writer and
+    # reader can never drift apart.
+    from ..state.commitlog import layout_fingerprint
+
+    log = CommitLog.open(lake_root)
+    log.check_layout(layout_fingerprint(num_buckets, salt_for_repo))
+
     snap_map = _spool_bucketed(
         snapshot_ds.map_batches(retag, batch_format="pyarrow"), spool_dir, cols
     )
 
-    log = CommitLog.open(lake_root)
-    # layout fence: the snapshot MUST be bucketed exactly as the lake
-    # was written (same bucket count, salt map, hash impl) or keys land
-    # on different sides of the cogroup and every one reads as a
-    # missing/extra pair — a silent total mis-reconcile
-    from ..functions.hashing import HASH_IMPL
-
-    want = {
-        "num_buckets": num_buckets,
-        "salt": {k: int(v) for k, v in sorted((salt_for_repo or {}).items())},
-        "hash_impl": HASH_IMPL,
-    }
-    if log._layout is not None and log._layout != want:
-        raise ValueError(
-            f"lake at {lake_root} was written under layout {log._layout}; "
-            f"reconcile was called with {want} — the cogroup would mis-bucket"
-        )
     chains = _chains_payload(log, upto_epoch=log.latest_sealed_epoch())
     parts = sorted(set(chains) | set(snap_map))
     items = [

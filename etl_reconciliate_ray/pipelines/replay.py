@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 
-from ..functions.hashing import HASH_IMPL, table_state_sha256
+from ..functions.hashing import table_state_sha256
 from ..stages.merge import _unify_concat, make_merge_fn, read_chain
 from ..stages.normalize import make_normalizer
 from ..stages.writer import make_writer_pool
@@ -87,11 +87,9 @@ class ReplayConfig:
     def layout(self) -> dict:
         """The physical-layout fingerprint fenced by the commit log —
         resuming a lake under a different bucket routing is refused."""
-        return {
-            "num_buckets": self.num_buckets,
-            "salt": {k: int(v) for k, v in sorted(self.salt_for_repo.items())},
-            "hash_impl": HASH_IMPL,
-        }
+        from ..state.commitlog import layout_fingerprint
+
+        return layout_fingerprint(self.num_buckets, self.salt_for_repo)
 
 
 def _commit_manifest_rows(
@@ -276,7 +274,7 @@ def replay(
     return _replay_epoch_descs(fixture["epochs"], cfg, seed_path, stop_after_epoch)
 
 
-def _discover_epochs(binlog_dir: str) -> list[dict]:
+def _discover_epochs(binlog_dir: str, stop_at_unreadable: bool = False) -> list[dict]:
     """Discover binlog epoch files in a directory WITHOUT a fixture
     manifest — the binlog/WAL-tail ingestion surface (north rule "tails
     a binlog/WAL stream"; reference trigger surface
@@ -285,7 +283,18 @@ def _discover_epochs(binlog_dir: str) -> list[dict]:
     Epoch ordinal comes from ``epoch=NNNNN`` in the file name when
     present (rank order of the seq range otherwise); the seq range
     comes from the parquet FOOTER's row-group min/max statistics — a
-    metadata-only read, no data pages decoded."""
+    metadata-only read, no data pages decoded.
+
+    Unreadable files: a one-shot replay (``stop_at_unreadable=False``)
+    raises LOUDLY — silently skipping a file would seal the stream with
+    an epoch missing, and rank-derived ordinals of later files would
+    shift on a retry (events fenced out forever). In follow mode
+    (``stop_at_unreadable=True``) an unreadable file is assumed to be a
+    mid-copy arrival: discovery CUTS at the first one (name order), the
+    earlier complete prefix processes, and the next poll retries from
+    the cut. This is only safe under the documented producer contract —
+    files land in seq order (standard WAL semantics), ideally published
+    via atomic rename."""
     import glob as _g
     import re
 
@@ -296,15 +305,20 @@ def _discover_epochs(binlog_dir: str) -> list[dict]:
     for f in files:
         try:
             pf = pq.ParquetFile(f)
-        except Exception:
-            # a partially-copied file (producer not using atomic rename)
-            # has no valid footer yet — skip it; the next poll retries
-            import logging
+        except Exception as e:
+            if stop_at_unreadable:
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "skipping unreadable binlog file %s (partial write?)", f
-            )
-            continue
+                logging.getLogger(__name__).warning(
+                    "binlog tail: %s unreadable (mid-copy?) — processing the "
+                    "prefix before it, retrying next poll", f
+                )
+                break
+            raise ValueError(
+                f"unreadable binlog file {f}: {e} — refusing to replay with a "
+                "gap (a skipped file would be fenced out forever once later "
+                "epochs seal)"
+            ) from e
         md = pf.metadata
         si = pf.schema_arrow.names.index("seq")
         los, his = [], []
@@ -432,7 +446,7 @@ def follow_stream(
     seen: set[str] = set()
     idle = 0
     while True:
-        descs = _discover_epochs(binlog_dir)
+        descs = _discover_epochs(binlog_dir, stop_at_unreadable=True)
         fresh = [d for d in descs if d["file"] not in seen]
         if fresh:
             idle = 0
@@ -441,7 +455,7 @@ def follow_stream(
         else:
             idle += 1
         if os.path.exists(os.path.join(binlog_dir, "_EOS")):
-            descs = _discover_epochs(binlog_dir)
+            descs = _discover_epochs(binlog_dir, stop_at_unreadable=True)
             if all(d["file"] in seen for d in descs):
                 break
         elif idle >= idle_polls:

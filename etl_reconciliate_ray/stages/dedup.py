@@ -241,6 +241,7 @@ def connected_components_min_label(nodes_ds, edges_ds, num_buckets: int = 16,
         batch_format="pyarrow",
     ).materialize()
 
+    changed = None
     for _ in range(max_rounds):
         # neighbor messages: edge (src -> node) carries src's label
         src_labels = labels.map_batches(
@@ -274,16 +275,18 @@ def connected_components_min_label(nodes_ds, edges_ds, num_buckets: int = 16,
         # round budget exhausted with labels still moving: clusters of
         # diameter > max_rounds would come back SPLIT. Never silent
         # (repo rule: no silent caps) — raise; callers with genuinely
-        # enormous components should pass a larger max_rounds.
-        raise RuntimeError(
-            f"connected components did not converge within {max_rounds} rounds "
-            f"({changed} labels still changing) — raise max_rounds"
-        )
+        # enormous components pass a larger budget (minhash_clusters
+        # plumbs cc_max_rounds through).
+        if changed is not None:
+            raise RuntimeError(
+                f"connected components did not converge within {max_rounds} "
+                f"rounds ({changed} labels still changing) — raise max_rounds"
+            )
 
     return labels.drop_columns(["self_label"])
 
 
-def minhash_clusters(docs_ds, threshold: float = 0.8, **mh_kwargs):
+def minhash_clusters(docs_ds, threshold: float = 0.8, cc_max_rounds: int = 50, **mh_kwargs):
     """Near-dup clusters: doc_id -> cluster_id (min doc_id of its
     component), via LSH candidates + distributed Jaccard verify +
     distributed min-label connected components. End-to-end Dataset
@@ -298,7 +301,7 @@ def minhash_clusters(docs_ds, threshold: float = 0.8, **mh_kwargs):
         lambda df: pd.DataFrame({"node": df["doc_id"].astype("int64")}),
         batch_format="pandas",
     )
-    labels = connected_components_min_label(nodes, verified)
+    labels = connected_components_min_label(nodes, verified, max_rounds=cc_max_rounds)
     return labels.map_batches(
         lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
                                  "cluster_id": df["label"].astype("int64")}),

@@ -148,6 +148,9 @@ def broadcast_anti_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int 
             self.keys = ray.get(ref)  # pa.Array value set, fetched once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(self.keys) == 0:
+                return batch  # empty set: nothing to exclude (is_in would
+                # reject a null-typed empty value set)
             # vectorized membership (Arrow C kernel; null keys -> not in
             # set -> kept, matching Python `v not in keys` semantics)
             mask = pc.invert(pc.is_in(batch[on], value_set=self.keys))
@@ -170,6 +173,8 @@ def broadcast_semi_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int 
             self.keys = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(self.keys) == 0:
+                return batch.slice(0, 0)  # empty set: nothing matches
             mask = pc.is_in(batch[on], value_set=self.keys)
             return batch.filter(mask)
 
@@ -278,10 +283,10 @@ def interval_join(
 
     out_cols = list(left_cols.values()) + list(right_cols.values())
 
-    if {right_lower, right_upper} & ({on} | set(left_cols)):
+    if {right_lower, right_upper} & ({on, by} | set(left_cols)):
         raise ValueError(
-            "interval bounds must not collide with left column names — "
-            "rename them on the right side before joining"
+            "interval bounds must not collide with the join key or left "
+            "column names — rename them on the right side before joining"
         )
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -289,18 +294,18 @@ def interval_join(
         r = df[df["__side"] == "R"]
         if len(l) == 0 or len(r) == 0:
             return pd.DataFrame(columns=out_cols)
-        pairs = l[[by, on, *left_cols]].merge(
-            r[[by, right_lower, right_upper, *right_cols]], on=by, how="inner",
-            suffixes=("", "__r"),
-        )
+        # pre-rename the right payload columns to reserved placeholder
+        # names BEFORE the merge: no pandas suffix guessing, no way for
+        # a left column named like the right's (or like `src__r`) to be
+        # silently emitted as right-side output
+        ph = {src: f"__rc{i}" for i, src in enumerate(right_cols)}
+        r2 = r[[by, right_lower, right_upper, *right_cols]].rename(columns=ph)
+        pairs = l[[by, on, *left_cols]].merge(r2, on=by, how="inner")
         keep = (pairs[right_lower] <= pairs[on]) & (pairs[on] < pairs[right_upper])
         pairs = pairs[keep]
         out = pd.DataFrame({dst: pairs[src].to_numpy() for src, dst in left_cols.items()})
         for src, dst in right_cols.items():
-            # on a name collision pandas keeps the LEFT column unsuffixed
-            # and renames the right one `src__r` — prefer the suffix
-            col = f"{src}__r" if f"{src}__r" in pairs.columns else src
-            out[dst] = pairs[col].to_numpy()
+            out[dst] = pairs[ph[src]].to_numpy()
         return out
 
     return both.groupby("__b").map_groups(join_bucket, batch_format="pandas")

@@ -66,12 +66,16 @@ def unnest_table(t: pa.Table, list_col: str, parent_cols: list[str] | None = Non
     row per child, repeating the parent columns — zero-copy where Arrow
     allows (``list_flatten`` is a view; parents gather once via the
     repeat index)."""
-    import numpy as np
-    import pyarrow.compute as pc
-
     parent_cols = parent_cols or [c for c in t.column_names if c != list_col]
     lst = t[list_col].combine_chunks()
-    lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+    # a NULL list entry unnests to zero rows (list_flatten skips nulls,
+    # so the repeat counts must agree or parents would misalign; the
+    # null length would otherwise cast to INT64_MIN)
+    lengths = (
+        pc.fill_null(pc.list_value_length(lst), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), lengths))
     flat = pc.list_flatten(lst)
     cols: dict[str, pa.Array | pa.ChunkedArray] = {

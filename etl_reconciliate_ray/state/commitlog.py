@@ -30,6 +30,20 @@ import threading
 from dataclasses import dataclass, field
 
 
+def layout_fingerprint(num_buckets: int, salt_for_repo: dict | None) -> dict:
+    """The canonical physical-layout fingerprint fenced by the commit
+    log — THE single definition shared by writers (ReplayConfig.layout)
+    and readers (reconcile), so the two can never drift apart and
+    silently disable the fence."""
+    from ..functions.hashing import HASH_IMPL
+
+    return {
+        "num_buckets": int(num_buckets),
+        "salt": {k: int(v) for k, v in sorted((salt_for_repo or {}).items())},
+        "hash_impl": HASH_IMPL,
+    }
+
+
 @dataclass(frozen=True)
 class PartEntry:
     epoch: int
@@ -160,6 +174,29 @@ class CommitLog:
             fh.write("".join(json.dumps(r, sort_keys=True) + "\n" for r in recs))
             fh.flush()
             os.fsync(fh.fileno())
+
+    @property
+    def layout(self) -> dict | None:
+        """The recorded physical layout (None for an empty log)."""
+        return self._layout
+
+    def check_layout(self, layout: dict) -> None:
+        """Read-path fence: refuse to operate on a lake whose recorded
+        layout differs from (or predates) the caller's — mis-bucketed
+        cogroups mis-reconcile silently otherwise."""
+        with self._lock:
+            if self._layout is None:
+                if self._entries or self._sealed:
+                    raise ValueError(
+                        f"lake at {self.root} has committed epochs but no recorded "
+                        "layout; refusing to read — its bucket routing is unknown"
+                    )
+                return  # empty lake: nothing to mis-bucket
+            if self._layout != layout:
+                raise ValueError(
+                    f"lake at {self.root} was written under layout {self._layout}; "
+                    f"caller expects {layout} — the cogroup would mis-bucket"
+                )
 
     # -- fencing ---------------------------------------------------------
     def ensure_layout(self, layout: dict) -> None:
