@@ -543,3 +543,68 @@ def test_incremental_view_survives_compaction(fixture_small, tmp_path):
     got = maintain_repo_view(cfg.lake_root)  # must rebuild, not double-count
     want = view_of_state(lake_table(cfg.lake_root))
     assert got.equals(want), (got.num_rows, want.num_rows)
+
+
+def test_replay_stream_refuses_unreadable_file(fixture_small, tmp_path):
+    """One-shot replay must FAIL LOUDLY on an unreadable binlog file —
+    silently skipping would seal the stream with a missing epoch and
+    fence its events out forever."""
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from etl_reconciliate_ray.pipelines.replay import replay_stream
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    tail_dir = str(tmp_path / "bad_binlog")
+    os.makedirs(tail_dir)
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    shutil.copy(files[0], os.path.join(tail_dir, os.path.basename(files[0])))
+    with open(os.path.join(tail_dir, "zz-partial.parquet"), "wb") as fh:
+        fh.write(b"PAR1corrupt")  # no footer
+    cfg = _cfg(tmp_path, "lake_bad", manifest)
+    with _pytest.raises(ValueError, match="unreadable binlog file"):
+        replay_stream(tail_dir, cfg, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+
+
+def test_follow_stream_prefix_cut_then_retry(fixture_small, tmp_path):
+    """Follow mode: a trailing mid-copy file cuts discovery at the
+    prefix; once completed, the next poll picks it up and the converged
+    state equals the batch replay."""
+    import glob
+    import os
+    import shutil
+    import threading
+    import time as _time
+
+    from etl_reconciliate_ray.pipelines.replay import follow_stream, replay
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    batch_cfg = _cfg(tmp_path, "lake_batch3", manifest)
+    replay(fixture_dir, batch_cfg)
+    want = lake_state_hash(batch_cfg.lake_root)
+
+    tail_dir = str(tmp_path / "cut_binlog")
+    os.makedirs(tail_dir)
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    for f in files[:-1]:
+        shutil.copy(f, os.path.join(tail_dir, os.path.basename(f)))
+    last = os.path.join(tail_dir, os.path.basename(files[-1]))
+    with open(last, "wb") as fh:
+        fh.write(b"PAR1not-a-footer")  # mid-copy: unreadable
+
+    def complete_later():
+        _time.sleep(1.0)
+        shutil.copy(files[-1], last + ".tmp")
+        os.replace(last + ".tmp", last)  # atomic publish of the real file
+        open(os.path.join(tail_dir, "_EOS"), "w").close()
+
+    t = threading.Thread(target=complete_later)
+    t.start()
+    cfg = _cfg(tmp_path, "lake_cut", manifest)
+    follow_stream(tail_dir, cfg, lake_seed=f"{fixture_dir}/lake_seed.parquet",
+                  poll_sec=0.2, idle_polls=50)
+    t.join()
+    assert lake_state_hash(cfg.lake_root) == want
