@@ -122,35 +122,38 @@ def q_join_orders_lineitem(sf_dir: str):
 
 
 # ---------------------------------------------------------------- J4-J8 cogroup
-def _reconcile_sides(sf_dir: str):
+def _reconcile_sides_tagged(sf_dir: str, num_buckets: int = 16):
     """Derive deterministic L/R sides from orders exercising every
-    status class: keys %10==9 right-only, %10==7 left-only, %10==3
-    value-mutated, %10==5 duplicated on the right."""
+    status class — keys %10==9 right-only, %10==7 left-only, %10==3
+    value-mutated, %10==5 duplicated on the right — FUSED: both sides
+    derive from the same orders scan, so one map_batches emits the
+    tagged union (side + bucket) directly: ONE read instead of two and
+    no union barrier (reconcile_datasets' ``tagged_ds`` fast path)."""
+    from ..stages.reconcile import bucket_tag
+
     base = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
-    def to_l(t: pa.Table) -> pa.Table:
-        k = np.asarray(t["o_orderkey"].to_pylist(), dtype=np.int64)
-        t = t.filter(pa.array((k % 10) != 9))
-        val = np.round(np.asarray(t["o_totalprice"].to_pylist(), dtype=np.float64) * 100).astype(np.int64)
-        return pa.table({"orderkey": t["o_orderkey"], "val_cents": pa.array(val, pa.int64())})
-
-    def to_r(t: pa.Table) -> pa.Table:
-        k = np.asarray(t["o_orderkey"].to_pylist(), dtype=np.int64)
-        val = np.round(np.asarray(t["o_totalprice"].to_pylist(), dtype=np.float64) * 100).astype(np.int64)
+    def both(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        val = np.round(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), dtype=np.float64)
+            * 100
+        ).astype(np.int64)
+        lk, lv = k[(k % 10) != 9], val[(k % 10) != 9]
         keep = (k % 10) != 7
-        k1, v1 = k[keep], val[keep] + ((k[keep] % 10) == 3).astype(np.int64)
+        rk1, rv1 = k[keep], val[keep] + ((k[keep] % 10) == 3).astype(np.int64)
         dup = (k % 10) == 5
-        k2, v2 = k[dup], val[dup]
-        return pa.table(
-            {
-                "orderkey": pa.array(np.concatenate([k1, k2]), pa.int64()),
-                "val_cents": pa.array(np.concatenate([v1, v2]), pa.int64()),
-            }
+        rk2, rv2 = k[dup], val[dup]
+        out = pa.table({
+            "orderkey": pa.array(np.concatenate([lk, rk1, rk2]), pa.int64()),
+            "val_cents": pa.array(np.concatenate([lv, rv1, rv2]), pa.int64()),
+            "side": pa.array(["L"] * len(lk) + ["R"] * (len(rk1) + len(rk2))),
+        })
+        return out.append_column(
+            "bucket", bucket_tag(out, ["orderkey"], num_buckets)
         )
 
-    left = base.map_batches(to_l, batch_format="pyarrow")
-    right = base.map_batches(to_r, batch_format="pyarrow")
-    return left, right
+    return base.map_batches(both, batch_format="pyarrow")
 
 
 _RECONCILE_ORACLE_CTE = """
@@ -187,9 +190,9 @@ labeled AS (
 def q_reconcile_detail(sf_dir: str):
     """The central cogroup reconcile (J4-J8) over derived sides;
     detail rows (key + status)."""
-    left, right = _reconcile_sides(sf_dir)
     detail = reconcile_datasets(
-        left, right, key_cols=["orderkey"], value_col="val_cents", num_buckets=16
+        None, None, key_cols=["orderkey"], value_col="val_cents", num_buckets=16,
+        tagged_ds=_reconcile_sides_tagged(sf_dir, num_buckets=16),
     )
     return detail.map_batches(
         lambda df: df[["orderkey", "status"]], batch_format="pandas"
@@ -201,9 +204,9 @@ def q_reconcile_counts(sf_dir: str):
     map-side partial counts, only tiny (status, n) rows shuffle."""
     from ..pipelines.reconcile_run import status_counts
 
-    left, right = _reconcile_sides(sf_dir)
     detail = reconcile_datasets(
-        left, right, key_cols=["orderkey"], value_col="val_cents", num_buckets=16
+        None, None, key_cols=["orderkey"], value_col="val_cents", num_buckets=16,
+        tagged_ds=_reconcile_sides_tagged(sf_dir, num_buckets=16),
     )
     return status_counts(detail)
 
@@ -486,9 +489,9 @@ def q_reconcile_rollup(sf_dir: str):
     across finer partitions, SURVEY.md §4)."""
     from ..pipelines.reconcile_run import rollup_group
 
-    left, right = _reconcile_sides(sf_dir)
     detail = reconcile_datasets(
-        left, right, key_cols=["orderkey"], value_col="val_cents", num_buckets=16
+        None, None, key_cols=["orderkey"], value_col="val_cents", num_buckets=16,
+        tagged_ds=_reconcile_sides_tagged(sf_dir, num_buckets=16),
     )
 
     def add_grp(df: pd.DataFrame) -> pd.DataFrame:

@@ -120,6 +120,16 @@ def make_reconcile_bucket_fn(
     return reconcile_bucket
 
 
+def bucket_tag(batch: pa.Table, key_cols: Sequence[str], num_buckets: int,
+               salt_for_repo: dict[str, int] | None = None) -> pa.Array:
+    """The reconcile partition id for each row — THE one bucketing both
+    sides (and any pre-tagged producer) must share."""
+    key_cols = list(key_cols)
+    if len(key_cols) >= 2:
+        return bucket_of(batch[key_cols[0]], batch[key_cols[1]], num_buckets, salt_for_repo)
+    return bucket_of(batch[key_cols[0]], batch[key_cols[0]], num_buckets, salt_for_repo)
+
+
 def reconcile_datasets(
     left_ds,
     right_ds,
@@ -128,6 +138,7 @@ def reconcile_datasets(
     attr_cols: Sequence[str] = (),
     num_buckets: int = 32,
     salt_for_repo: dict[str, int] | None = None,
+    tagged_ds=None,
 ):
     """Distributed reconcile: tag sides, bucket, single shuffle, per-
     bucket vectorized cogroup. Returns the detail Dataset (left cols +
@@ -136,25 +147,33 @@ def reconcile_datasets(
     Partitioning contract: ``key_cols[0]`` is the partition key (repo);
     the full ``key_cols`` is the merge key — strictly finer, so salted
     bucketing preserves correctness (SURVEY.md §4).
+
+    ``tagged_ds``: a pre-built union carrying ``side`` ("L"/"R") and a
+    ``bucket`` column from :func:`bucket_tag` — the fused fast path for
+    callers whose two sides DERIVE from one source (one read instead of
+    two + no union barrier); ``left_ds``/``right_ds`` are ignored.
     """
     key_cols = list(key_cols)
 
-    def tag(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            cols = key_cols + [value_col] + list(attr_cols)
-            batch = batch.select([c for c in cols if c in batch.column_names])
-            batch = batch.append_column("side", pa.array([side] * batch.num_rows, pa.string()))
-            if len(key_cols) >= 2:
-                b = bucket_of(batch[key_cols[0]], batch[key_cols[1]], num_buckets, salt_for_repo)
-            else:
-                b = bucket_of(batch[key_cols[0]], batch[key_cols[0]], num_buckets, salt_for_repo)
-            return batch.append_column("bucket", b)
+    if tagged_ds is not None:
+        tagged = tagged_ds
+    else:
+        def tag(side: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                cols = key_cols + [value_col] + list(attr_cols)
+                batch = batch.select([c for c in cols if c in batch.column_names])
+                batch = batch.append_column(
+                    "side", pa.array([side] * batch.num_rows, pa.string())
+                )
+                return batch.append_column(
+                    "bucket", bucket_tag(batch, key_cols, num_buckets, salt_for_repo)
+                )
 
-        return fn
+            return fn
 
-    tagged = left_ds.map_batches(tag("L"), batch_format="pyarrow").union(
-        right_ds.map_batches(tag("R"), batch_format="pyarrow")
-    )
+        tagged = left_ds.map_batches(tag("L"), batch_format="pyarrow").union(
+            right_ds.map_batches(tag("R"), batch_format="pyarrow")
+        )
     return tagged.groupby("bucket").map_groups(
         make_reconcile_bucket_fn(key_cols, value_col, attr_cols), batch_format="pandas"
     )
