@@ -605,6 +605,191 @@ def q_rolling_user_values(sf_dir: str):
     )
 
 
+def q_window_fns_events(sf_dir: str):
+    """Analytic window functions (ROW_NUMBER / LAG / running SUM) per
+    user ordered by (ts, event_id) — one key-hash shuffle, segmented
+    numpy kernels per bucket (stages/windowfns.py). The running sum is
+    taken over pre-scaled integer cents so it is exact and
+    order-of-accumulation-independent (SQL engines use segment trees
+    for windowed float SUM; integers make both sides bit-identical)."""
+    from ..stages.windowfns import window_functions
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        return t.append_column("val_cents", cents)
+
+    return window_functions(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        key="user_id",
+        order_by=["ts", "event_id"],
+        row_number="rn",
+        lag={"prev_value": "value"},
+        cumsum={"cum_value_cents": "val_cents"},
+        keep=["event_id", "user_id"],
+    )
+
+
+def _typed_users(sf_dir: str, event_type: str):
+    import pyarrow.dataset as pads
+
+    return read_table(
+        sf_dir, "events", columns=["user_id"],
+        filter=(pads.field("event_type") == event_type),
+    )
+
+
+def q_except_users(sf_dir: str):
+    """EXCEPT DISTINCT (reference J7 right-anti set difference,
+    ReconciliationService.java:142-199, as a relational set op): users
+    who clicked but never purchased. Both sides are predicate-pushdown
+    scans; only distinct (user_id, side) partials shuffle."""
+    from ..stages.setops import except_distinct
+
+    return except_distinct(
+        _typed_users(sf_dir, "click"), _typed_users(sf_dir, "purchase"), ["user_id"]
+    )
+
+
+def q_intersect_users(sf_dir: str):
+    """INTERSECT DISTINCT (reference J5 matched-leg set semantics):
+    users present on both sides. Same one-shuffle presence-flag plan
+    as except_users."""
+    from ..stages.setops import intersect_distinct
+
+    return intersect_distinct(
+        _typed_users(sf_dir, "click"), _typed_users(sf_dir, "purchase"), ["user_id"]
+    )
+
+
+def q_stats_lineitem(sf_dir: str):
+    """Grouped variance / correlation via mergeable centered moments
+    (stages/stats.py, Chan et al. 1983) — single pass, one partial-row
+    shuffle. Outputs are scaled ints (cents / e2 / e6) per the module
+    numeric convention."""
+    from ..stages.stats import grouped_stats
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+    st = grouped_stats(ds, keys=["l_returnflag"], x="l_extendedprice", y="l_quantity")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": df["n"].astype("int64"),
+            "mean_price_cents": np.round(df["mean_x"] * 100).astype("int64"),
+            "std_price_e2": np.round(np.sqrt(df["var_x"]) * 100).astype("int64"),
+            "corr_e6": np.round(df["corr_xy"] * 1e6).astype("int64"),
+        })
+
+    return st.map_batches(finish, batch_format="pandas")
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): map-side distinct partials, one
+    (key, value) shuffle, tiny per-key count (stages/distinctcount.py).
+    Exchange volume is O(distinct pairs), never O(rows)."""
+    from ..stages.distinctcount import count_distinct
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return count_distinct(ds, keys=["event_type"], col="user_id", alias="n_users")
+
+
+def q_hll_users_by_type(sf_dir: str):
+    """Approximate grouped COUNT(DISTINCT) via a mergeable HyperLogLog
+    sketch (p=12, ~1.6% stderr): one 4 KiB register row per (key,
+    batch) crosses the wire regardless of row count — the 100 TB path
+    when the distinct set itself is too large to shuffle. Rows-only in
+    the driver; tests/test_queries_oracle.py bounds its error against
+    the exact count."""
+    from ..stages.distinctcount import hll_count_distinct
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_count_distinct(ds, keys=["event_type"], col="user_id", alias="n_users_approx")
+
+
+def q_melt_lineitem(sf_dir: str):
+    """Wide→long unpivot (stages/nest.py melt — inverse of the pivot):
+    each lineitem row emits one (metric, val) row per measure column.
+    Map-only, no shuffle; values are raw double passthrough (identical
+    parquet bits on both sides)."""
+    from ..stages.nest import melt
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return melt(
+        ds,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        var_name="metric",
+        value_name="val",
+    )
+
+
+def q_nations_per_region(sf_dir: str):
+    """Ordered string aggregation per group (collect-list family):
+    comma-joined sorted nation names per region. Broadcast dim join,
+    then per-group collect inside ``map_groups`` — a collect is
+    inherently O(group) memory; bounded here by nations-per-region
+    (the general contract: group payload must fit a worker)."""
+    region = read_table_pandas(sf_dir, "region", columns=["r_regionkey", "r_name"]).rename(
+        columns={"r_regionkey": "n_regionkey"}
+    )
+    nation = read_table(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+    joined = broadcast_join(nation, region, on="n_regionkey")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "r_name": [df["r_name"].iloc[0]],
+            "nations": [",".join(sorted(df["n_name"]))],
+        })
+
+    return joined.groupby("r_name").map_groups(agg, batch_format="pandas")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-way join chain (reference J1+J2 composed, the TPC-H Q5/Q10
+    shape): returned lineitems ⋈ orders ⋈ customer ⋈ nation → revenue
+    per nation. Two partitioned hash joins (orderkey, then custkey) +
+    one broadcast dim join; revenue derived map-side before the first
+    shuffle so only (key, revenue) pairs move."""
+    import pyarrow.dataset as pads
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "revenue": rev})
+
+    li = li.map_batches(derive, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j1 = hash_join(li, orders, on="o_orderkey", num_buckets=16)
+    j1 = j1.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"], "revenue": t["revenue"]}),
+        batch_format="pyarrow",
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, on="c_custkey", num_buckets=16)
+    nation = read_table_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"]).rename(
+        columns={"n_nationkey": "c_nationkey"}
+    )
+    j3 = broadcast_join(j2, nation, on="c_nationkey")
+    agg = preagg_groupby(
+        j3, keys=["n_name"], sums={"sum_revenue_f": "revenue"}, count_alias="n_items"
+    )
+    return agg.map_batches(
+        lambda t: _cents(t, "sum_revenue_f", "sum_revenue_e4", 10000), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------- training-set assembly
 def q_split_docs(sf_dir: str):
     """Deterministic 90/5/5 train/val/test split by doc_id residue —
@@ -943,6 +1128,15 @@ QUERIES = {
     "interval_join_events": q_interval_join_events,
     "pivot_user_events": q_pivot_user_events,
     "rolling_user_values": q_rolling_user_values,
+    "window_fns_events": q_window_fns_events,
+    "except_users": q_except_users,
+    "intersect_users": q_intersect_users,
+    "stats_lineitem": q_stats_lineitem,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "hll_users_by_type": q_hll_users_by_type,
+    "melt_lineitem": q_melt_lineitem,
+    "nations_per_region": q_nations_per_region,
+    "revenue_by_nation": q_revenue_by_nation,
     "split_docs": q_split_docs,
     "pack_docs": q_pack_docs,
     "topk_orders_per_priority": q_topk_orders_per_priority,
@@ -1090,6 +1284,51 @@ ORACLE_SQL = {
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling3_cents "
         "FROM (SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents "
         "FROM events)"
+    ),
+    "window_fns_events": (
+        "SELECT event_id, user_id, "
+        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+        "LAG(value) OVER w AS prev_value, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_cents "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "distinct_users_by_type": (
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY event_type"
+    ),
+    "melt_lineitem": (
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem"
+    ),
+    "nations_per_region": (
+        "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "revenue_by_nation": (
+        "SELECT n_name, COUNT(*) AS n_items, "
+        "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_revenue_e4 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' GROUP BY n_name"
+    ),
+    "stats_lineitem": (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(ROUND(AVG(l_extendedprice) * 100) AS BIGINT) AS mean_price_cents, "
+        "CAST(ROUND(STDDEV_SAMP(l_extendedprice) * 100) AS BIGINT) AS std_price_e2, "
+        "CAST(ROUND(CORR(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS corr_e6 "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "except_users": (
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'"
+    ),
+    "intersect_users": (
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'"
     ),
     "frame_sample": (
         "SELECT doc_id AS media_id, "

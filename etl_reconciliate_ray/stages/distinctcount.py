@@ -1,0 +1,114 @@
+"""Grouped distinct counting: exact (two-level distinct) and
+approximate (HyperLogLog sketch, Flajolet et al. 2007).
+
+The reference's A4 count diagnostics (`ReconciliationService.java`
+matched/unmatched tallies) count rows; counting DISTINCT entities
+(users per slice, unique documents per source) at 100 TB needs either
+a full key shuffle (exact) or a fixed-size mergeable sketch (HLL):
+
+- ``count_distinct``: per-batch DISTINCT (keys, col) partial (pyarrow
+  hash aggregation) → global distinct via one (keys, col) shuffle →
+  tiny per-key count. Exchange volume O(distinct pairs), exact.
+- ``hll_count_distinct``: per (key, batch) one 2^p-byte register
+  vector; registers merge by elementwise max (associative +
+  commutative + idempotent — safe under retries and any merge order);
+  one row per key per batch crosses the wire regardless of row count.
+  Standard error ≈ 1.04/√(2^p) (~1.6% at p=12).
+
+The rank (ρ) computation uses an exact branch-free vectorized CLZ
+(6 shift/compare passes) rather than float log2 — float rounding near
+powers of two would make ranks nondeterministic across platforms."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+
+
+def _floor_log2_u64(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) for uint64 x>0, exact (no float rounding)."""
+    r = np.zeros(x.shape, np.int64)
+    y = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = y >= (np.uint64(1) << np.uint64(s))
+        r[big] += s
+        y[big] >>= np.uint64(s)
+    return r
+
+
+def _hll_partial_registers(values: pa.Array | pa.ChunkedArray, p: int) -> np.ndarray:
+    """One HLL register vector (uint8[2^p]) for a batch of values."""
+    m = 1 << p
+    h = hash64(values)  # uint64
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining 64-p bits, left-aligned in 64
+    # rho = leading zeros of w within the (64-p)-bit suffix, +1
+    rho = np.where(w == 0, 64 - p + 1, 63 - _floor_log2_u64(w) + 1).astype(np.uint8)
+    reg = np.zeros(m, np.uint8)
+    np.maximum.at(reg, idx, rho)
+    return reg
+
+
+def _hll_estimate(reg: np.ndarray) -> int:
+    m = float(len(reg))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.float64(2.0) ** -reg.astype(np.float64))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:  # small-range linear counting
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def count_distinct(ds, keys: Sequence[str], col: str, alias: str = "n_distinct"):
+    """Exact per-key COUNT(DISTINCT col): map-side distinct partials,
+    one (keys, col) shuffle, then a tiny per-key count."""
+    from .agg import preagg_groupby
+    from ray.data.aggregate import Count
+
+    keys = list(keys)
+    cols = keys + [col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols, use_threads=False).aggregate([])
+
+    distinct = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(cols)
+        .aggregate(Count(alias_name="__c"))
+    )
+    return preagg_groupby(distinct, keys=keys, count_alias=alias)
+
+
+def hll_count_distinct(
+    ds, keys: Sequence[str], col: str, p: int = 12, alias: str = "approx_distinct"
+):
+    """Approximate per-key COUNT(DISTINCT col) via HyperLogLog(p)."""
+    keys = list(keys)
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in df.groupby(keys, sort=False, observed=True):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            reg = _hll_partial_registers(pa.array(g[col]), p)
+            rows.append({**dict(zip(keys, kv)), "__reg": reg.tobytes()})
+        return pd.DataFrame(rows, columns=keys + ["__reg"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m, np.uint8)
+        for b in g["__reg"]:
+            np.maximum(acc, np.frombuffer(b, np.uint8), out=acc)
+        out = {k: [g.iloc[0][k]] for k in keys}
+        out[alias] = [_hll_estimate(acc)]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(merge, batch_format="pandas")
+    )

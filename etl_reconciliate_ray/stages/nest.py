@@ -118,3 +118,29 @@ def nest_children(
         .groupby("__nb")
         .map_groups(build, batch_format="pyarrow")
     )
+
+
+def melt(
+    ds,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "val",
+):
+    """Wide→long unpivot (the inverse of the conditional-aggregation
+    pivot in ``queries.q_pivot_user_events``): each input row emits one
+    output row per entry of ``value_cols``, tagged with the source
+    column name. Map-only (no shuffle), vertical concat per batch —
+    streams at any scale. All ``value_cols`` must share one Arrow type
+    (the long column's type)."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {k: t[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_name] = t[c]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

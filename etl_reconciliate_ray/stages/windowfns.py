@@ -1,0 +1,116 @@
+"""Partitioned analytic window functions: ROW_NUMBER / LAG / LEAD /
+running SUM over ``PARTITION BY key ORDER BY order_cols``.
+
+The reference reconciler has no window functions, but its LWW "latest
+row per key" (SURVEY §2.6, `service/ReconciliationService.java:151`
+match-ordinal bookkeeping) is a degenerate ROW_NUMBER; this stage
+generalizes that to the full analytic family a training-data pipeline
+needs (sessionized sequence features, per-user deltas, running totals).
+
+Scale shape (identical to `queries.q_rolling_user_values`):
+
+- ONE key-hash shuffle: rows are tagged with ``hash64(key) % buckets``
+  in ``map_batches`` and grouped by the BUCKET, not the raw key —
+  thousands of groups instead of millions, so the shuffle produces
+  large dense blocks and `map_groups` runs a vectorized kernel per
+  bucket rather than per key.
+- Inside a bucket every function is a segmented numpy kernel over the
+  (key, order)-sorted block: no per-row Python, no per-key loop.
+- Per-BUCKET memory, not per-key: a bucket must fit a worker's heap.
+  At 100 TB raise ``num_buckets`` so (rows × row_width / buckets) is a
+  few hundred MB; skewed single keys are bounded by the key's own row
+  count (a window function is inherently per-key sequential state —
+  the same bound any engine has).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+
+
+def _segment_starts(keys: np.ndarray) -> np.ndarray:
+    """Start index of each key-run in a key-sorted array."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate([[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1]).astype(np.int64)
+
+
+def window_functions(
+    ds,
+    key: str,
+    order_by: Sequence[str],
+    row_number: str | None = None,
+    lag: dict[str, str] | None = None,
+    lead: dict[str, str] | None = None,
+    cumsum: dict[str, str] | None = None,
+    num_buckets: int = 16,
+    keep: Sequence[str] | None = None,
+):
+    """Compute analytic functions over ``PARTITION BY key ORDER BY
+    order_by`` in one key-hash shuffle.
+
+    ``row_number``: output name for the 1-based ordinal.
+    ``lag`` / ``lead``: {output: source_col} shifted by 1 within the
+    partition (null at the partition edge).
+    ``cumsum``: {output: source_col} running sum (int64 sources — pass
+    pre-scaled integer columns so the running sum is exact and
+    bit-identical to any SQL engine; see queries "cents" convention).
+    ``keep``: passthrough columns (default: key + order_by).
+    """
+    lag = dict(lag or {})
+    lead = dict(lead or {})
+    cumsum = dict(cumsum or {})
+    keep = list(keep if keep is not None else [key, *order_by])
+    sort_spec = [(key, "ascending")] + [(c, "ascending") for c in order_by]
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t[key]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"]).sort_by(sort_spec)
+        n = t.num_rows
+        k = t[key].to_numpy(zero_copy_only=False)
+        starts = _segment_starts(k)
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {c: t[c] for c in keep}
+        if row_number:
+            # ordinal = global index - start index of the row's segment
+            seg_of = np.cumsum(is_start) - 1
+            rn = np.arange(n, dtype=np.int64) - starts[seg_of] + 1
+            cols[row_number] = pa.array(rn, pa.int64())
+        for out, src in lag.items():
+            shifted = t[src].combine_chunks().slice(0, max(n - 1, 0))
+            arr = pa.concat_arrays([pa.nulls(1, t.schema.field(src).type), shifted]) \
+                if n else pa.nulls(0, t.schema.field(src).type)
+            # null out partition starts (previous row belongs to another key)
+            mask = pa.array(is_start)
+            cols[out] = pa.compute.if_else(mask, pa.nulls(n, arr.type), arr)
+        for out, src in lead.items():
+            shifted = t[src].combine_chunks().slice(1)
+            arr = pa.concat_arrays([shifted, pa.nulls(1, t.schema.field(src).type)]) \
+                if n else pa.nulls(0, t.schema.field(src).type)
+            is_end = np.zeros(n, dtype=bool)
+            if n:
+                is_end[np.concatenate([starts[1:] - 1, [n - 1]])] = True
+            cols[out] = pa.compute.if_else(pa.array(is_end), pa.nulls(n, arr.type), arr)
+        for out, src in cumsum.items():
+            v = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+            cs = np.cumsum(v)
+            seg_of = np.cumsum(is_start) - 1
+            # subtract the running total just before each segment start
+            base = np.concatenate([[0], cs])[starts[seg_of]]
+            cols[out] = pa.array(cs - base, pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

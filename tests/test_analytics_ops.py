@@ -1,0 +1,138 @@
+"""Unit tests for the round-2 analytic operators: window functions,
+set ops, mergeable moments, HLL distinct sketch, melt. Each test
+builds a small in-memory Dataset and checks against an independent
+pandas/numpy computation (the queries themselves are oracle-checked
+against DuckDB in test_queries_oracle.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_window_functions_partition_edges(ray_session):
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "o": [10, 20, 30, 5, 6, 1],
+        "v": [100, 200, 300, 7, 8, 9],
+    })
+    out = (
+        window_functions(
+            _ds(df), key="k", order_by=["o"],
+            row_number="rn", lag={"prev": "v"}, lead={"nxt": "v"},
+            cumsum={"cum": "v"}, keep=["k", "o"], num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert out["rn"].tolist() == [1, 2, 3, 1, 2, 1]
+    # lag/lead are null exactly at partition edges
+    assert out["prev"].tolist()[:3] == [None, 100, 200] or (
+        pd.isna(out["prev"][0]) and out["prev"][1] == 100 and out["prev"][2] == 200
+    )
+    assert pd.isna(out["prev"][3]) and out["prev"][4] == 7 and pd.isna(out["prev"][5])
+    assert out["nxt"][0] == 200 and pd.isna(out["nxt"][2]) and pd.isna(out["nxt"][5])
+    assert out["cum"].tolist() == [100, 300, 600, 7, 15, 9]
+
+
+def test_window_functions_single_row_partitions(ray_session):
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+
+    df = pd.DataFrame({"k": [5], "o": [1], "v": [42]})
+    out = window_functions(
+        _ds(df), key="k", order_by=["o"], row_number="rn",
+        lag={"prev": "v"}, cumsum={"cum": "v"}, num_buckets=2,
+    ).to_pandas()
+    assert out["rn"].tolist() == [1]
+    assert pd.isna(out["prev"][0]) and out["cum"][0] == 42
+
+
+def test_setops_ignore_duplicates(ray_session):
+    from etl_reconciliate_ray.stages.setops import except_distinct, intersect_distinct
+
+    left = _ds(pd.DataFrame({"k": [1, 1, 2, 3, 3, 3]}))
+    right = _ds(pd.DataFrame({"k": [2, 2, 4]}))
+    exc = sorted(except_distinct(left, right, ["k"]).to_pandas()["k"])
+    inter = sorted(intersect_distinct(left, right, ["k"]).to_pandas()["k"])
+    assert exc == [1, 3]
+    assert inter == [2]
+
+
+def test_grouped_stats_matches_numpy_across_batch_splits(ray_session):
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.stats import grouped_stats
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, n),
+        "x": rng.normal(1e6, 3.0, n),  # large mean: naive E[x^2] would cancel
+        "y": rng.normal(0, 1.0, n),
+    })
+    df["y"] += 0.5 * (df["x"] - 1e6)  # induce real correlation
+    # force many small blocks so the Chan merge path is exercised
+    ds = rd.from_pandas(df).repartition(13)
+    out = grouped_stats(ds, keys=["k"], x="x", y="y").to_pandas().set_index("k")
+    for k, g in df.groupby("k"):
+        assert out.loc[k, "n"] == len(g)
+        assert out.loc[k, "mean_x"] == pytest.approx(g["x"].mean(), rel=1e-12)
+        assert out.loc[k, "var_x"] == pytest.approx(g["x"].var(ddof=1), rel=1e-9)
+        assert out.loc[k, "corr_xy"] == pytest.approx(
+            np.corrcoef(g["x"], g["y"])[0, 1], rel=1e-9
+        )
+
+
+def test_hll_error_bound_in_estimator_regime(ray_session):
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.distinctcount import hll_count_distinct
+
+    rng = np.random.default_rng(11)
+    # 60k distinct values per key: well past linear counting at p=12
+    df = pd.DataFrame({
+        "k": np.repeat(["a", "b"], 60_000),
+        "v": np.concatenate([np.arange(60_000), np.arange(100_000, 160_000)]),
+    })
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(9)
+    out = hll_count_distinct(ds, keys=["k"], col="v", p=12).to_pandas().set_index("k")
+    for k in ("a", "b"):
+        err = abs(out.loc[k, "approx_distinct"] - 60_000) / 60_000
+        assert err < 0.05, (k, out.loc[k, "approx_distinct"])
+
+
+def test_hll_merge_is_idempotent_and_order_free():
+    from etl_reconciliate_ray.stages.distinctcount import (
+        _hll_estimate,
+        _hll_partial_registers,
+    )
+
+    a = _hll_partial_registers(pa.array(np.arange(1000)), 12)
+    b = _hll_partial_registers(pa.array(np.arange(500, 1500)), 12)
+    ab = np.maximum(a, b)
+    ba = np.maximum(np.maximum(b, a), a)  # re-merge a: idempotent
+    assert np.array_equal(ab, ba)
+    est = _hll_estimate(ab)
+    assert abs(est - 1500) / 1500 < 0.05
+
+
+def test_melt_roundtrips_wide_values(ray_session):
+    from etl_reconciliate_ray.stages.nest import melt
+
+    df = pd.DataFrame({"id": [1, 2], "a": [1.5, 2.5], "b": [10.0, 20.0]})
+    out = melt(_ds(df), id_cols=["id"], value_cols=["a", "b"]).to_pandas()
+    assert len(out) == 4
+    back = out.pivot(index="id", columns="metric", values="val")
+    assert back.loc[1, "a"] == 1.5 and back.loc[2, "b"] == 20.0
