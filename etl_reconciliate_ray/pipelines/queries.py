@@ -374,12 +374,15 @@ def q_distinct_event_types(sf_dir: str):
 
 
 def q_anti_join_customers(sf_dir: str):
-    """Customers with no orders (reference J7 anti-join leg,
-    ReconciliationService.java:154-171, via broadcast key set)."""
-    okeys = read_table_pandas(sf_dir, "orders", columns=["o_custkey"]).drop_duplicates()
-    okeys = okeys.rename(columns={"o_custkey": "c_custkey"})
+    """Customers who never produced an event (reference J7 anti-join
+    leg, ReconciliationService.java:154-171, via broadcast key set).
+    The events/customer key domains genuinely diverge at every sf, so
+    the result is non-empty — an empty-vs-empty oracle match would
+    prove nothing."""
+    ukeys = read_table_pandas(sf_dir, "events", columns=["user_id"]).drop_duplicates()
+    ukeys = ukeys.rename(columns={"user_id": "c_custkey"})
     cust = read_table(sf_dir, "customer", columns=["c_custkey"])
-    return broadcast_anti_join(cust, okeys, on="c_custkey")
+    return broadcast_anti_join(cust, ukeys, on="c_custkey")
 
 
 # ---------------------------------------------------------------- multimodal
@@ -631,36 +634,34 @@ def q_window_fns_events(sf_dir: str):
     )
 
 
-def _typed_users(sf_dir: str, event_type: str):
-    import pyarrow.dataset as pads
-
-    return read_table(
-        sf_dir, "events", columns=["user_id"],
-        filter=(pads.field("event_type") == event_type),
+def _event_user_keys(sf_dir: str):
+    """Distinct event user ids projected onto the customer key name."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    return ds.map_batches(
+        lambda t: pa.table({"c_custkey": t["user_id"]}), batch_format="pyarrow"
     )
 
 
 def q_except_users(sf_dir: str):
     """EXCEPT DISTINCT (reference J7 right-anti set difference,
-    ReconciliationService.java:142-199, as a relational set op): users
-    who clicked but never purchased. Both sides are predicate-pushdown
-    scans; only distinct (user_id, side) partials shuffle."""
+    ReconciliationService.java:142-199, as a relational set op):
+    customer keys with no event activity. The two key domains diverge
+    at every sf (result non-empty — an empty-vs-empty match would
+    prove nothing); only distinct (key, side) partials shuffle."""
     from ..stages.setops import except_distinct
 
-    return except_distinct(
-        _typed_users(sf_dir, "click"), _typed_users(sf_dir, "purchase"), ["user_id"]
-    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    return except_distinct(cust, _event_user_keys(sf_dir), ["c_custkey"])
 
 
 def q_intersect_users(sf_dir: str):
     """INTERSECT DISTINCT (reference J5 matched-leg set semantics):
-    users present on both sides. Same one-shuffle presence-flag plan
-    as except_users."""
+    customer keys that are also event users. Same one-shuffle
+    presence-flag plan as except_users."""
     from ..stages.setops import intersect_distinct
 
-    return intersect_distinct(
-        _typed_users(sf_dir, "click"), _typed_users(sf_dir, "purchase"), ["user_id"]
-    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    return intersect_distinct(cust, _event_user_keys(sf_dir), ["c_custkey"])
 
 
 def q_stats_lineitem(sf_dir: str):
@@ -788,6 +789,15 @@ def q_revenue_by_nation(sf_dir: str):
     return agg.map_batches(
         lambda t: _cents(t, "sum_revenue_f", "sum_revenue_e4", 10000), batch_format="pyarrow"
     )
+
+
+def q_term_stats(sf_dir: str):
+    """Corpus vocabulary tf/df (stages/textstage.term_stats): Arrow
+    explode + distinct-pair partials, one (term, doc) shuffle."""
+    from ..stages.textstage import term_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return term_stats(ds)
 
 
 # ---------------------------------------------------------------- training-set assembly
@@ -1135,6 +1145,7 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "hll_users_by_type": q_hll_users_by_type,
     "melt_lineitem": q_melt_lineitem,
+    "term_stats": q_term_stats,
     "nations_per_region": q_nations_per_region,
     "revenue_by_nation": q_revenue_by_nation,
     "split_docs": q_split_docs,
@@ -1222,7 +1233,7 @@ ORACLE_SQL = {
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
     "anti_join_customers": (
         "SELECT c_custkey FROM customer WHERE NOT EXISTS "
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "(SELECT 1 FROM events WHERE user_id = c_custkey)"
     ),
     "payload_meta": "SELECT doc_id, strlen(text) AS payload_bytes FROM documents",
     "hopping_window_events": (
@@ -1298,6 +1309,12 @@ ORACLE_SQL = {
         "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
         "FROM events GROUP BY event_type"
     ),
+    "term_stats": (
+        "SELECT term, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df "
+        "FROM (SELECT term, doc_id, COUNT(*) AS c FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term "
+        "FROM documents WHERE trim(text) <> '') GROUP BY term, doc_id) GROUP BY term"
+    ),
     "melt_lineitem": (
         "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem "
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem "
@@ -1323,12 +1340,10 @@ ORACLE_SQL = {
         "FROM lineitem GROUP BY l_returnflag"
     ),
     "except_users": (
-        "SELECT user_id FROM events WHERE event_type = 'click' "
-        "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'"
+        "SELECT c_custkey FROM customer EXCEPT SELECT user_id FROM events"
     ),
     "intersect_users": (
-        "SELECT user_id FROM events WHERE event_type = 'click' "
-        "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'"
+        "SELECT c_custkey FROM customer INTERSECT SELECT user_id FROM events"
     ),
     "frame_sample": (
         "SELECT doc_id AS media_id, "

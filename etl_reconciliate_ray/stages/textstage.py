@@ -81,3 +81,46 @@ class RollingFingerprint:
                 ids.append(did)
                 hashes.append(h)
         return pd.DataFrame({"doc_id": ids, "fingerprint": pd.array(hashes, dtype="int64")})
+
+
+def term_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
+    """Corpus vocabulary statistics: per lowercase whitespace term, the
+    total occurrence count (tf) and distinct-document count (df) — the
+    building block for vocab construction / IDF weighting / stopword
+    discovery over a training corpus.
+
+    Fully vectorized explode: Arrow ``utf8_trim_whitespace`` →
+    ``utf8_lower`` → ``split_pattern_regex`` → ``list_flatten`` with a
+    parallel ``list_parent_indices`` gather of doc ids — no per-row
+    Python. Each batch is collapsed to distinct (term, doc) partial
+    counts (pyarrow hash aggregation) before the single (term, doc)
+    shuffle, so exchange volume is O(distinct pairs); the final per-term
+    rollup is a tiny second groupby of partials.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t[text_col])
+        keep = pc.not_equal(txt, "")
+        txt = pc.filter(txt, keep)
+        ids = pc.filter(t[doc_id_col], keep)
+        lists = pc.split_pattern_regex(pc.utf8_lower(txt), r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        pairs = pa.table({"term": flat, "doc_id": pc.take(ids, parent)})
+        red = pairs.group_by(["term", "doc_id"], use_threads=False).aggregate(
+            [("term", "count")]
+        )
+        return pa.table({
+            "term": red["term"], "doc_id": red["doc_id"], "c": red["term_count"]
+        })
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["term", "doc_id"])
+        .aggregate(Sum(on="c", alias_name="c"))
+    )
+    return pairs.groupby("term").aggregate(
+        Sum(on="c", alias_name="tf"), Count(alias_name="df")
+    )
