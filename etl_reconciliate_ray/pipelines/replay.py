@@ -409,16 +409,15 @@ def _replay_epoch_descs(
         if seed_path is not None:
             out.append(bootstrap(seed_path, cfg, log=log, writers=writers))
         for engine_epoch, ep in todo:
-            import pyarrow.parquet as _pq
-
             if os.path.isdir(ep["file"]):
                 import glob as _g
 
-                first = sorted(_g.glob(os.path.join(ep["file"], "*.parquet")))[0]
+                epoch_files = sorted(_g.glob(os.path.join(ep["file"], "*.parquet")))
             else:
-                first = ep["file"]
-            cols = [c for c in _pq.read_schema(first).names if c != "ts"]
-            ds = rd.read_parquet(ep["file"], columns=cols, **kwargs)
+                epoch_files = [ep["file"]]
+            ds = rd.read_parquet(
+                ep["file"], schema=_binlog_scan_schema(epoch_files), **kwargs
+            )
             out.append(
                 run_epoch(ds, engine_epoch, cfg, log=log, input_seq=tuple(ep["seq_range"]), writers=writers)
             )
@@ -464,6 +463,44 @@ def follow_stream(
     return out
 
 
+def _binlog_scan_schema(files: list[str], drop: tuple[str, ...] = ("ts",)) -> "pa.Schema":
+    """Unified scan schema across binlog files — the schema-evolution
+    contract: a payload column ADDED mid-stream appears in the unified
+    schema (older files surface it as nulls via the explicit
+    ``schema=`` read); a column absent from later files likewise reads
+    as null there. A TYPE change for an existing column is refused
+    loudly (silently coercing CDC payloads corrupts the lake). ``drop``
+    columns (``ts``: dead weight in replay — LWW orders on seq) are
+    pruned at the scan. Field order is first-appearance, so the
+    pre-evolution prefix stays stable.
+
+    Without this, ``read_parquet(files)`` infers the schema from the
+    FIRST fragment and a column added in a later epoch of the same
+    chunk would be silently dropped."""
+    import pyarrow.parquet as _pq
+
+    fields: dict[str, pa.Field] = {}
+    for f in files:
+        for fld in _pq.read_schema(f):
+            if fld.name in drop:
+                continue
+            prev = fields.get(fld.name)
+            if prev is None:
+                fields[fld.name] = fld
+            elif not prev.type.equals(fld.type):
+                # an all-null file leg may carry `null` type; the real
+                # type (from any other file) wins
+                if pa.types.is_null(prev.type):
+                    fields[fld.name] = fld
+                elif not pa.types.is_null(fld.type):
+                    raise ValueError(
+                        f"binlog schema evolution changed the TYPE of column "
+                        f"{fld.name!r} ({prev.type} -> {fld.type} in {f}); "
+                        "type changes must be rewritten upstream, refusing"
+                    )
+    return pa.schema(list(fields.values()))
+
+
 def _run_epoch_batch(
     chunk: list[tuple[int, dict]],
     cfg: ReplayConfig,
@@ -497,14 +534,10 @@ def _run_epoch_batch(
     epochs = [engine_epoch for engine_epoch, _ in chunk]
     seq_by_epoch = {engine_epoch: tuple(ep["seq_range"]) for engine_epoch, ep in chunk}
 
-    # projection pushdown at the binlog scan: ``ts`` is dead weight in
-    # replay (LWW orders on seq; the delta drops ts anyway) — pruning it
-    # here saves decoding AND carrying 8B/event through every
-    # downstream copy of the bandwidth-bound path
-    import pyarrow.parquet as _pq
-
-    scan_cols = [c for c in _pq.read_schema(files[0]).names if c != "ts"]
-    ds = rd.read_parquet(files, columns=scan_cols, **kwargs)
+    # projection pushdown at the binlog scan (`ts` pruned) + unified
+    # schema across the chunk's files so mid-stream column additions
+    # survive (see _binlog_scan_schema)
+    ds = rd.read_parquet(files, schema=_binlog_scan_schema(files), **kwargs)
     if prep_fn is not None:
         ds = ds.map_batches(prep_fn, batch_format="pyarrow")
 

@@ -70,6 +70,56 @@ def test_schema_evolution_additive_column(fixture_small, tmp_path):
     assert df["size_bytes"].isna().any()  # pre-evolution rows null-filled
 
 
+def test_schema_evolution_additive_column_pipelined(fixture_small, tmp_path):
+    """The batched scan reads a CHUNK of epoch files in ONE
+    read_parquet; without the unified explicit schema
+    (_binlog_scan_schema) the first pre-evolution file would set the
+    chunk's schema and a mid-chunk column addition would be silently
+    dropped. State must equal the sequential replay's exactly."""
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg_seq = _cfg(tmp_path, "lake_evo_seq", manifest)
+    replay(fixture_dir, cfg_seq)
+    cfg_pipe = _cfg(tmp_path, "lake_evo_pipe", manifest)
+    cfg_pipe.pipeline_epochs = 100  # every epoch in one chunk
+    replay(fixture_dir, cfg_pipe)
+    tbl = lake_table(cfg_pipe)
+    assert "size_bytes" in tbl.column_names
+    df = tbl.to_pandas()
+    assert df["size_bytes"].notna().any() and df["size_bytes"].isna().any()
+    # evolved column values identical to the sequential path per key
+    a = (
+        lake_table(cfg_seq).to_pandas()
+        .set_index(["repo", "path"])["size_bytes"].sort_index()
+    )
+    b = df.set_index(["repo", "path"])["size_bytes"].sort_index()
+    import pandas as pd
+
+    pd.testing.assert_series_equal(a, b)
+
+
+def test_binlog_scan_schema_refuses_type_change(tmp_path):
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.pipelines.replay import _binlog_scan_schema
+
+    f1, f2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"seq": pa.array([1], pa.int64()),
+                             "v": pa.array(["x"], pa.string())}), f1)
+    pq.write_table(pa.table({"seq": pa.array([2], pa.int64()),
+                             "v": pa.array([3.5], pa.float64())}), f2)
+    import pytest
+
+    with pytest.raises(ValueError, match="TYPE"):
+        _binlog_scan_schema([f1, f2])
+    # additive column + all-null leg: unified, real type wins
+    f3 = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"seq": pa.array([3], pa.int64()),
+                             "v": pa.array(["y"], pa.string()),
+                             "extra": pa.array([7], pa.int64())}), f3)
+    sch = _binlog_scan_schema([f1, f3])
+    assert sch.field("extra").type == pa.int64() and len(sch) == 3
+
+
 def test_kill_restart_converges(fixture_small, tmp_path):
     fixture_dir, cfg_gen, manifest = fixture_small
     cfg_a = _cfg(tmp_path, "lake_uninterrupted", manifest)
