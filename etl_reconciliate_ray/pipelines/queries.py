@@ -800,6 +800,85 @@ def q_term_stats(sf_dir: str):
     return term_stats(ds)
 
 
+def q_rank_orders_per_priority(sf_dir: str):
+    """RANK / DENSE_RANK with real ties (orders ranked per priority by
+    whole-dollar totalprice): tie-runs are detected on the order VALUES,
+    so the result is deterministic regardless of shuffle/sort stability.
+    Dollars are FLOORed, not rounded: cent-grid prices hit the .5
+    boundary constantly and Arrow rounds half-to-even while SQL rounds
+    half-away — floor is the same IEEE op on both sides."""
+    from ..stages.windowfns import window_functions
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        tp = pc.cast(pc.floor(t["o_totalprice"]), pa.int64())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "tp": tp,
+        })
+
+    return window_functions(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        key="o_orderpriority",
+        order_by=["tp"],
+        rank="rnk",
+        dense_rank="drnk",
+        keep=["o_orderkey", "o_orderpriority"],
+    )
+
+
+def q_stratified_sample_events(sf_dir: str):
+    """Deterministic stratified sampling: 20 events per event_type,
+    chosen by ranking on sha256(type|id) — a keyed uniform draw that is
+    identical at any parallelism level and reproducible in SQL (both
+    sides order by the same digest). One key-hash shuffle."""
+    from ..functions.hashing import sha256_hex_array
+    from ..stages.windowfns import window_functions
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def key(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            t["event_type"], pc.cast(t["event_id"], pa.string()), "|"
+        )
+        return t.append_column("s", sha256_hex_array(s))
+
+    ranked = window_functions(
+        ds.map_batches(key, batch_format="pyarrow"),
+        key="event_type",
+        order_by=["s", "event_id"],
+        row_number="rn",
+        keep=["event_id", "event_type"],
+    )
+    return ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t["rn"], 20)).select(["event_id", "event_type"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_left_join_customer_events(sf_dir: str):
+    """LEFT OUTER hash join (unmatched left rows survive with null →
+    zero counts): per-customer event count including the customers with
+    no events at all. The events side is pre-aggregated map-side so the
+    join's right side is one row per user."""
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    ev_counts = preagg_groupby(ev, keys=["user_id"], count_alias="n")
+    ev_counts = ev_counts.map_batches(
+        lambda t: pa.table({"c_custkey": t["user_id"], "n": t["n"]}),
+        batch_format="pyarrow",
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    j = hash_join(cust, ev_counts, on="c_custkey", how="left", num_buckets=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(t["n"], pa.int64()), 0)
+        return pa.table({"c_custkey": t["c_custkey"], "n_events": n})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- training-set assembly
 def q_split_docs(sf_dir: str):
     """Deterministic 90/5/5 train/val/test split by doc_id residue —
@@ -1146,6 +1225,9 @@ QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "melt_lineitem": q_melt_lineitem,
     "term_stats": q_term_stats,
+    "rank_orders_per_priority": q_rank_orders_per_priority,
+    "stratified_sample_events": q_stratified_sample_events,
+    "left_join_customer_events": q_left_join_customer_events,
     "nations_per_region": q_nations_per_region,
     "revenue_by_nation": q_revenue_by_nation,
     "split_docs": q_split_docs,
@@ -1308,6 +1390,27 @@ ORACLE_SQL = {
     "distinct_users_by_type": (
         "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
         "FROM events GROUP BY event_type"
+    ),
+    "rank_orders_per_priority": (
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(RANK() OVER w AS BIGINT) AS rnk, "
+        "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk "
+        "FROM (SELECT o_orderkey, o_orderpriority, "
+        "CAST(FLOOR(o_totalprice) AS BIGINT) AS tp FROM orders) "
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY tp)"
+    ),
+    "stratified_sample_events": (
+        "SELECT event_id, event_type FROM ("
+        "SELECT event_id, event_type, ROW_NUMBER() OVER ("
+        "PARTITION BY event_type "
+        "ORDER BY sha256(event_type || '|' || CAST(event_id AS VARCHAR)), event_id) AS rn "
+        "FROM events) WHERE rn <= 20"
+    ),
+    "left_join_customer_events": (
+        "SELECT c_custkey, CAST(COALESCE(n, 0) AS BIGINT) AS n_events "
+        "FROM customer LEFT JOIN ("
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) e "
+        "ON c_custkey = e.user_id"
     ),
     "term_stats": (
         "SELECT term, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df "

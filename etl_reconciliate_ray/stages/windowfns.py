@@ -45,6 +45,8 @@ def window_functions(
     key: str,
     order_by: Sequence[str],
     row_number: str | None = None,
+    rank: str | None = None,
+    dense_rank: str | None = None,
     lag: dict[str, str] | None = None,
     lead: dict[str, str] | None = None,
     cumsum: dict[str, str] | None = None,
@@ -54,7 +56,11 @@ def window_functions(
     """Compute analytic functions over ``PARTITION BY key ORDER BY
     order_by`` in one key-hash shuffle.
 
-    ``row_number``: output name for the 1-based ordinal.
+    ``row_number``: output name for the 1-based ordinal (only
+    deterministic when ``order_by`` is a total order within each key).
+    ``rank`` / ``dense_rank``: SQL RANK/DENSE_RANK over the order tuple
+    (ties share a rank; deterministic even when the order tuple ties,
+    since they depend only on order VALUES, not sort stability).
     ``lag`` / ``lead``: {output: source_col} shifted by 1 within the
     partition (null at the partition edge).
     ``cumsum``: {output: source_col} running sum (int64 sources — pass
@@ -80,11 +86,25 @@ def window_functions(
         is_start = np.zeros(n, dtype=bool)
         is_start[starts] = True
         cols: dict[str, pa.Array | pa.ChunkedArray] = {c: t[c] for c in keep}
+        seg_of = np.cumsum(is_start) - 1
         if row_number:
             # ordinal = global index - start index of the row's segment
-            seg_of = np.cumsum(is_start) - 1
             rn = np.arange(n, dtype=np.int64) - starts[seg_of] + 1
             cols[row_number] = pa.array(rn, pa.int64())
+        if rank or dense_rank:
+            # a tie-run starts where the (key, order_by) tuple changes
+            new_run = is_start.copy()
+            for c in order_by:
+                v = t[c].to_numpy(zero_copy_only=False)
+                if n > 1:
+                    new_run[1:] |= v[1:] != v[:-1]
+            if rank:
+                idx = np.arange(n, dtype=np.int64)
+                run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+                cols[rank] = pa.array(run_start - starts[seg_of] + 1, pa.int64())
+            if dense_rank:
+                runs = np.cumsum(new_run)  # 1-based run ordinal
+                cols[dense_rank] = pa.array(runs - runs[starts[seg_of]] + 1, pa.int64())
         for out, src in lag.items():
             shifted = t[src].combine_chunks().slice(0, max(n - 1, 0))
             arr = pa.concat_arrays([pa.nulls(1, t.schema.field(src).type), shifted]) \
@@ -103,7 +123,6 @@ def window_functions(
         for out, src in cumsum.items():
             v = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
             cs = np.cumsum(v)
-            seg_of = np.cumsum(is_start) - 1
             # subtract the running total just before each segment start
             base = np.concatenate([[0], cs])[starts[seg_of]]
             cols[out] = pa.array(cs - base, pa.int64())

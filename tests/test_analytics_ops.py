@@ -136,3 +136,24 @@ def test_melt_roundtrips_wide_values(ray_session):
     assert len(out) == 4
     back = out.pivot(index="id", columns="metric", values="val")
     assert back.loc[1, "a"] == 1.5 and back.loc[2, "b"] == 20.0
+
+
+def test_rank_dense_rank_with_ties(ray_session):
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "o": [10, 10, 20, 20, 30, 7, 7, 7],
+        "id": list(range(8)),
+    })
+    out = (
+        window_functions(
+            _ds(df), key="k", order_by=["o"], rank="r", dense_rank="d",
+            keep=["k", "o", "id"], num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["r"].tolist() == [1, 1, 3, 3, 5, 1, 1, 1]
+    assert out["d"].tolist() == [1, 1, 2, 2, 3, 1, 1, 1]
