@@ -198,6 +198,19 @@ def reconcile_lake_vs_snapshot(
         for p in parts
     ]
 
+    # Task-side detail spill (same trick as replay's direct_write /
+    # task-side compaction): each cogroup task reconciles its bucket AND
+    # writes the wide detail rows straight to partitioned parquet —
+    # detail bytes never enter the object store and never shuffle. Only
+    # a tiny (repo, status, n) partial-count table leaves each task;
+    # rollup + exact status counts are derived from those partials, so
+    # the detail is written ONCE and re-read ZERO times in this call.
+    # File names are deterministic per bucket (tmp + atomic rename), so
+    # a retried task overwrites its own output idempotently.
+    spill = os.path.join(lake_root, "_reconcile_detail")
+    shutil.rmtree(spill, ignore_errors=True)
+    os.makedirs(spill, exist_ok=True)
+
     def cogroup_part(batch: pa.Table) -> pd.DataFrame:
         out = []
         for rec in batch.to_pylist():
@@ -216,40 +229,98 @@ def reconcile_lake_vs_snapshot(
             both = pd.concat([left, right], ignore_index=True)
             if len(both) == 0:
                 continue
+            det = reconcile_group_pdf(
+                both, ["repo", "path"], "content_sha256", attr_cols=["commit"]
+            )
+            fname = os.path.join(spill, f"detail-part{part:05d}.parquet")
+            pq.write_table(pa.Table.from_pandas(det, preserve_index=False), fname + ".tmp")
+            os.replace(fname + ".tmp", fname)
             out.append(
-                reconcile_group_pdf(
-                    both, ["repo", "path"], "content_sha256", attr_cols=["commit"]
-                )
+                det.groupby(["repo", "status"], sort=False).size().rename("n").reset_index()
             )
         if not out:
-            return pd.DataFrame(
-                columns=["repo", "path", "content_sha256_l", "commit_l",
-                         "content_sha256_r", "commit_r", "status"]
-            )
+            return pd.DataFrame(columns=["repo", "status", "n"])
         return pd.concat(out, ignore_index=True)
 
-    detail = rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
-        cogroup_part, batch_format="pyarrow", batch_size=1
+    partials = (
+        rd.from_items(items, override_num_blocks=max(1, len(items)))
+        .map_batches(cogroup_part, batch_format="pyarrow", batch_size=1)
+        .materialize()  # tiny: O(repos x statuses) rows — both consumers
+        # below read it without re-running the reconcile
     )
-    # Spill the detail to partitioned parquet and re-read, instead of
-    # materialize(): detail is O(lake keys) wide rows — pinning it in
-    # the object store for the rollup+counts consumers would hold the
-    # whole table in cluster memory at 100 TB, whereas the spill
-    # streams block-by-block to disk and each consumer re-reads only
-    # the columns it needs (status/repo) via projection pushdown.
-    spill = os.path.join(lake_root, "_reconcile_detail")
-    shutil.rmtree(spill, ignore_errors=True)
-    detail.write_parquet(spill)
+    rollup = rollup_from_partials(partials, "repo")
+    pc_df = partials.to_pandas()
+    counts = (
+        pc_df.groupby("status", sort=True)["n"].sum().astype("int64").reset_index()
+        if len(pc_df)
+        else pd.DataFrame({"status": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")})
+    )
     import glob as _glob
 
     if _glob.glob(os.path.join(spill, "*.parquet")):
         detail = rd.read_parquet(spill)
-        rollup = rollup_by_key(rd.read_parquet(spill, columns=["repo", "status"]), "repo")
-        counts = status_counts(rd.read_parquet(spill, columns=["status"]))
     else:  # empty reconcile: keep the typed empty dataset contract
-        rollup = rollup_by_key(detail, "repo")
-        counts = status_counts(detail)
+        empty = pd.DataFrame(
+            columns=["repo", "path", "content_sha256_l", "commit_l",
+                     "content_sha256_r", "commit_r", "status"]
+        ).astype(str)
+        detail = rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
     return detail, rollup, counts
+
+
+def _cascade_fn(key: str):
+    """Vectorized A3 cascade over reduced per-key counters (shared by
+    the detail-scan and partial-count rollup paths)."""
+
+    def cascade(df: pd.DataFrame) -> pd.DataFrame:
+        status = np.where(
+            df["n_right"] == 0, ROLLUP_ERROR,
+            np.where(
+                df["n_dup"] > 0, ROLLUP_DUP,
+                np.where(df["n_matched"] < df["n_rows"], ROLLUP_ROWS_WITH_ERRORS, ROLLUP_OK),
+            ),
+        )
+        return pd.DataFrame(
+            {
+                key: df[key],
+                "n_rows": df["n_rows"].astype("int64"),
+                "n_matched": df["n_matched"].astype("int64"),
+                "rollup_status": status,
+            }
+        )
+
+    return cascade
+
+
+def rollup_from_partials(partials_ds, key: str):
+    """A3 cascade rollup from (key, status, n) partial-count rows (the
+    task-side spill path): the cascade's any()/all() terms are all sums
+    of per-status counts, so only O(keys x statuses) tiny rows are
+    aggregated — the wide detail never moves."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.reconcile import STATUS_DUP_PREFIX, STATUS_MATCHED
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["status"]
+        n = df["n"].astype("int64")
+        return pd.DataFrame(
+            {
+                key: df[key],
+                "n_rows": n,
+                "n_matched": n.where(s.eq(STATUS_MATCHED), 0),
+                "n_dup": n.where(s.str.startswith(STATUS_DUP_PREFIX), 0),
+                "n_right": n.where(s.ne("MISSING_RIGHT"), 0),
+            }
+        )
+
+    red = partials_ds.map_batches(widen, batch_format="pandas").groupby(key).aggregate(
+        Sum(on="n_rows", alias_name="n_rows"),
+        Sum(on="n_matched", alias_name="n_matched"),
+        Sum(on="n_dup", alias_name="n_dup"),
+        Sum(on="n_right", alias_name="n_right"),
+    )
+    return red.map_batches(_cascade_fn(key), batch_format="pandas")
 
 
 def rollup_by_key(detail_ds, key: str):
@@ -279,22 +350,4 @@ def rollup_by_key(detail_ds, key: str):
         Sum(on="n_dup", alias_name="n_dup"),
         Sum(on="n_right", alias_name="n_right"),
     )
-
-    def cascade(df: pd.DataFrame) -> pd.DataFrame:
-        status = np.where(
-            df["n_right"] == 0, ROLLUP_ERROR,
-            np.where(
-                df["n_dup"] > 0, ROLLUP_DUP,
-                np.where(df["n_matched"] < df["n_rows"], ROLLUP_ROWS_WITH_ERRORS, ROLLUP_OK),
-            ),
-        )
-        return pd.DataFrame(
-            {
-                key: df[key],
-                "n_rows": df["n_rows"].astype("int64"),
-                "n_matched": df["n_matched"].astype("int64"),
-                "rollup_status": status,
-            }
-        )
-
-    return red.map_batches(cascade, batch_format="pandas")
+    return red.map_batches(_cascade_fn(key), batch_format="pandas")
