@@ -879,6 +879,38 @@ def q_left_join_customer_events(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_quarantine_docs(sf_dir: str):
+    """Dead-letter split (stages/quarantine.py): documents failing
+    ordered validity rules (tiny_text, then oversize) are routed to a
+    durable quarantine side-channel task-side; the clean stream flows
+    on. Output: per-disposition counts (clean + each reason), proving
+    the split is lossless and first-match-deterministic."""
+    import shutil
+
+    from ..stages.quarantine import quarantine_split, read_quarantine
+
+    qdir = "/tmp/etl_rec_dlq_docs"
+    shutil.rmtree(qdir, ignore_errors=True)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    clean = quarantine_split(
+        ds,
+        checks=[
+            ("tiny_text", lambda t: pc.less(t["n_chars"], 60)),
+            ("oversize", lambda t: pc.greater(t["n_chars"], 400)),
+        ],
+        quarantine_dir=qdir,
+    )
+    n_clean = clean.count()  # consumes the stream -> quarantine written
+    dlq = read_quarantine(qdir).to_pandas()
+    rows = [{"reason": "clean", "n": int(n_clean)}]
+    if len(dlq):
+        for r, g in dlq.groupby("reason"):
+            rows.append({"reason": r, "n": int(len(g))})
+    out = pd.DataFrame(rows).sort_values("reason").reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------- training-set assembly
 def q_split_docs(sf_dir: str):
     """Deterministic 90/5/5 train/val/test split by doc_id residue —
@@ -1228,6 +1260,7 @@ QUERIES = {
     "rank_orders_per_priority": q_rank_orders_per_priority,
     "stratified_sample_events": q_stratified_sample_events,
     "left_join_customer_events": q_left_join_customer_events,
+    "quarantine_docs": q_quarantine_docs,
     "nations_per_region": q_nations_per_region,
     "revenue_by_nation": q_revenue_by_nation,
     "split_docs": q_split_docs,
@@ -1390,6 +1423,11 @@ ORACLE_SQL = {
     "distinct_users_by_type": (
         "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
         "FROM events GROUP BY event_type"
+    ),
+    "quarantine_docs": (
+        "SELECT CASE WHEN n_chars < 60 THEN 'tiny_text' "
+        "WHEN n_chars > 400 THEN 'oversize' ELSE 'clean' END AS reason, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1 ORDER BY 1"
     ),
     "rank_orders_per_priority": (
         "SELECT o_orderkey, o_orderpriority, "

@@ -157,3 +157,29 @@ def test_rank_dense_rank_with_ties(ray_session):
     )
     assert out["r"].tolist() == [1, 1, 3, 3, 5, 1, 1, 1]
     assert out["d"].tolist() == [1, 1, 2, 2, 3, 1, 1, 1]
+
+
+def test_quarantine_split_lossless_and_idempotent(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    from etl_reconciliate_ray.stages.quarantine import quarantine_split, read_quarantine
+
+    qdir = str(tmp_path / "dlq")
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "v": [0, 50, 200, 0, 999],  # 0 -> null_v rule, 999 -> too_big
+    })
+    checks = [
+        ("null_v", lambda t: pc.equal(t["v"], 0)),
+        ("too_big", lambda t: pc.greater(t["v"], 500)),
+    ]
+    clean = quarantine_split(_ds(df), checks, qdir).to_pandas()
+    assert sorted(clean["id"]) == [2, 3]
+    dlq = read_quarantine(qdir).to_pandas().sort_values("id")
+    assert dlq["id"].tolist() == [1, 4, 5]
+    assert dlq["reason"].tolist() == ["null_v", "null_v", "too_big"]
+    # nothing lost: clean + quarantined == input
+    assert len(clean) + len(dlq) == len(df)
+    # re-run: content-addressed files dedupe, no duplicate dead letters
+    quarantine_split(_ds(df), checks, qdir).to_pandas()
+    assert len(read_quarantine(qdir).to_pandas()) == 3
