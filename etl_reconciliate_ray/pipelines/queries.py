@@ -378,9 +378,16 @@ def q_anti_join_customers(sf_dir: str):
     leg, ReconciliationService.java:154-171, via broadcast key set).
     The events/customer key domains genuinely diverge at every sf, so
     the result is non-empty — an empty-vs-empty oracle match would
-    prove nothing."""
-    ukeys = read_table_pandas(sf_dir, "events", columns=["user_id"]).drop_duplicates()
-    ukeys = ukeys.rename(columns={"user_id": "c_custkey"})
+    prove nothing.
+
+    The broadcast key set is built DISTRIBUTED (per-batch distinct →
+    one distinct-keys shuffle) and only the distinct ids — bounded by
+    the customer-key domain, not the event count — are collected for
+    the broadcast; pulling the raw fact-table column to the driver
+    would be O(events) memory at 100 TB."""
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    distinct = ev.groupby("user_id").count().select_columns(["user_id"])
+    ukeys = distinct.to_pandas().rename(columns={"user_id": "c_custkey"})
     cust = read_table(sf_dir, "customer", columns=["c_custkey"])
     return broadcast_anti_join(cust, ukeys, on="c_custkey")
 
@@ -884,24 +891,33 @@ def q_quarantine_docs(sf_dir: str):
     ordered validity rules (tiny_text, then oversize) are routed to a
     durable quarantine side-channel task-side; the clean stream flows
     on. Output: per-disposition counts (clean + each reason), proving
-    the split is lossless and first-match-deterministic."""
+    the split is lossless and first-match-deterministic.
+
+    The quarantine dir is a fresh per-run tempdir so concurrent runs
+    (parallel pytest, overlapping bench invocations) can't clobber
+    each other's dead letters; in a real multi-node deployment it
+    would be a run-scoped directory under the shared lake root (the
+    writes are task-side — see stages/quarantine.py)."""
     import shutil
+    import tempfile
 
     from ..stages.quarantine import quarantine_split, read_quarantine
 
-    qdir = "/tmp/etl_rec_dlq_docs"
-    shutil.rmtree(qdir, ignore_errors=True)
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
-    clean = quarantine_split(
-        ds,
-        checks=[
-            ("tiny_text", lambda t: pc.less(t["n_chars"], 60)),
-            ("oversize", lambda t: pc.greater(t["n_chars"], 400)),
-        ],
-        quarantine_dir=qdir,
-    )
-    n_clean = clean.count()  # consumes the stream -> quarantine written
-    dlq = read_quarantine(qdir).to_pandas()
+    qdir = tempfile.mkdtemp(prefix="etl_rec_dlq_")
+    try:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        clean = quarantine_split(
+            ds,
+            checks=[
+                ("tiny_text", lambda t: pc.less(t["n_chars"], 60)),
+                ("oversize", lambda t: pc.greater(t["n_chars"], 400)),
+            ],
+            quarantine_dir=qdir,
+        )
+        n_clean = clean.count()  # consumes the stream -> quarantine written
+        dlq = read_quarantine(qdir).to_pandas()
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
     rows = [{"reason": "clean", "n": int(n_clean)}]
     if len(dlq):
         for r, g in dlq.groupby("reason"):
@@ -1453,8 +1469,8 @@ ORACLE_SQL = {
     "term_stats": (
         "SELECT term, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df "
         "FROM (SELECT term, doc_id, COUNT(*) AS c FROM ("
-        "SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term "
-        "FROM documents WHERE trim(text) <> '') GROUP BY term, doc_id) GROUP BY term"
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
+        "FROM documents) WHERE term <> '' GROUP BY term, doc_id) GROUP BY term"
     ),
     "melt_lineitem": (
         "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem "

@@ -66,7 +66,11 @@ def _hll_estimate(reg: np.ndarray) -> int:
 
 def count_distinct(ds, keys: Sequence[str], col: str, alias: str = "n_distinct"):
     """Exact per-key COUNT(DISTINCT col): map-side distinct partials,
-    one (keys, col) shuffle, then a tiny per-key count."""
+    one (keys, col) shuffle, then a tiny per-key count.
+
+    SQL semantics: NULL values of ``col`` are NOT counted (a key whose
+    values are all NULL still appears, with count 0); NULL group keys
+    form their own group, as in ``GROUP BY``."""
     from .agg import preagg_groupby
     from ray.data.aggregate import Count
 
@@ -76,12 +80,20 @@ def count_distinct(ds, keys: Sequence[str], col: str, alias: str = "n_distinct")
     def partial(t: pa.Table) -> pa.Table:
         return t.select(cols).group_by(cols, use_threads=False).aggregate([])
 
+    def indicator(t: pa.Table) -> pa.Table:
+        # count a distinct pair only when col is non-NULL; the
+        # indicator (instead of dropping null-col rows) keeps all-NULL
+        # keys in the output with count 0
+        nn = pa.compute.cast(pa.compute.is_valid(t[col]), pa.int64())
+        return pa.table({**{k: t[k] for k in keys}, "__nn": nn})
+
     distinct = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(cols)
         .aggregate(Count(alias_name="__c"))
+        .map_batches(indicator, batch_format="pyarrow")
     )
-    return preagg_groupby(distinct, keys=keys, count_alias=alias)
+    return preagg_groupby(distinct, keys=keys, sums={alias: "__nn"})
 
 
 def hll_count_distinct(
@@ -93,9 +105,17 @@ def hll_count_distinct(
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for kv, g in df.groupby(keys, sort=False, observed=True):
+        # dropna=False: NULL group keys form their own group (GROUP BY
+        # semantics); NULL values are excluded from the sketch (SQL
+        # COUNT(DISTINCT) ignores NULLs — an all-NULL key estimates 0)
+        for kv, g in df.groupby(keys, sort=False, observed=True, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
-            reg = _hll_partial_registers(pa.array(g[col]), p)
+            vals = g[col].dropna()
+            reg = (
+                _hll_partial_registers(pa.array(vals), p)
+                if len(vals)
+                else np.zeros(m, np.uint8)
+            )
             rows.append({**dict(zip(keys, kv)), "__reg": reg.tobytes()})
         return pd.DataFrame(rows, columns=keys + ["__reg"])
 

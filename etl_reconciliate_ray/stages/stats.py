@@ -62,7 +62,10 @@ def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None):
     with_y = y is not None
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False, observed=True)
+        # dropna=False: rows with a NULL group key form their own group
+        # (SQL GROUP BY emits a NULL group; silently dropping them
+        # would lose data from per-slice drift stats)
+        g = df.groupby(keys, sort=False, observed=True, dropna=False)
         mx = g[x].transform("mean")
         dx = df[x] - mx
         work = pd.DataFrame({"__dx2": dx * dx})
@@ -75,7 +78,7 @@ def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None):
             work["__dxy"] = dx * dy
             work["__my"] = my
         work["__mx"] = mx
-        w = work.groupby(keys, sort=False, observed=True)
+        w = work.groupby(keys, sort=False, observed=True, dropna=False)
         out = pd.DataFrame({
             "n": g[x].count().astype("int64"),
             "mean_x": g[x].mean(),

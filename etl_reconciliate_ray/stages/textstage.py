@@ -89,10 +89,14 @@ def term_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
     building block for vocab construction / IDF weighting / stopword
     discovery over a training corpus.
 
-    Fully vectorized explode: Arrow ``utf8_trim_whitespace`` →
-    ``utf8_lower`` → ``split_pattern_regex`` → ``list_flatten`` with a
-    parallel ``list_parent_indices`` gather of doc ids — no per-row
-    Python. Each batch is collapsed to distinct (term, doc) partial
+    Fully vectorized explode: Arrow ``utf8_lower`` →
+    ``split_pattern_regex`` → ``list_flatten`` with a parallel
+    ``list_parent_indices`` gather of doc ids, then a single
+    empty-term filter — no per-row Python, and no trim step (engine
+    and SQL trim() disagree on unicode whitespace, so edge whitespace
+    is handled by dropping the empty tokens the split produces, which
+    both sides define identically). Each batch is collapsed to
+    distinct (term, doc) partial
     counts (pyarrow hash aggregation) before the single (term, doc)
     shuffle, so exchange volume is O(distinct pairs); the final per-term
     rollup is a tiny second groupby of partials.
@@ -101,14 +105,17 @@ def term_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
     from ray.data.aggregate import Count, Sum
 
     def explode(t: pa.Table) -> pa.Table:
-        txt = pc.utf8_trim_whitespace(t[text_col])
-        keep = pc.not_equal(txt, "")
-        txt = pc.filter(txt, keep)
-        ids = pc.filter(t[doc_id_col], keep)
-        lists = pc.split_pattern_regex(pc.utf8_lower(txt), r"\s+")
+        lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
         flat = pc.list_flatten(lists)
         parent = pc.list_parent_indices(lists)
-        pairs = pa.table({"term": flat, "doc_id": pc.take(ids, parent)})
+        ids = pc.take(t[doc_id_col], parent)
+        # leading/trailing/all-whitespace text splits to '' tokens —
+        # drop them (both here and in the SQL oracle) instead of
+        # trimming, which Arrow and SQL define differently
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table(
+            {"term": pc.filter(flat, keep), "doc_id": pc.filter(ids, keep)}
+        )
         red = pairs.group_by(["term", "doc_id"], use_threads=False).aggregate(
             [("term", "count")]
         )

@@ -97,7 +97,12 @@ def window_functions(
             for c in order_by:
                 v = t[c].to_numpy(zero_copy_only=False)
                 if n > 1:
-                    new_run[1:] |= v[1:] != v[:-1]
+                    neq = v[1:] != v[:-1]
+                    if v.dtype.kind == "f":
+                        # nulls arrive as NaN; SQL ranks NULLs as peers,
+                        # so two consecutive NaNs must NOT start a run
+                        neq &= ~(np.isnan(v[1:]) & np.isnan(v[:-1]))
+                    new_run[1:] |= neq
             if rank:
                 idx = np.arange(n, dtype=np.int64)
                 run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
@@ -121,7 +126,14 @@ def window_functions(
                 is_end[np.concatenate([starts[1:] - 1, [n - 1]])] = True
             cols[out] = pa.compute.if_else(pa.array(is_end), pa.nulls(n, arr.type), arr)
         for out, src in cumsum.items():
-            v = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+            # SQL SUM ignores NULLs: fill before leaving Arrow so an
+            # int64 column with nulls never round-trips through float
+            # NaN (which .astype(int64) would turn into INT64_MIN)
+            v = (
+                pa.compute.fill_null(pa.compute.cast(t[src], pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
             cs = np.cumsum(v)
             # subtract the running total just before each segment start
             base = np.concatenate([[0], cs])[starts[seg_of]]

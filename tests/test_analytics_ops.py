@@ -180,6 +180,84 @@ def test_quarantine_split_lossless_and_idempotent(ray_session, tmp_path):
     assert dlq["reason"].tolist() == ["null_v", "null_v", "too_big"]
     # nothing lost: clean + quarantined == input
     assert len(clean) + len(dlq) == len(df)
-    # re-run: content-addressed files dedupe, no duplicate dead letters
-    quarantine_split(_ds(df), checks, qdir).to_pandas()
-    assert len(read_quarantine(qdir).to_pandas()) == 3
+
+
+def test_quarantine_duplicate_content_batches_not_merged(ray_session, tmp_path):
+    """Two distinct batches with byte-identical bad rows must BOTH land
+    in the DLQ (content-only naming would silently merge them); a new
+    run is expected to use a fresh run-scoped dir for idempotence."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.quarantine import quarantine_split, read_quarantine
+
+    qdir = str(tmp_path / "dlq2")
+    # two identical single-row blocks, identical bad content
+    t = pa.table({"id": [7], "v": [0]})
+    ds = rd.from_arrow([t, t])
+    checks = [("null_v", lambda b: pc.equal(b["v"], 0))]
+    clean = quarantine_split(ds, checks, qdir).to_pandas()
+    assert len(clean) == 0
+    dlq = read_quarantine(qdir).to_pandas()
+    assert len(dlq) == 2  # lossless: both duplicates quarantined
+    # a second run emits byte-identical batches from DIFFERENT tasks:
+    # they must append (distinct names), not overwrite by content digest
+    quarantine_split(rd.from_arrow([t, t]), checks, qdir).to_pandas()
+    assert len(read_quarantine(qdir).to_pandas()) == 4
+
+
+def test_cumsum_ignores_nulls_like_sql_sum(ray_session):
+    """A null in the source column must contribute 0 to the running
+    sum (SQL SUM skips NULLs) — not poison it with INT64_MIN via a
+    float-NaN round-trip."""
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+
+    df = pd.DataFrame({"k": [1, 1, 1], "o": [1, 2, 3], "v": [10, None, 5]})
+    out = (
+        window_functions(_ds(df), key="k", order_by=["o"], cumsum={"cum": "v"},
+                         num_buckets=2)
+        .to_pandas().sort_values("o")
+    )
+    assert out["cum"].tolist() == [10, 10, 15]
+
+
+def test_rank_null_order_values_are_peers(ray_session):
+    """SQL RANK treats NULL order values as equal peers; consecutive
+    NaNs must share one tie-run, not each start their own."""
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+
+    df = pd.DataFrame({"k": [1] * 4, "o": [1.0, None, None, None]})
+    out = (
+        window_functions(_ds(df), key="k", order_by=["o"], rank="r",
+                         dense_rank="dr", num_buckets=2)
+        .to_pandas()
+    )
+    # nulls sort last (Arrow default): ranks 1, 2, 2, 2
+    assert sorted(out["r"].tolist()) == [1, 2, 2, 2]
+    assert sorted(out["dr"].tolist()) == [1, 2, 2, 2]
+
+
+def test_count_distinct_excludes_nulls(ray_session):
+    """COUNT(DISTINCT col) semantics: NULL values don't count; a key
+    whose values are all NULL still appears with count 0."""
+    from etl_reconciliate_ray.stages.distinctcount import count_distinct
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "v": [1.0, 1.0, None, None, None],
+    })
+    out = count_distinct(_ds(df), keys=["k"], col="v").to_pandas()
+    got = dict(zip(out["k"], out["n_distinct"]))
+    assert got == {"a": 1, "b": 0}
+
+
+def test_grouped_stats_keeps_null_group_keys(ray_session):
+    """GROUP BY emits a NULL group; null-keyed rows must not silently
+    vanish from the partials."""
+    from etl_reconciliate_ray.stages.stats import grouped_stats
+
+    df = pd.DataFrame({"k": ["a", "a", None, None], "x": [1.0, 3.0, 10.0, 20.0]})
+    out = grouped_stats(_ds(df), keys=["k"], x="x").to_pandas()
+    assert len(out) == 2
+    null_row = out[out["k"].isna()].iloc[0]
+    assert null_row["n"] == 2 and null_row["mean_x"] == 15.0
