@@ -807,6 +807,153 @@ def q_term_stats(sf_dir: str):
     return term_stats(ds)
 
 
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP (grouping-sets cascade, stages/agg.rollup_groupby):
+    the reference's A3 rollup cascade (`ReconciliationService.java`
+    per-status → per-class → grand-total tallies) generalized to the
+    SQL ROLLUP shape. Data is aggregated once; subtotal levels
+    re-aggregate the aggregate. Quantities use the cents convention so
+    every level is an exact integer sum on both sides."""
+    from ..stages.agg import rollup_groupby
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_c": q,
+        })
+
+    return rollup_groupby(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"sum_qty_c": "qty_c"},
+        count_alias="n",
+    )
+
+
+def q_heavy_hitters_events(sf_dir: str):
+    """Frequent-items sketch (stages/sketch.heavy_hitters, Misra-Gries):
+    top event types by count via fixed-size mergeable partials — the
+    scale path for "most frequent values" when an exact distinct-key
+    groupby would shuffle unbounded cardinality. Capacity exceeds the
+    column's distinct count here, so the sketch is provably exact and
+    oracle-checkable; the approximation regime has its own property
+    test (tests/test_analytics_ops.py)."""
+    from ..stages.sketch import heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return heavy_hitters(ds, col="event_type", capacity=32)
+
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """Correlated-aggregate join (the SQL "rows above their group's
+    average" subquery shape): per-customer average order price via
+    partial pre-aggregation, one partitioned hash join back to the
+    orders stream, then a map-side comparison filter. A 20% margin
+    keeps the float predicate far from any cross-engine ulp boundary."""
+    ords = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    sums = preagg_groupby(
+        ords, keys=["o_custkey"], sums={"s": "o_totalprice"}, count_alias="c"
+    )
+    avg = sums.map_batches(
+        lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "avg_price": pc.divide(t["s"], pc.cast(t["c"], pa.float64())),
+        }),
+        batch_format="pyarrow",
+    )
+    j = hash_join(ords, avg, on="o_custkey", num_buckets=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["o_totalprice"], pc.multiply(t["avg_price"], 1.2))
+        t = t.filter(keep)
+        price_c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "price_c": price_c,
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def q_monthly_revenue(sf_dir: str):
+    """Calendar-unit temporal aggregation (F-family widening): orders
+    truncated to month (Arrow ``floor_temporal``, matching SQL
+    ``date_trunc('month', ...)``) → per-month order count + revenue in
+    cents. Window assignment is map-side; only (month, partial) rows
+    shuffle."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({"month": month, "cents": cents})
+
+    agg = preagg_groupby(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["month"],
+        sums={"revenue_c": "cents"},
+        count_alias="n",
+    )
+    # the shuffle can downcast the timestamp key to seconds precision;
+    # restore microseconds so the schema matches SQL date_trunc output
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("month"),
+            "month",
+            pc.cast(t["month"], pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_json_extract_props(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column with one vectorized Arrow
+    ``extract_regex`` pass (no per-row JSON parser in the hot path —
+    the schema-on-read fast path for flat JSON payloads), then
+    aggregate per extracted value. Unparseable rows surface as a NULL
+    group rather than vanishing."""
+    ds = read_table(sf_dir, "events", columns=["props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"k": k})
+
+    return preagg_groupby(
+        ds.map_batches(extract, batch_format="pyarrow"), keys=["k"], count_alias="n"
+    )
+
+
+def q_bloom_semi_orders(sf_dir: str):
+    """Bloom-prefiltered semi join (functions/bloom.py): the broadcast
+    key SET is replaced by a ~10-bits/key Bloom filter that prunes the
+    probe stream before the exact semi join — the scale path when the
+    build-side key set outgrows an actor's heap. Exactness is restored
+    by the downstream exact join (Bloom passes a superset), so the
+    result is oracle-checkable."""
+    from ..functions.bloom import build_bloom, bloom_prefilter
+    from ..stages.joins import broadcast_semi_join
+
+    cust = read_table_pandas(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    sel = cust[cust["c_nationkey"] < 5][["c_custkey"]].rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    bloom = build_bloom(pa.array(sel["o_custkey"].to_numpy(), pa.int64()))
+    ords = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    pref = bloom_prefilter(ords, bloom, on="o_custkey")
+    return broadcast_semi_join(pref, sel, on="o_custkey")
+
+
 def q_rank_orders_per_priority(sf_dir: str):
     """RANK / DENSE_RANK with real ties (orders ranked per priority by
     whole-dollar totalprice): tie-runs are detected on the order VALUES,
@@ -1293,6 +1440,12 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "embdup_pairs": q_embdup_pairs,
     "embdup_pairs_ivf": q_embdup_pairs_ivf,
+    "rollup_lineitem": q_rollup_lineitem,
+    "heavy_hitters_events": q_heavy_hitters_events,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "monthly_revenue": q_monthly_revenue,
+    "json_extract_props": q_json_extract_props,
+    "bloom_semi_orders": q_bloom_semi_orders,
 }
 
 ORACLE_SQL = {
@@ -1583,6 +1736,38 @@ ORACLE_SQL = {
         # threshold sits in a wide margin: planted clones have cosine 1,
         # the raw table's max pairwise cosine is ~0.51 — no float-boundary
         # fragility between numpy and DuckDB
+    ),
+    "rollup_lineitem": (
+        "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+        "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "heavy_hitters_events": (
+        # capacity (32) > distinct event types: the MG sketch is exact
+        "SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events GROUP BY event_type"
+    ),
+    "orders_above_cust_avg": (
+        "SELECT o.o_orderkey, o.o_custkey, "
+        "CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_c "
+        "FROM orders o JOIN (SELECT o_custkey AS ck, AVG(o_totalprice) AS av "
+        "FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.ck "
+        "WHERE o.o_totalprice > 1.2 * a.av"
+    ),
+    "monthly_revenue": (
+        "SELECT date_trunc('month', o_orderdate) AS month, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1"
+    ),
+    "json_extract_props": (
+        "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1"
+    ),
+    "bloom_semi_orders": (
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_nationkey < 5)"
     ),
     # rows-only (non-SQL-expressible or float-boundary-fragile):
     # minhash_clusters, simhash_docs, ngram_jaccard_pairs, ann_lsh,

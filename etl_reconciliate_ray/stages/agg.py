@@ -55,3 +55,72 @@ def preagg_groupby(
     if count_alias:
         aggs.append(Sum(on=count_alias, alias_name=count_alias))
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def rollup_groupby(
+    ds,
+    keys: Sequence[str],
+    sums: Mapping[str, str] | None = None,
+    count_alias: str | None = None,
+    all_label: str = "ALL",
+):
+    """SQL ``GROUP BY ROLLUP(keys...)``: the finest grouping plus every
+    key-prefix subtotal and the grand total, with collapsed key levels
+    labelled ``all_label`` (COALESCE-style — unambiguous when real key
+    values never equal the label, which the caller must ensure).
+
+    Scale shape: the DATA is aggregated exactly once (the finest-level
+    partial pre-aggregation + one shuffle, same as ``preagg_groupby``);
+    every coarser level is an aggregate OF the finest aggregate, which
+    is key-cardinality-sized, so the rollup cascade adds only
+    sketch-sized work no matter how many rows flowed in. The finest
+    result is materialized once and fanned out to the subtotal legs —
+    O(distinct key combos), never O(rows).
+    """
+    keys = list(keys)
+    sums = dict(sums or {})
+    outs = list(sums) + ([count_alias] if count_alias else [])
+    resum = {o: o for o in outs}
+
+    finest = preagg_groupby(ds, keys=keys, sums=sums, count_alias=count_alias)
+    finest = finest.materialize()  # aggregate-sized; reused by every level
+
+    def finish(sub: Sequence[str]):
+        """Project to the uniform (keys + outs) schema, labelling the
+        collapsed key columns."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+            for k in keys:
+                cols[k] = (
+                    t[k]
+                    if k in sub
+                    else pa.array([all_label] * t.num_rows, pa.string())
+                )
+            for o in outs:
+                cols[o] = t[o]
+            return pa.table(cols)
+
+        return fn
+
+    levels = [finest.map_batches(finish(keys), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, -1, -1):
+        sub = keys[:i]
+        if sub:
+            lvl = preagg_groupby(finest, keys=sub, sums=resum)
+        else:
+            # grand total: constant-key groupby, then drop the key
+            tagged = finest.map_batches(
+                lambda t: t.append_column(
+                    "__all__", pa.array([0] * t.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+            lvl = preagg_groupby(tagged, keys=["__all__"], sums=resum).drop_columns(
+                ["__all__"]
+            )
+        levels.append(lvl.map_batches(finish(sub), batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

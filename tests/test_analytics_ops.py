@@ -261,3 +261,64 @@ def test_grouped_stats_keeps_null_group_keys(ray_session):
     assert len(out) == 2
     null_row = out[out["k"].isna()].iloc[0]
     assert null_row["n"] == 2 and null_row["mean_x"] == 15.0
+
+
+def test_misra_gries_approximation_guarantees(ray_session):
+    """In the trimming regime (capacity << distinct), MG must still
+    report every item with true frequency > n/(capacity+1), and every
+    reported count is a lower bound within n/(capacity+1) of truth."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    # 3 heavy items on a long uniform tail of 2000 distinct values
+    heavy = np.repeat(["h0", "h1", "h2"], [4000, 3000, 2500])
+    tail = np.char.add("t", rng.integers(0, 2000, 8000).astype(str))
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    n = len(vals)
+    cap = 16
+    df = pd.DataFrame({"v": vals})
+    out = heavy_hitters(rd.from_pandas(df).repartition(7), col="v", capacity=cap)
+    assert len(out) <= cap
+    true = df["v"].value_counts()
+    bound = n / (cap + 1)
+    got = dict(zip(out["item"], out["n"]))
+    for item, freq in true.items():
+        if freq > bound:
+            assert item in got, (item, freq, bound)
+    for item, c in got.items():
+        assert c <= true[item]
+        assert true[item] - c <= bound
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    """Every ROLLUP subtotal must equal the sum of its finer level, and
+    the grand total must equal the raw input totals."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.agg import rollup_groupby
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 500),
+        "b": rng.choice(["p", "q", "r"], 500),
+        "v": rng.integers(0, 100, 500),
+    })
+    out = rollup_groupby(
+        rd.from_pandas(df).repartition(5), keys=["a", "b"],
+        sums={"sv": "v"}, count_alias="n",
+    ).to_pandas()
+    finest = out[(out["a"] != "ALL") & (out["b"] != "ALL")]
+    mid = out[(out["a"] != "ALL") & (out["b"] == "ALL")].set_index("a")
+    grand = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert len(grand) == 1
+    assert grand["sv"].iloc[0] == df["v"].sum() and grand["n"].iloc[0] == len(df)
+    for a, g in finest.groupby("a"):
+        assert mid.loc[a, "sv"] == g["sv"].sum()
+        assert mid.loc[a, "n"] == g["n"].sum()
+    # finest level matches pandas exactly
+    exp = df.groupby(["a", "b"])["v"].sum()
+    for _, row in finest.iterrows():
+        assert row["sv"] == exp[(row["a"], row["b"])]
