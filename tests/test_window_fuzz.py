@@ -1,0 +1,110 @@
+"""Property-based check of stages/windowfns against a pandas reference.
+
+Two regimes, because determinism differs:
+- UNIQUE order values per partition: row_number / lag / lead / cumsum
+  are all total-order-determined, so every cell must match pandas
+  shift/cumcount/cumsum exactly (including NULL handling: lag/lead are
+  null at partition edges, cumsum skips nulls like SQL SUM).
+- TIED / NULL order values: only rank & dense_rank are well-defined
+  (they depend on order VALUES, not sort stability); engine output
+  must equal pandas rank(method='min'/'dense', na_option='bottom') —
+  nulls sort last and rank as one peer group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(3)
+
+
+rows_unique_st = st.lists(
+    st.tuples(
+        st.integers(0, 3),                                  # key
+        st.one_of(st.none(), st.integers(0, 20)),           # value (nullable)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_unique_st)
+def _case_unique_order(rows):
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+
+    df = pd.DataFrame({
+        "k": [k for k, _ in rows],
+        "o": range(len(rows)),  # globally unique -> total order per key
+        "v": [v for _, v in rows],
+    })
+    out = (
+        window_functions(
+            _ds(df), key="k", order_by=["o"], row_number="rn",
+            lag={"prev": "v"}, lead={"nxt": "v"}, cumsum={"cum": "v"},
+            num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    sdf = df.sort_values(["k", "o"]).reset_index(drop=True)
+    g = sdf.groupby("k")
+    exp_rn = (g.cumcount() + 1).tolist()
+    exp_prev = g["v"].shift(1)
+    exp_nxt = g["v"].shift(-1)
+    exp_cum = g["v"].transform(lambda s: s.fillna(0).cumsum()).astype(int).tolist()
+    assert out["rn"].tolist() == exp_rn
+    assert out["cum"].tolist() == exp_cum
+    for got, want in ((out["prev"], exp_prev), (out["nxt"], exp_nxt)):
+        for a, b in zip(got.tolist(), want.tolist()):
+            assert (pd.isna(a) and pd.isna(b)) or a == b, (got.tolist(), want.tolist())
+
+
+rows_tied_st = st.lists(
+    st.tuples(
+        st.integers(0, 2),                                  # key
+        st.one_of(st.none(), st.integers(0, 4)),            # order: ties + nulls
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_tied_st)
+def _case_tied_order(rows):
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+
+    df = pd.DataFrame({
+        "k": [k for k, _ in rows],
+        "o": [o for _, o in rows],
+    })
+    out = window_functions(
+        _ds(df), key="k", order_by=["o"], rank="r", dense_rank="d", num_buckets=3
+    ).to_pandas()
+    exp_r = df.groupby("k")["o"].rank(method="min", na_option="bottom").astype(int)
+    exp_d = df.groupby("k")["o"].rank(method="dense", na_option="bottom").astype(int)
+    # tie groups share one rank, so compare the per-(k, o) rank maps
+    key = list(zip(df["k"], df["o"].fillna(-1)))
+    want = {kk: (r, d) for kk, r, d in zip(key, exp_r, exp_d)}
+    okey = list(zip(out["k"], out["o"].fillna(-1)))
+    got = {kk: (r, d) for kk, r, d in zip(okey, out["r"], out["d"])}
+    assert got == want
+
+
+def test_window_functions_fuzz_unique_order(ray_session):
+    _case_unique_order()
+
+
+def test_window_functions_fuzz_tied_order(ray_session):
+    _case_tied_order()
