@@ -836,6 +836,82 @@ def q_rollup_lineitem(sf_dir: str):
     )
 
 
+def q_cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE (stages/agg.cube_groupby): every subset of the
+    grouping keys from ONE pass over the data — the finest aggregate is
+    computed once (partial pre-agg + one shuffle) and each of the 2^k
+    subset levels re-aggregates that aggregate-sized result. Extends
+    rollup_lineitem (prefix chain) to the full power set; quantities
+    use the cents convention so every level is an exact integer sum on
+    both sides."""
+    from ..stages.agg import cube_groupby
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_c": q,
+        })
+
+    return cube_groupby(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"sum_qty_c": "qty_c"},
+        count_alias="n",
+    )
+
+
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition quality filter signals
+    (stages/textstage.word_repetition_stats): per document, total /
+    distinct / most-frequent word counts over a literal-space split.
+    Map-only (each doc is one row), zero shuffle at any corpus size."""
+    from ..stages.textstage import word_repetition_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(word_repetition_stats, batch_format="pyarrow")
+
+
+def q_decontam_docs(sf_dir: str):
+    """Benchmark decontamination (stages/textstage.DecontamCount): the
+    held-out docs (doc_id % 97 == 0 plays the benchmark/test set) are
+    reduced to their distinct word 4-grams ONCE — distributed distinct,
+    driver-collected because eval sets are bounded by definition — then
+    broadcast via ray.put and probed per corpus batch in an actor pool.
+    Output: every non-benchmark doc with its count of distinct grams
+    shared with the benchmark (hits > 0 ⇒ contaminated, drop before
+    training). The corpus side streams; nothing corpus-sized is ever
+    collected or shuffled."""
+    import ray
+
+    from ..stages.textstage import DecontamCount, collect_ngram_set
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def is_bench(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 97 == 0]
+
+    def not_bench(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 97 != 0]
+
+    grams = collect_ngram_set(
+        docs.map_batches(is_bench, batch_format="pandas"), n=4
+    )
+    ref = ray.put(grams)
+    return docs.map_batches(not_bench, batch_format="pandas").map_batches(
+        DecontamCount,
+        fn_constructor_kwargs={"gram_ref": ref, "n": 4},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+
+
 def q_heavy_hitters_events(sf_dir: str):
     """Frequent-items sketch (stages/sketch.heavy_hitters, Misra-Gries):
     top event types by count via fixed-size mergeable partials — the
@@ -1441,6 +1517,9 @@ QUERIES = {
     "embdup_pairs": q_embdup_pairs,
     "embdup_pairs_ivf": q_embdup_pairs_ivf,
     "rollup_lineitem": q_rollup_lineitem,
+    "cube_lineitem": q_cube_lineitem,
+    "repetition_docs": q_repetition_docs,
+    "decontam_docs": q_decontam_docs,
     "heavy_hitters_events": q_heavy_hitters_events,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "monthly_revenue": q_monthly_revenue,
@@ -1743,6 +1822,32 @@ ORACLE_SQL = {
         "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
         "CAST(COUNT(*) AS BIGINT) AS n "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "cube_lineitem": (
+        "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+        "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+    ),
+    "repetition_docs": (
+        "WITH wc AS (SELECT doc_id, w, COUNT(*) AS c FROM "
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
+        "GROUP BY doc_id, w) "
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct_words, "
+        "CAST(MAX(c) AS BIGINT) AS top_word_count FROM wc GROUP BY doc_id"
+    ),
+    "decontam_docs": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram "
+        "FROM w, UNNEST(generate_series(1, len(ws)-3)) AS t(i) WHERE len(ws) >= 4), "
+        "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+        "c AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0) "
+        "SELECT d.doc_id, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS n_contam_grams "
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d "
+        "LEFT JOIN (SELECT c.doc_id, COUNT(*) AS cnt FROM c JOIN b USING (gram) "
+        "GROUP BY c.doc_id) h ON d.doc_id = h.doc_id"
     ),
     "heavy_hitters_events": (
         # capacity (32) > distinct event types: the MG sketch is exact

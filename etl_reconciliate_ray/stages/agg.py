@@ -57,33 +57,39 @@ def preagg_groupby(
     return partials.groupby(keys).aggregate(*aggs)
 
 
-def rollup_groupby(
+def grouping_sets_groupby(
     ds,
     keys: Sequence[str],
+    sets: Sequence[Sequence[str]],
     sums: Mapping[str, str] | None = None,
     count_alias: str | None = None,
     all_label: str = "ALL",
 ):
-    """SQL ``GROUP BY ROLLUP(keys...)``: the finest grouping plus every
-    key-prefix subtotal and the grand total, with collapsed key levels
-    labelled ``all_label`` (COALESCE-style — unambiguous when real key
-    values never equal the label, which the caller must ensure).
+    """SQL ``GROUP BY GROUPING SETS(...)``: one result row-set per
+    requested key subset, with collapsed key columns labelled
+    ``all_label`` (COALESCE-style — unambiguous when real key values
+    never equal the label, which the caller must ensure). Every set
+    must be a subset of ``keys``.
 
-    Scale shape: the DATA is aggregated exactly once (the finest-level
-    partial pre-aggregation + one shuffle, same as ``preagg_groupby``);
-    every coarser level is an aggregate OF the finest aggregate, which
-    is key-cardinality-sized, so the rollup cascade adds only
-    sketch-sized work no matter how many rows flowed in. The finest
-    result is materialized once and fanned out to the subtotal legs —
-    O(distinct key combos), never O(rows).
+    Scale shape: the DATA is aggregated exactly once at the finest
+    level (the union of all requested keys: partial pre-aggregation +
+    one shuffle, same as ``preagg_groupby``); every grouping set is an
+    aggregate OF the finest aggregate, which is key-cardinality-sized,
+    so additional sets add only sketch-sized work no matter how many
+    rows flowed in. The finest result is materialized once and fanned
+    out to the subset legs — O(distinct key combos), never O(rows).
     """
     keys = list(keys)
+    sets = [list(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} is not a subset of keys {keys}")
     sums = dict(sums or {})
     outs = list(sums) + ([count_alias] if count_alias else [])
     resum = {o: o for o in outs}
 
     finest = preagg_groupby(ds, keys=keys, sums=sums, count_alias=count_alias)
-    finest = finest.materialize()  # aggregate-sized; reused by every level
+    finest = finest.materialize()  # aggregate-sized; reused by every set
 
     def finish(sub: Sequence[str]):
         """Project to the uniform (keys + outs) schema, labelling the
@@ -103,10 +109,11 @@ def rollup_groupby(
 
         return fn
 
-    levels = [finest.map_batches(finish(keys), batch_format="pyarrow")]
-    for i in range(len(keys) - 1, -1, -1):
-        sub = keys[:i]
-        if sub:
+    levels = []
+    for sub in sets:
+        if set(sub) == set(keys):
+            lvl = finest
+        elif sub:
             lvl = preagg_groupby(finest, keys=sub, sums=resum)
         else:
             # grand total: constant-key groupby, then drop the key
@@ -124,3 +131,40 @@ def rollup_groupby(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def rollup_groupby(
+    ds,
+    keys: Sequence[str],
+    sums: Mapping[str, str] | None = None,
+    count_alias: str | None = None,
+    all_label: str = "ALL",
+):
+    """SQL ``GROUP BY ROLLUP(keys...)``: the finest grouping plus every
+    key-prefix subtotal and the grand total — the prefix-chain special
+    case of ``grouping_sets_groupby`` (same aggregate-once scale
+    shape)."""
+    keys = list(keys)
+    sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return grouping_sets_groupby(
+        ds, keys, sets, sums=sums, count_alias=count_alias, all_label=all_label
+    )
+
+
+def cube_groupby(
+    ds,
+    keys: Sequence[str],
+    sums: Mapping[str, str] | None = None,
+    count_alias: str | None = None,
+    all_label: str = "ALL",
+):
+    """SQL ``GROUP BY CUBE(keys...)``: every subset of ``keys`` (the
+    full power set) via ``grouping_sets_groupby`` — data aggregated
+    once, 2^k aggregate-sized subset rollups."""
+    keys = list(keys)
+    sets: list[list[str]] = []
+    for mask in range((1 << len(keys)) - 1, -1, -1):
+        sets.append([k for i, k in enumerate(keys) if mask & (1 << i)])
+    return grouping_sets_groupby(
+        ds, keys, sets, sums=sums, count_alias=count_alias, all_label=all_label
+    )

@@ -83,6 +83,93 @@ class RollingFingerprint:
         return pd.DataFrame({"doc_id": ids, "fingerprint": pd.array(hashes, dtype="int64")})
 
 
+def word_repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style per-document repetition signals over literal-space
+    word tokens: total word count, distinct word count, and the count
+    of the most frequent word. High duplicate-word fraction
+    (1 - distinct/total) or top-word share flags boilerplate /
+    degenerate documents in a pre-training corpus (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters).
+
+    Tokenization is a LITERAL single-space split (matching SQL
+    ``string_split(text, ' ')`` including empty tokens) so the DuckDB
+    oracle compares exactly. Fully vectorized: Arrow ``split_pattern``
+    → ``list_flatten`` + ``list_parent_indices`` gather, then two
+    pyarrow hash aggregations. Each document is one row, so the whole
+    computation is per-batch — map-only, zero shuffle at any scale.
+    """
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(batch["text"], " ")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    ids = pc.take(batch["doc_id"], parent)
+    pairs = pa.table({"doc_id": ids, "w": flat})
+    wc = pairs.group_by(["doc_id", "w"], use_threads=False).aggregate([("w", "count")])
+    per = (
+        pa.table({"doc_id": wc["doc_id"], "c": wc["w_count"]})
+        .group_by(["doc_id"], use_threads=False)
+        .aggregate([("c", "sum"), ("c", "count"), ("c", "max")])
+    )
+    return pa.table(
+        {
+            "doc_id": per["doc_id"],
+            "n_words": per["c_sum"],
+            "n_distinct_words": pc.cast(per["c_count"], pa.int64()),
+            "top_word_count": pc.cast(per["c_max"], pa.int64()),
+        }
+    )
+
+
+def collect_ngram_set(bench_ds, n: int = 4, text_col: str = "text") -> frozenset:
+    """Distinct word n-grams of a BENCHMARK dataset, collected to the
+    driver for broadcast. Benchmark/eval sets are small by definition
+    (decontamination compares a huge train corpus against a bounded
+    test set), so the distinct-gram set is driver-safe; the distinct
+    is still computed distributed (per-batch set + Dataset.unique) so
+    only deduplicated grams ever reach the driver. At 100 TB-corpus /
+    large-benchmark scale, store 64-bit gram hashes instead of strings
+    and front the set with a Bloom filter (functions/bloom.py) — same
+    broadcast contract."""
+    import pandas as pd  # noqa: F811  (local to keep stage imports lazy)
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        out: set[str] = set()
+        for txt in batch[text_col]:
+            ws = txt.split(" ")
+            for i in range(len(ws) - n + 1):
+                out.add(" ".join(ws[i : i + n]))
+        return pd.DataFrame({"gram": sorted(out)})
+
+    return frozenset(bench_ds.map_batches(grams, batch_format="pandas").unique("gram"))
+
+
+class DecontamCount:
+    """Benchmark-decontamination stage: per corpus document, the number
+    of distinct word ``n``-grams shared with a broadcast benchmark
+    gram set (docs with hits > 0 are contaminated and should be
+    dropped before training). The set is shipped ONCE per actor via
+    ``ray.put`` + ``__init__`` ``ray.get`` (zero-copy from the local
+    object store), never per batch."""
+
+    def __init__(self, gram_ref, n: int = 4):
+        import ray
+
+        self.grams = ray.get(gram_ref) if not isinstance(gram_ref, frozenset) else gram_ref
+        self.n = n
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = self.n
+        hits = []
+        for txt in batch["text"]:
+            ws = txt.split(" ")
+            gs = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+            hits.append(len(gs & self.grams))
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "n_contam_grams": pd.array(hits, dtype="int64")}
+        )
+
+
 def term_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
     """Corpus vocabulary statistics: per lowercase whitespace term, the
     total occurrence count (tf) and distinct-document count (df) — the

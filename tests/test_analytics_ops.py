@@ -322,3 +322,107 @@ def test_rollup_levels_are_consistent(ray_session):
     exp = df.groupby(["a", "b"])["v"].sum()
     for _, row in finest.iterrows():
         assert row["sv"] == exp[(row["a"], row["b"])]
+
+
+def test_cube_covers_every_subset(ray_session):
+    """CUBE must emit all four subset levels for two keys, each level
+    internally consistent with the pandas groupby of the raw data."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.agg import cube_groupby
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 400),
+        "b": rng.choice(["p", "q"], 400),
+        "v": rng.integers(0, 50, 400),
+    })
+    out = cube_groupby(
+        rd.from_pandas(df).repartition(4), keys=["a", "b"],
+        sums={"sv": "v"}, count_alias="n",
+    ).to_pandas()
+    # b-only level (the set ROLLUP lacks) matches pandas
+    b_only = out[(out["a"] == "ALL") & (out["b"] != "ALL")].set_index("b")
+    exp_b = df.groupby("b")["v"].sum()
+    assert set(b_only.index) == set(exp_b.index)
+    for b, s in exp_b.items():
+        assert b_only.loc[b, "sv"] == s
+    # all four levels present with the right row counts
+    finest = out[(out["a"] != "ALL") & (out["b"] != "ALL")]
+    a_only = out[(out["a"] != "ALL") & (out["b"] == "ALL")]
+    grand = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert len(finest) == df.groupby(["a", "b"]).ngroups
+    assert len(a_only) == df["a"].nunique()
+    assert len(grand) == 1 and grand["sv"].iloc[0] == df["v"].sum()
+
+
+def test_grouping_sets_rejects_non_subset(ray_session):
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.agg import grouping_sets_groupby
+
+    ds = rd.from_pandas(pd.DataFrame({"a": ["x"], "v": [1]}))
+    with pytest.raises(ValueError):
+        grouping_sets_groupby(ds, keys=["a"], sets=[["b"]], sums={"sv": "v"})
+
+
+def test_decontam_flags_planted_overlap(ray_session):
+    """A corpus doc sharing a word 4-gram with the benchmark must get
+    hits >= 1; a disjoint-vocabulary doc must get 0; gram counting is
+    DISTINCT per doc (a repeated contaminated gram counts once)."""
+    import ray
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.textstage import DecontamCount, collect_ngram_set
+
+    bench = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0], "text": ["alpha beta gamma delta epsilon"]
+    }))
+    grams = collect_ngram_set(bench, n=4)
+    assert "alpha beta gamma delta" in grams and "beta gamma delta epsilon" in grams
+    corpus = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            # contains 'alpha beta gamma delta' twice -> 1 distinct hit
+            "zz alpha beta gamma delta yy alpha beta gamma delta",
+            "totally disjoint vocabulary here none shared",
+            "tail overlap beta gamma delta epsilon",
+        ],
+    }))
+    out = (
+        corpus.map_batches(
+            DecontamCount,
+            fn_constructor_kwargs={"gram_ref": ray.put(grams), "n": 4},
+            batch_format="pandas",
+            concurrency=1,
+        )
+        .to_pandas()
+        .set_index("doc_id")["n_contam_grams"]
+    )
+    assert out[1] == 1
+    assert out[2] == 0
+    assert out[3] == 1
+
+
+def test_word_repetition_stats_counts(ray_session):
+    """Repetition stats over literal-space tokens, including the empty
+    string (one '' token, matching SQL string_split semantics)."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.textstage import word_repetition_stats
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b a", "x", ""],
+    }))
+    out = (
+        ds.map_batches(word_repetition_stats, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_words"] == 5
+    assert out.loc[1, "n_distinct_words"] == 2
+    assert out.loc[1, "top_word_count"] == 3
+    assert out.loc[2, "n_words"] == 1 and out.loc[2, "top_word_count"] == 1
+    # '' splits to one empty token on both engine and SQL sides
+    assert out.loc[3, "n_words"] == 1 and out.loc[3, "n_distinct_words"] == 1
