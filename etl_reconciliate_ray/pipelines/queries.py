@@ -836,6 +836,41 @@ def q_rollup_lineitem(sf_dir: str):
     )
 
 
+def q_ntile_events(sf_dir: str):
+    """NTILE(4) quartile assignment per user over event time
+    (stages/windowfns.window_functions): one key-hash bucket shuffle,
+    segmented numpy kernel per bucket. (ts, event_id) is a total order
+    within each user, so tiles are deterministic on both engines."""
+    from ..stages.windowfns import window_functions
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return window_functions(
+        ds,
+        key="user_id",
+        order_by=["ts", "event_id"],
+        ntile=("quartile", 4),
+        keep=["user_id", "event_id"],
+    )
+
+
+def q_top_terms_per_doc(sf_dir: str):
+    """Per-document top distinctive terms (tf-ranked): composition of
+    the exploded term counts (stages/textstage.doc_term_counts, Arrow
+    explode + per-batch hash agg) with the two-level top-k-per-group
+    combiner (stages/topk.topk_per_group) — only O(docs × k) rows
+    shuffle. Ties broken by term text, so the selection is a total
+    order and oracle-exact."""
+    from ..stages.textstage import doc_term_counts
+    from ..stages.topk import topk_per_group
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = doc_term_counts(ds)
+    return topk_per_group(
+        pairs, group_key="doc_id", order_col="c", k=3, tiebreak="term",
+        descending=True,
+    )
+
+
 def q_cube_lineitem(sf_dir: str):
     """GROUP BY CUBE (stages/agg.cube_groupby): every subset of the
     grouping keys from ONE pass over the data — the finest aggregate is
@@ -1518,6 +1553,8 @@ QUERIES = {
     "embdup_pairs_ivf": q_embdup_pairs_ivf,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_lineitem": q_cube_lineitem,
+    "ntile_events": q_ntile_events,
+    "top_terms_per_doc": q_top_terms_per_doc,
     "repetition_docs": q_repetition_docs,
     "decontam_docs": q_decontam_docs,
     "heavy_hitters_events": q_heavy_hitters_events,
@@ -1822,6 +1859,18 @@ ORACLE_SQL = {
         "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
         "CAST(COUNT(*) AS BIGINT) AS n "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "ntile_events": (
+        "SELECT user_id, event_id, NTILE(4) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS quartile FROM events"
+    ),
+    "top_terms_per_doc": (
+        "SELECT doc_id, term, CAST(c AS BIGINT) AS c, CAST(rn AS BIGINT) AS rank "
+        "FROM (SELECT doc_id, term, c, ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY c DESC, term) AS rn "
+        "FROM (SELECT term, doc_id, COUNT(*) AS c FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
+        "FROM documents) WHERE term <> '' GROUP BY term, doc_id)) WHERE rn <= 3"
     ),
     "cube_lineitem": (
         "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "

@@ -188,8 +188,27 @@ def term_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
     shuffle, so exchange volume is O(distinct pairs); the final per-term
     rollup is a tiny second groupby of partials.
     """
-    import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
+
+    pairs = (
+        doc_term_counts(ds, text_col=text_col, doc_id_col=doc_id_col)
+        .groupby(["term", "doc_id"])
+        .aggregate(Sum(on="c", alias_name="c"))
+    )
+    return pairs.groupby("term").aggregate(
+        Sum(on="c", alias_name="tf"), Count(alias_name="df")
+    )
+
+
+def doc_term_counts(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
+    """Per-document term counts ``(term, doc_id, c)`` — the exploded
+    building block shared by ``term_stats`` (corpus tf/df) and per-doc
+    term selection (``queries.q_top_terms_per_doc``). Same vectorized
+    Arrow explode + per-batch pyarrow hash aggregation; each document
+    is ONE input row, so per-batch counts are already per-doc-complete
+    (map-only — downstream consumers may still re-aggregate for
+    associativity)."""
+    import pyarrow.compute as pc
 
     def explode(t: pa.Table) -> pa.Table:
         lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
@@ -210,11 +229,4 @@ def term_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
             "term": red["term"], "doc_id": red["doc_id"], "c": red["term_count"]
         })
 
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["term", "doc_id"])
-        .aggregate(Sum(on="c", alias_name="c"))
-    )
-    return pairs.groupby("term").aggregate(
-        Sum(on="c", alias_name="tf"), Count(alias_name="df")
-    )
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -47,6 +47,7 @@ def window_functions(
     row_number: str | None = None,
     rank: str | None = None,
     dense_rank: str | None = None,
+    ntile: tuple[str, int] | None = None,
     lag: dict[str, str] | None = None,
     lead: dict[str, str] | None = None,
     cumsum: dict[str, str] | None = None,
@@ -61,6 +62,10 @@ def window_functions(
     ``rank`` / ``dense_rank``: SQL RANK/DENSE_RANK over the order tuple
     (ties share a rank; deterministic even when the order tuple ties,
     since they depend only on order VALUES, not sort stability).
+    ``ntile``: ``(output, k)`` — SQL NTILE(k): the partition's rows in
+    order split into k groups whose sizes differ by at most one, the
+    larger groups first (deterministic under the same total-order
+    caveat as ``row_number``).
     ``lag`` / ``lead``: {output: source_col} shifted by 1 within the
     partition (null at the partition edge).
     ``cumsum``: {output: source_col} running sum (int64 sources — pass
@@ -110,6 +115,19 @@ def window_functions(
             if dense_rank:
                 runs = np.cumsum(new_run)  # 1-based run ordinal
                 cols[dense_rank] = pa.array(runs - runs[starts[seg_of]] + 1, pa.int64())
+        if ntile:
+            nt_out, nt_k = ntile
+            sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+            m = sizes[seg_of]
+            r = np.arange(n, dtype=np.int64) - starts[seg_of]  # 0-based in-partition
+            q, rem = m // nt_k, m % nt_k
+            big = rem * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+            tile = np.where(
+                r < big,
+                r // np.maximum(q + 1, 1),
+                rem + (r - big) // np.maximum(q, 1),
+            )
+            cols[nt_out] = pa.array(tile + 1, pa.int64())
         for out, src in lag.items():
             shifted = t[src].combine_chunks().slice(0, max(n - 1, 0))
             arr = pa.concat_arrays([pa.nulls(1, t.schema.field(src).type), shifted]) \

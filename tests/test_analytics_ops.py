@@ -426,3 +426,32 @@ def test_word_repetition_stats_counts(ray_session):
     assert out.loc[2, "n_words"] == 1 and out.loc[2, "top_word_count"] == 1
     # '' splits to one empty token on both engine and SQL sides
     assert out.loc[3, "n_words"] == 1 and out.loc[3, "n_distinct_words"] == 1
+
+
+def test_ntile_split_sizes(ray_session):
+    """NTILE(k) tile sizes within each partition differ by at most one,
+    larger tiles first, and tiles follow the order column."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for key, m in [("a", 10), ("b", 7), ("c", 3), ("d", 1)]:
+        for i in range(m):
+            rows.append({"k": key, "o": i})
+    df = pd.DataFrame(rows).sample(frac=1, random_state=3).reset_index(drop=True)
+    out = window_functions(
+        rd.from_pandas(df).repartition(3), key="k", order_by=["o"],
+        ntile=("t", 4),
+    ).to_pandas()
+    for key, m in [("a", 10), ("b", 7), ("c", 3), ("d", 1)]:
+        part = out[out["k"] == key].sort_values("o")
+        sizes = part["t"].value_counts().sort_index()
+        # sizes differ by at most one, larger first
+        assert sizes.max() - sizes.min() <= 1
+        assert list(sizes) == sorted(sizes, reverse=True)
+        assert len(part) == m
+        # tiles are monotone in the order column
+        assert (part["t"].diff().fillna(0) >= 0).all()
+        assert part["t"].max() == min(4, m)
