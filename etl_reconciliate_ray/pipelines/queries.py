@@ -836,6 +836,31 @@ def q_rollup_lineitem(sf_dir: str):
     )
 
 
+def q_salted_join_events(sf_dir: str):
+    """Skew-safe join (stages/joins.salted_hash_join): events ⋈ customer
+    with a declared hot-key set split over 4 salts — the north-star
+    "salted-key splitting for skewed monorepos" generalized from the
+    replay partitioner to an ad-hoc join operator. Result is
+    row-identical to the plain partitioned hash join (the oracle is the
+    plain SQL join)."""
+    from ..stages.joins import salted_hash_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["c_custkey"], "c_mktsegment": t["c_mktsegment"]})
+
+    return salted_hash_join(
+        ev,
+        cust.map_batches(rn, batch_format="pyarrow"),
+        on="user_id",
+        hot_keys={1, 2, 3},  # declared-hot demo set; measure via heavy_hitters
+        num_salts=4,
+        how="inner",
+    )
+
+
 def q_ntile_events(sf_dir: str):
     """NTILE(4) quartile assignment per user over event time
     (stages/windowfns.window_functions): one key-hash bucket shuffle,
@@ -1554,6 +1579,7 @@ QUERIES = {
     "rollup_lineitem": q_rollup_lineitem,
     "cube_lineitem": q_cube_lineitem,
     "ntile_events": q_ntile_events,
+    "salted_join_events": q_salted_join_events,
     "top_terms_per_doc": q_top_terms_per_doc,
     "repetition_docs": q_repetition_docs,
     "decontam_docs": q_decontam_docs,
@@ -1859,6 +1885,10 @@ ORACLE_SQL = {
         "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
         "CAST(COUNT(*) AS BIGINT) AS n "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "salted_join_events": (
+        "SELECT e.user_id, e.event_id, c.c_mktsegment FROM events e "
+        "JOIN customer c ON e.user_id = c.c_custkey"
     ),
     "ntile_events": (
         "SELECT user_id, event_id, NTILE(4) OVER ("

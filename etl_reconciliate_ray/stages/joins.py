@@ -134,6 +134,83 @@ def hash_join(
     return tagged.groupby("__bucket__").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def salted_hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    hot_keys,
+    num_salts: int = 8,
+    how: str = "inner",
+    num_buckets: int = 32,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+):
+    """Skew-safe partitioned hash join on a single column: DECLARED hot
+    keys (known a priori or measured upstream — e.g. the monorepo list
+    the replay path salts in ``normalize.make_normalizer``; a
+    Misra-Gries pass (stages/sketch.heavy_hitters) over the key column
+    yields them cheaply when unknown) are split across ``num_salts``
+    shuffle sub-buckets on the PROBE (left) side, and the BUILD (right)
+    side's hot-key rows are replicated once per salt so every sub-bucket
+    joins independently. A single hot key's rows therefore spread over
+    ``num_salts`` reducers instead of serializing one straggler — the
+    skew pattern `ray_guide.md` prescribes, at the cost of
+    O(hot_right_rows × num_salts) duplicated build rows.
+
+    The output is row-identical to ``hash_join`` (every left row joins
+    exactly its own salt's replica). Bucket routing uses a composite
+    ``hash64(key)·num_salts + salt`` column; join EQUALITY still
+    includes the real key, so a routing-hash collision costs balance,
+    never correctness. Restricted to ``inner``/``left``: build-side
+    replication would duplicate unmatched right-outer legs.
+    """
+    import numpy as np
+
+    from ..functions.hashing import hash64
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_hash_join supports inner/left, got {how!r}")
+    hot_keys = set(hot_keys)
+    if not hot_keys or num_salts <= 1:
+        return hash_join(
+            left_ds, right_ds, on=on, how=how, num_buckets=num_buckets,
+            suffixes=suffixes,
+        )
+    hot_arr = pa.array(sorted(hot_keys))
+
+    def _route(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        # 40 routing bits x num_salts stays far inside int64
+        return (hash64(keys) % np.uint64(1 << 40)).astype(np.int64) * num_salts
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        base = _route(t[on])
+        hot = pc.is_in(t[on], value_set=hot_arr).to_numpy(zero_copy_only=False)
+        # cyclic in-batch salt: ANY spread is correct (the build side is
+        # fully replicated), so no extra hash of a second column needed
+        salt = np.where(hot, np.arange(t.num_rows, dtype=np.int64) % num_salts, 0)
+        return t.append_column("__skey", pa.array(base + salt, pa.int64()))
+
+    def salt_right(t: pa.Table) -> pa.Table:
+        parts = [t.append_column("__skey", pa.array(_route(t[on]), pa.int64()))]
+        hot_t = t.filter(pc.is_in(t[on], value_set=hot_arr))
+        if hot_t.num_rows:
+            hb = _route(hot_t[on])
+            for s in range(1, num_salts):
+                parts.append(
+                    hot_t.append_column("__skey", pa.array(hb + s, pa.int64()))
+                )
+        return pa.concat_tables(parts)
+
+    out = hash_join(
+        left_ds.map_batches(salt_left, batch_format="pyarrow"),
+        right_ds.map_batches(salt_right, batch_format="pyarrow"),
+        on=["__skey", on],
+        how=how,
+        num_buckets=num_buckets,
+        suffixes=suffixes,
+    )
+    return out.drop_columns(["__skey"])
+
+
 def broadcast_anti_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int = 65536):
     """Rows of ``big_ds`` whose ``on`` value is NOT in the broadcast key
     set (reference J7 right-anti leg shape, done without a shuffle)."""

@@ -455,3 +455,46 @@ def test_ntile_split_sizes(ray_session):
         # tiles are monotone in the order column
         assert (part["t"].diff().fillna(0) >= 0).all()
         assert part["t"].max() == min(4, m)
+
+
+def test_salted_join_equals_plain_join(ray_session):
+    """salted_hash_join must be row-identical to the unsalted join on a
+    skewed fixture (one hot key dominating), for inner and left joins,
+    including duplicate build-side keys (cartesian per key)."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.joins import hash_join, salted_hash_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "k": np.concatenate([np.full(2000, 7), rng.integers(0, 50, 300)]),
+        "lv": np.arange(2300),
+    })
+    right = pd.DataFrame({
+        "k": [7, 7, 3, 12, 99],  # hot key duplicated -> 2x fanout; 99 unmatched
+        "rv": [100, 200, 300, 400, 500],
+    })
+
+    def canon(df):
+        return (
+            df[sorted(df.columns)]
+            .sort_values(sorted(df.columns), kind="stable")
+            .reset_index(drop=True)
+        )
+
+    for how in ("inner", "left"):
+        plain = hash_join(
+            rd.from_pandas(left).repartition(4), rd.from_pandas(right),
+            on="k", how=how,
+        ).to_pandas()
+        salted = salted_hash_join(
+            rd.from_pandas(left).repartition(4), rd.from_pandas(right),
+            on="k", hot_keys={7}, num_salts=4, how=how,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(canon(plain), canon(salted), check_dtype=False)
+    # hot rows actually spread: the salted left side lands in >1 salt
+    with pytest.raises(ValueError):
+        salted_hash_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", hot_keys={7}, how="outer",
+        )
