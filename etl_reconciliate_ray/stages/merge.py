@@ -96,6 +96,10 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
     ``op == 'D'`` tombstones remove the key; base (full) rows carry no
     ``op`` — they unify to null, treated as live.
     """
+    import numpy as np
+
+    from ..functions.hashing import key_strings
+
     tagged = []
     for epoch, t in tables_by_epoch:
         t = t.append_column("__epoch", pa.array([epoch] * t.num_rows, pa.int64()))
@@ -103,21 +107,48 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
     merged = _unify_concat(tagged)
     if merged.num_rows == 0:
         return merged
-    keys = ["repo", "path"]
-    sort_keys = [("__epoch", "ascending")]
-    if "seq" in merged.column_names:
-        sort_keys.append(("seq", "ascending"))
-    # null_placement at_start: a seq-null row (whole-epoch pre-reduced
-    # delta) must LOSE to seq-carrying partial-delta rows if the two
-    # delta kinds ever mix within one (epoch, part) chain — enforce the
-    # invariant instead of assuming it (pyarrow defaults to at_end,
-    # which would let the null row win the "last" aggregate).
-    merged = merged.sort_by(sort_keys, null_placement="at_start")
-    aggs = [(c, "last", _LAST_OPTS) for c in merged.column_names if c not in keys]
-    red = merged.group_by(keys, use_threads=False).aggregate(aggs)
-    winners = pa.table(
-        {c: (red[c] if c in keys else red[f"{c}_last"]) for c in merged.column_names}
+    # Winner-INDEX selection (same trick as replay.direct_write): the
+    # LWW order is computed over the SMALL columns only — dictionary
+    # codes of the merge key + (__epoch, seq) int64 lexsort — and the
+    # content payload is gathered ONCE, winners-only, by a single
+    # ``take``. The previous full-table sort + hash "last" aggregate
+    # copied every chain row's content bytes twice; chain resolution is
+    # the whole of compaction and of merge-on-read scans, so those
+    # copies dominated cdc_compact wall time.
+    ep = merged["__epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = merged.num_rows
+    if "seq" in merged.column_names and not pa.types.is_null(
+        merged.schema.field("seq").type
+    ):
+        # seq-null rows (whole-epoch pre-reduced deltas) must LOSE to
+        # seq-carrying partial-delta rows of the same epoch if the two
+        # kinds ever mix in one chain — fill with int64 min so they
+        # sort first (the old sort's null_placement='at_start').
+        seq = (
+            pc.fill_null(pc.cast(merged["seq"], pa.int64()), np.iinfo(np.int64).min)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    else:
+        seq = np.zeros(n, dtype=np.int64)
+    keys = key_strings(merged["repo"], merged["path"])
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    # a null repo/path (the empty-partition placeholder row) yields a
+    # null joined key; fill with a sentinel no real key can produce
+    # (two NULs) so dictionary codes stay integral. All-null keys
+    # grouping together matches the placeholder's one-row-per-chain use.
+    keys = pc.fill_null(keys, "\x00\x00")
+    codes = (
+        pc.dictionary_encode(keys).indices.to_numpy(zero_copy_only=False).astype(np.int64)
     )
+    # stable lexsort by (code, epoch, seq): the last row of each code
+    # run is the max-(epoch, seq) winner, ties resolved to the later
+    # concat position — exactly the stable-sort + "last" semantics.
+    perm = np.lexsort((seq, ep, codes))
+    g = codes[perm]
+    winner_idx = perm[np.flatnonzero(np.append(g[1:] != g[:-1], True))]
+    winners = merged.take(pa.array(winner_idx))  # the ONE content gather
     if "op" in winners.column_names:
         live = pc.fill_null(winners["op"], "I")
         winners = winners.filter(pc.not_equal(live, "D"))
