@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Mapping, Sequence
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def preagg_groupby(
@@ -69,7 +70,10 @@ def grouping_sets_groupby(
     requested key subset, with collapsed key columns labelled
     ``all_label`` (COALESCE-style — unambiguous when real key values
     never equal the label, which the caller must ensure). Every set
-    must be a subset of ``keys``.
+    must be a subset of ``keys``. Key columns are emitted as STRINGS
+    in every level (non-string keys are cast), so the labelled union
+    has one uniform schema instead of a mixed value/label object
+    column no engine could sort or write.
 
     Scale shape: the DATA is aggregated exactly once at the finest
     level (the union of all requested keys: partial pre-aggregation +
@@ -99,7 +103,7 @@ def grouping_sets_groupby(
             cols: dict[str, pa.Array | pa.ChunkedArray] = {}
             for k in keys:
                 cols[k] = (
-                    t[k]
+                    pc.cast(t[k], pa.string())
                     if k in sub
                     else pa.array([all_label] * t.num_rows, pa.string())
                 )

@@ -134,6 +134,28 @@ def hash_join(
     return tagged.groupby("__bucket__").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def _salted_route(
+    keys: pa.Array | pa.ChunkedArray, salt: np.ndarray, num_salts: int
+) -> pa.Array:
+    """Composite routing/join key for the salted join: ``hash64(key)``'s
+    low 40 bits and the salt are packed, then FINAL-MIXED with the
+    splitmix64 finalizer (``hashing._mix64`` — a bijection on uint64,
+    so distinct (key-hash, salt) composites stay distinct and equality
+    semantics hold). The avalanche is what makes bucket routing sound:
+    ``hash_join`` buckets integer keys with a plain ``% num_buckets``,
+    so an UNMIXED ``base*num_salts+salt`` layout leaves the salt in the
+    low bits and concentrates every salt-0 (non-hot) row into
+    num_buckets/num_salts reducers (a plain odd-multiply keeps the same
+    low-bit factor structure), while a salt-in-high-bits layout sends
+    all of a hot key's salts to the same bucket. Full mixing spreads
+    both."""
+    from ..functions.hashing import _mix64
+
+    base = (hash64(keys) % np.uint64(1 << 40)) * np.uint64(num_salts)
+    comp = base + salt.astype(np.uint64)
+    return pa.array(_mix64(comp).view(np.int64), pa.int64())
+
+
 def salted_hash_join(
     left_ds,
     right_ds,
@@ -163,10 +185,6 @@ def salted_hash_join(
     never correctness. Restricted to ``inner``/``left``: build-side
     replication would duplicate unmatched right-outer legs.
     """
-    import numpy as np
-
-    from ..functions.hashing import hash64
-
     if how not in ("inner", "left"):
         raise ValueError(f"salted_hash_join supports inner/left, got {how!r}")
     hot_keys = set(hot_keys)
@@ -177,26 +195,27 @@ def salted_hash_join(
         )
     hot_arr = pa.array(sorted(hot_keys))
 
-    def _route(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
-        # 40 routing bits x num_salts stays far inside int64
-        return (hash64(keys) % np.uint64(1 << 40)).astype(np.int64) * num_salts
-
     def salt_left(t: pa.Table) -> pa.Table:
-        base = _route(t[on])
         hot = pc.is_in(t[on], value_set=hot_arr).to_numpy(zero_copy_only=False)
-        # cyclic in-batch salt: ANY spread is correct (the build side is
-        # fully replicated), so no extra hash of a second column needed
-        salt = np.where(hot, np.arange(t.num_rows, dtype=np.int64) % num_salts, 0)
-        return t.append_column("__skey", pa.array(base + salt, pa.int64()))
+        # cycle over HOT rows only ((cumsum over the hot mask) % salts):
+        # a global-position cycle would alias with periodic row layouts
+        # (hot key at a stride sharing a factor with num_salts -> one
+        # salt -> zero spread). Any spread is CORRECT (the build side is
+        # fully replicated); this one is also uniform.
+        salt = np.where(
+            hot, (np.cumsum(hot, dtype=np.int64) - 1) % num_salts, 0
+        )
+        return t.append_column("__skey", _salted_route(t[on], salt, num_salts))
 
     def salt_right(t: pa.Table) -> pa.Table:
-        parts = [t.append_column("__skey", pa.array(_route(t[on]), pa.int64()))]
+        zero = np.zeros(t.num_rows, dtype=np.int64)
+        parts = [t.append_column("__skey", _salted_route(t[on], zero, num_salts))]
         hot_t = t.filter(pc.is_in(t[on], value_set=hot_arr))
         if hot_t.num_rows:
-            hb = _route(hot_t[on])
             for s in range(1, num_salts):
+                sv = np.full(hot_t.num_rows, s, dtype=np.int64)
                 parts.append(
-                    hot_t.append_column("__skey", pa.array(hb + s, pa.int64()))
+                    hot_t.append_column("__skey", _salted_route(hot_t[on], sv, num_salts))
                 )
         return pa.concat_tables(parts)
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -96,10 +97,6 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
     ``op == 'D'`` tombstones remove the key; base (full) rows carry no
     ``op`` — they unify to null, treated as live.
     """
-    import numpy as np
-
-    from ..functions.hashing import key_strings
-
     tagged = []
     for epoch, t in tables_by_epoch:
         t = t.append_column("__epoch", pa.array([epoch] * t.num_rows, pa.int64()))
@@ -131,14 +128,17 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
         )
     else:
         seq = np.zeros(n, dtype=np.int64)
-    keys = key_strings(merged["repo"], merged["path"])
+    # null-fill repo/path SEPARATELY before joining so (null, 'a') and
+    # (null, 'b') stay distinct keys (matching the old
+    # group_by(['repo','path']) null-group semantics) and dictionary
+    # codes stay integral; the sentinel contains a NUL byte, which no
+    # real repo/path may contain (documented key contract)
+    keys = key_strings(
+        pc.fill_null(merged["repo"], "\x00N"),
+        pc.fill_null(merged["path"], "\x00N"),
+    )
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    # a null repo/path (the empty-partition placeholder row) yields a
-    # null joined key; fill with a sentinel no real key can produce
-    # (two NULs) so dictionary codes stay integral. All-null keys
-    # grouping together matches the placeholder's one-row-per-chain use.
-    keys = pc.fill_null(keys, "\x00\x00")
     codes = (
         pc.dictionary_encode(keys).indices.to_numpy(zero_copy_only=False).astype(np.int64)
     )

@@ -136,6 +136,8 @@ def collect_ngram_set(bench_ds, n: int = 4, text_col: str = "text") -> frozenset
     def grams(batch: pd.DataFrame) -> pd.DataFrame:
         out: set[str] = set()
         for txt in batch[text_col]:
+            if txt is None or (isinstance(txt, float) and txt != txt):
+                continue  # NULL text has no grams (SQL string_split(NULL))
             ws = txt.split(" ")
             for i in range(len(ws) - n + 1):
                 out.add(" ".join(ws[i : i + n]))
@@ -162,6 +164,9 @@ class DecontamCount:
         n = self.n
         hits = []
         for txt in batch["text"]:
+            if txt is None or (isinstance(txt, float) and txt != txt):
+                hits.append(0)  # NULL text: no grams, zero hits (SQL oracle)
+                continue
             ws = txt.split(" ")
             gs = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
             hits.append(len(gs & self.grams))

@@ -74,3 +74,58 @@ def test_merge_apply_schema_evolution_additive():
     rows = out.to_pylist()
     assert rows[0]["size_bytes"] is None  # old row null-filled
     assert rows[1]["size_bytes"] == 123
+
+
+def test_resolve_chain_keeps_half_null_keys_distinct():
+    """(NULL, 'a') and (NULL, 'b') are different merge keys: the
+    winner-index resolution must not collapse rows whose repo OR path
+    is null into one key (the separate-fill sentinel contract)."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.merge import resolve_chain_tables
+
+    t = pa.table({
+        "repo": [None, None, "r", ""],
+        "path": ["a", "b", None, "a"],
+        "commit": ["c1", "c2", "c3", "c4"],
+        "lang": ["x", "x", "x", "x"],
+        "content": ["A", "B", "C", "D"],
+        "content_sha256": ["h1", "h2", "h3", "h4"],
+        "seq": pa.array([1, 2, 3, 4], pa.int64()),
+        "op": ["I", "I", "I", "I"],
+    })
+    out = resolve_chain_tables([(0, t)])
+    assert out.num_rows == 4
+    assert sorted(out["content"].to_pylist()) == ["A", "B", "C", "D"]
+
+
+def test_resolve_chain_lww_and_seq_null_loses():
+    """Cross-epoch LWW and the seq-null-loses invariant survive the
+    winner-index rewrite: later epoch wins; within an epoch a
+    seq-carrying row beats a seq-null (pre-reduced) row; tombstones
+    drop keys."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.merge import resolve_chain_tables
+
+    def tbl(rows):
+        return pa.table({
+            "repo": [r[0] for r in rows],
+            "path": [r[1] for r in rows],
+            "commit": ["c"] * len(rows),
+            "lang": ["x"] * len(rows),
+            "content": [r[2] for r in rows],
+            "content_sha256": ["h"] * len(rows),
+            "seq": pa.array([r[3] for r in rows], pa.int64()),
+            "op": [r[4] for r in rows],
+        })
+
+    base = tbl([("r", "p", "old", None, "I"), ("r", "q", "keep", None, "I")])
+    delta = tbl([
+        ("r", "p", "prereduced", None, "I"),
+        ("r", "p", "partial", 5, "I"),
+        ("r", "q", None, 6, "D"),
+    ])
+    out = resolve_chain_tables([(0, base), (1, delta)])
+    assert out.num_rows == 1
+    assert out["content"].to_pylist() == ["partial"]
