@@ -792,8 +792,38 @@ def _root_of(cfg_or_root) -> str:
     return cfg_or_root.lake_root if isinstance(cfg_or_root, ReplayConfig) else cfg_or_root
 
 
-def lake_dataset(cfg_or_root, columns: list[str] | None = None):
-    """Current committed lake state as a streaming ``ray.data.Dataset``.
+def _as_of_upto(log: CommitLog, as_of_epoch: int | None) -> int | None:
+    """Validated chain horizon for an (optional) time-travel read.
+
+    Refuses LOUDLY instead of answering wrong: an as-of beyond the
+    sealed head would read uncommitted state; an as-of below the
+    snapshot-truncation retention floor cannot be reconstructed (the
+    older fulls/deltas are gone) and silently returning the partial
+    chains would fabricate a lake state that never existed."""
+    sealed = log.latest_sealed_epoch()
+    if as_of_epoch is None:
+        return sealed
+    if sealed is None or as_of_epoch > sealed:
+        raise ValueError(
+            f"as_of_epoch={as_of_epoch} is beyond the sealed head ({sealed})"
+        )
+    floor = log.min_retained_epoch()
+    if floor is not None and as_of_epoch < floor:
+        raise ValueError(
+            f"as_of_epoch={as_of_epoch} predates the retention floor "
+            f"({floor}): history was truncated by compaction/snapshot"
+        )
+    return as_of_epoch
+
+
+def lake_dataset(
+    cfg_or_root,
+    columns: list[str] | None = None,
+    as_of_epoch: int | None = None,
+):
+    """Committed lake state as a streaming ``ray.data.Dataset`` —
+    current by default, or AS OF a past sealed epoch (time travel over
+    the merge-on-read chains; Iceberg/Hudi snapshot-read semantics).
 
     Fully-compacted lakes (every chain is one base file) read as a
     plain pruned ``read_parquet``. Lakes with merge-on-read deltas are
@@ -803,11 +833,14 @@ def lake_dataset(cfg_or_root, columns: list[str] | None = None):
 
     Pass ``columns`` to prune at the read; restrict to pre-evolution
     columns when files span a schema change (Ray unifies blocks lazily,
-    but a pruned uniform projection is both safer and cheaper)."""
+    but a pruned uniform projection is both safer and cheaper).
+    ``as_of_epoch`` reads are answerable back to the commit log's
+    retention floor (``CommitLog.min_retained_epoch``) and refused
+    below it — see ``_as_of_upto``."""
     import ray.data as rd
 
     log = CommitLog.open(_root_of(cfg_or_root))
-    chains = _chains_payload(log, upto_epoch=log.latest_sealed_epoch())
+    chains = _chains_payload(log, upto_epoch=_as_of_upto(log, as_of_epoch))
     if all(len(c) == 1 and c[0]["kind"] == "full" for c in chains.values()):
         files = [f for c in chains.values() for link in c for f in link["files"]]
         files = [f for f in sorted(files) if os.path.getsize(f) > 0]
@@ -830,12 +863,12 @@ def lake_dataset(cfg_or_root, columns: list[str] | None = None):
     )
 
 
-def lake_table(cfg_or_root) -> pa.Table:
-    """Driver-side full lake state (schema-unified, chain-resolved).
-    Small scales / tests only — the distributed path is
-    ``lake_dataset``."""
+def lake_table(cfg_or_root, as_of_epoch: int | None = None) -> pa.Table:
+    """Driver-side full lake state (schema-unified, chain-resolved),
+    current or AS OF a past sealed epoch. Small scales / tests only —
+    the distributed path is ``lake_dataset``."""
     log = CommitLog.open(_root_of(cfg_or_root))
-    chains = _chains_payload(log, upto_epoch=log.latest_sealed_epoch())
+    chains = _chains_payload(log, upto_epoch=_as_of_upto(log, as_of_epoch))
     parts = []
     for p, chain in sorted(chains.items()):
         t = read_chain(chain, part=int(p))
@@ -845,6 +878,93 @@ def lake_table(cfg_or_root) -> pa.Table:
                 parts.append(t)
     tbl = _unify_concat(parts) if parts else None
     return tbl if tbl is not None else pa.table({})
+
+
+def lake_changelog(cfg_or_root, from_epoch: int, to_epoch: int | None = None):
+    """CDC feed OUT of the lake: the per-key changes between two sealed
+    states, as a streaming Dataset of ``(repo, path, change,
+    content_sha256)`` with change ∈ {'I','U','D'} ('U' = key present in
+    both states with differing content sha; 'D' rows carry the OLD
+    sha). The downstream-consumer side of the engine's own ingest
+    surface (Debezium-style outbound feed / incremental-view input).
+
+    Scale shape: both states' chains share the SAME bucket layout, so
+    the diff is one task per partition over its own two chains — no
+    shuffle, no driver materialization; pandas outer-merge per bucket.
+    Subject to the same retention-floor refusal as time travel
+    (``_as_of_upto``)."""
+    import ray.data as rd
+
+    log = CommitLog.open(_root_of(cfg_or_root))
+    upto_to = _as_of_upto(log, to_epoch)
+    upto_from = _as_of_upto(log, from_epoch)
+    old = _chains_payload(log, upto_epoch=upto_from)
+    new = _chains_payload(log, upto_epoch=upto_to)
+    parts = sorted(set(old) | set(new))
+    items = [
+        {
+            "part": p,
+            "old": json.dumps(old.get(p, [])),
+            "new": json.dumps(new.get(p, [])),
+        }
+        for p in parts
+    ]
+    cols = ["repo", "path", "content_sha256"]
+
+    def diff_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        out = []
+        for rec in batch.to_pylist():
+            part = int(rec["part"])
+
+            def state(chain_json: str) -> "pd.DataFrame":
+                t = read_chain(json.loads(chain_json), columns=cols, part=part)
+                if t is None or t.num_rows == 0:
+                    return pd.DataFrame(columns=cols)
+                t = t.filter(pa.compute.is_valid(t["repo"]))
+                return t.select(cols).to_pandas()
+
+            a, b = state(rec["old"]), state(rec["new"])
+            m = a.merge(
+                b, on=["repo", "path"], how="outer", suffixes=("_old", "_new"),
+                indicator=True,
+            )
+            ins = m["_merge"] == "right_only"
+            del_ = m["_merge"] == "left_only"
+            upd = (m["_merge"] == "both") & (
+                m["content_sha256_old"] != m["content_sha256_new"]
+            )
+            frames = []
+            for mask, tag, sha_col in (
+                (ins, "I", "content_sha256_new"),
+                (upd, "U", "content_sha256_new"),
+                (del_, "D", "content_sha256_old"),
+            ):
+                sel = m[mask]
+                if len(sel):
+                    frames.append(pd.DataFrame({
+                        "repo": sel["repo"],
+                        "path": sel["path"],
+                        "change": tag,
+                        "content_sha256": sel[sha_col],
+                    }))
+            if frames:
+                out.append(pa.Table.from_pandas(
+                    pd.concat(frames, ignore_index=True), preserve_index=False
+                ))
+        if not out:
+            return pa.table({
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "change": pa.array([], pa.string()),
+                "content_sha256": pa.array([], pa.string()),
+            })
+        return pa.concat_tables(out)
+
+    return rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
+        diff_part, batch_format="pyarrow", batch_size=1
+    )
 
 
 def lake_state_hash(cfg_or_root) -> str:

@@ -271,6 +271,14 @@ class CommitLog:
     def latest_sealed_epoch(self) -> int | None:
         return max(self._sealed) if self._sealed else None
 
+    def min_retained_epoch(self) -> int | None:
+        """Oldest epoch with a surviving log entry — the TIME-TRAVEL
+        retention floor. ``write_snapshot`` truncates history to the
+        current chains, so an as-of read below this floor cannot be
+        reconstructed and must be refused (silently returning a partial
+        lake would be corruption, not time travel)."""
+        return min((e for e, _ in self._entries), default=None)
+
     def part_chains(self, upto_epoch: int | None = None) -> dict[int, list[PartEntry]]:
         """part -> its merge-on-read chain: the newest committed FULL
         entry (epoch <= upto_epoch) followed by every later DELTA entry,

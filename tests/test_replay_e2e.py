@@ -658,3 +658,73 @@ def test_follow_stream_prefix_cut_then_retry(fixture_small, tmp_path):
                   poll_sec=0.2, idle_polls=50)
     t.join()
     assert lake_state_hash(cfg.lake_root) == want
+
+
+def test_time_travel_as_of_matches_truncated_replay(fixture_small, tmp_path):
+    """lake_table(as_of_epoch=k) must equal an independent replay that
+    STOPPED after epoch k; beyond-head and below-retention-floor reads
+    are refused loudly."""
+    import pytest
+
+    from etl_reconciliate_ray.pipelines.replay import compact
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    full = _cfg(tmp_path, "lake_full", manifest)
+    replay(fixture_dir, full)
+    sealed = CommitLog.open(full.lake_root).latest_sealed_epoch()
+    k = sealed - 2
+    part = _cfg(tmp_path, "lake_part", manifest)
+    replay(fixture_dir, part, stop_after_epoch=k)
+
+    def state_sig(tbl):
+        df = tbl.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        return list(zip(df["repo"], df["path"], df["content_sha256"]))
+
+    assert state_sig(lake_table(full, as_of_epoch=k)) == state_sig(lake_table(part))
+    with pytest.raises(ValueError, match="sealed head"):
+        lake_table(full, as_of_epoch=sealed + 1)
+    # compaction + snapshot truncate history -> pre-floor reads refused
+    compact(full)
+    log = CommitLog.open(full.lake_root)
+    floor = log.min_retained_epoch()
+    if floor and floor > 0:
+        with pytest.raises(ValueError, match="retention floor"):
+            lake_table(full, as_of_epoch=floor - 1)
+
+
+def test_changelog_between_epochs_matches_state_diff(fixture_small, tmp_path):
+    """lake_changelog(from, to) must equal the I/U/D diff of the two
+    time-travel states, computed independently here from the full
+    tables."""
+    import pandas as pd
+
+    from etl_reconciliate_ray.pipelines.replay import lake_changelog
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_cl", manifest)
+    replay(fixture_dir, cfg)
+    sealed = CommitLog.open(cfg.lake_root).latest_sealed_epoch()
+    frm = sealed - 2
+
+    a = lake_table(cfg, as_of_epoch=frm).to_pandas()[
+        ["repo", "path", "content_sha256"]]
+    b = lake_table(cfg, as_of_epoch=sealed).to_pandas()[
+        ["repo", "path", "content_sha256"]]
+    m = a.merge(b, on=["repo", "path"], how="outer", suffixes=("_a", "_b"),
+                indicator=True)
+    want = set()
+    for _, r in m.iterrows():
+        if r["_merge"] == "right_only":
+            want.add((r["repo"], r["path"], "I", r["content_sha256_b"]))
+        elif r["_merge"] == "left_only":
+            want.add((r["repo"], r["path"], "D", r["content_sha256_a"]))
+        elif r["content_sha256_a"] != r["content_sha256_b"]:
+            want.add((r["repo"], r["path"], "U", r["content_sha256_b"]))
+
+    got_df = lake_changelog(cfg, from_epoch=frm, to_epoch=sealed).to_pandas()
+    got = set(zip(got_df["repo"], got_df["path"], got_df["change"],
+                  got_df["content_sha256"]))
+    assert got == want
+    assert len(want) > 0  # the fixture's tail epochs actually change keys
+    # from == to -> empty feed
+    assert lake_changelog(cfg, from_epoch=sealed, to_epoch=sealed).count() == 0
