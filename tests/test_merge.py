@@ -129,3 +129,62 @@ def test_resolve_chain_lww_and_seq_null_loses():
     out = resolve_chain_tables([(0, base), (1, delta)])
     assert out.num_rows == 1
     assert out["content"].to_pylist() == ["partial"]
+
+
+def test_resolve_chain_fuzz_vs_pandas_lww():
+    """Property test of the winner-index chain resolution against an
+    independent pandas oracle: random multi-epoch chains with
+    overlapping keys, random seq (incl. nulls), tombstones, and
+    occasional null repo/path — the winner per key is the last row in
+    (epoch, seq-null-first, original-position) order, dropped if 'D'."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.merge import resolve_chain_tables
+
+    rng = np.random.default_rng(77)
+    for trial in range(25):
+        n_epochs = int(rng.integers(1, 4))
+        tables, rows = [], []
+        pos = 0
+        for ep in range(n_epochs):
+            m = int(rng.integers(1, 40))
+            repo = [None if rng.random() < 0.05 else f"r{rng.integers(0, 3)}" for _ in range(m)]
+            path = [None if rng.random() < 0.05 else f"p{rng.integers(0, 6)}" for _ in range(m)]
+            seq = [None if rng.random() < 0.2 else int(rng.integers(0, 10)) for _ in range(m)]
+            op = [str(rng.choice(["I", "U", "D"])) for _ in range(m)]
+            content = [f"c{trial}-{ep}-{i}" for i in range(m)]
+            tables.append((ep, pa.table({
+                "repo": pa.array(repo, pa.string()),
+                "path": pa.array(path, pa.string()),
+                "commit": pa.array(["x"] * m, pa.string()),
+                "lang": pa.array(["l"] * m, pa.string()),
+                "content": pa.array(content, pa.string()),
+                "content_sha256": pa.array(content, pa.string()),
+                "seq": pa.array(seq, pa.int64()),
+                "op": pa.array(op, pa.string()),
+            })))
+            for i in range(m):
+                rows.append({
+                    "key": (repo[i], path[i]), "epoch": ep,
+                    "seq": -1 if seq[i] is None else seq[i],
+                    "pos": pos, "op": op[i], "content": content[i],
+                })
+                pos += 1
+        df = pd.DataFrame(rows)
+        df = df.sort_values(["epoch", "seq", "pos"], kind="stable")
+        winners = df.groupby("key", sort=False).tail(1)
+        want = {
+            k: c for k, c, o in zip(winners["key"], winners["content"], winners["op"])
+            if o != "D"
+        }
+        out = resolve_chain_tables(tables)
+        got = {
+            (r, p): c
+            for r, p, c in zip(
+                out["repo"].to_pylist(), out["path"].to_pylist(),
+                out["content"].to_pylist(),
+            )
+        }
+        assert got == want, f"trial {trial}"
