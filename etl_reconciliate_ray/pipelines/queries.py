@@ -836,6 +836,53 @@ def q_rollup_lineitem(sf_dir: str):
     )
 
 
+def q_cume_dist_orders(sf_dir: str):
+    """CUME_DIST + PERCENT_RANK per priority over floor(price) — the
+    tie-bearing order column exercises peer-group semantics; both
+    outputs depend only on order VALUES so they are deterministic and
+    oracle-exact (same int inputs → identical IEEE divisions)."""
+    from ..stages.windowfns import window_functions
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "tp": pc.cast(pc.floor(t["o_totalprice"]), pa.int64()),
+        })
+
+    return window_functions(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="o_orderpriority",
+        order_by=["tp"],
+        cume_dist="cd",
+        percent_rank="pr",
+        keep=["o_orderkey", "o_orderpriority"],
+    )
+
+
+def q_semi_join_lineitem(sf_dir: str):
+    """Partitioned BIG-BIG semi join (stages/joins.hash_semi_join):
+    lineitem rows of high-value orders — right side distinct-collapsed
+    before the single key shuffle, so duplicate right keys can't fan
+    out and only deduplicated keys move."""
+    from ..stages.joins import hash_semi_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def high(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], 200000.0))
+        return pa.table({"l_orderkey": t["o_orderkey"]})
+
+    return hash_semi_join(
+        li, orders.map_batches(high, batch_format="pyarrow"), on="l_orderkey"
+    )
+
+
 def q_salted_join_events(sf_dir: str):
     """Skew-safe join (stages/joins.salted_hash_join): events ⋈ customer
     with a declared hot-key set split over 4 salts — the north-star
@@ -1580,6 +1627,8 @@ QUERIES = {
     "cube_lineitem": q_cube_lineitem,
     "ntile_events": q_ntile_events,
     "salted_join_events": q_salted_join_events,
+    "cume_dist_orders": q_cume_dist_orders,
+    "semi_join_lineitem": q_semi_join_lineitem,
     "top_terms_per_doc": q_top_terms_per_doc,
     "repetition_docs": q_repetition_docs,
     "decontam_docs": q_decontam_docs,
@@ -1889,6 +1938,17 @@ ORACLE_SQL = {
     "salted_join_events": (
         "SELECT e.user_id, e.event_id, c.c_mktsegment FROM events e "
         "JOIN customer c ON e.user_id = c.c_custkey"
+    ),
+    "cume_dist_orders": (
+        "SELECT o_orderkey, o_orderpriority, "
+        "CUME_DIST() OVER w AS cd, PERCENT_RANK() OVER w AS pr "
+        "FROM (SELECT o_orderkey, o_orderpriority, "
+        "CAST(FLOOR(o_totalprice) AS BIGINT) AS tp FROM orders) "
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY tp)"
+    ),
+    "semi_join_lineitem": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)"
     ),
     "ntile_events": (
         "SELECT user_id, event_id, NTILE(4) OVER ("

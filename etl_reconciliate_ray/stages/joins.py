@@ -156,6 +156,35 @@ def _salted_route(
     return pa.array(_mix64(comp).view(np.int64), pa.int64())
 
 
+def hash_semi_join(left_ds, right_ds, on: Sequence[str] | str, num_buckets: int = 32):
+    """Partitioned semi join for BIG-BIG membership: left rows whose key
+    appears in the right Dataset, when the right key set is too large to
+    broadcast (the scale path past ``broadcast_semi_join`` /
+    ``bloom_prefilter``'s actor-heap bound).
+
+    The right side is collapsed to DISTINCT keys first — per-batch
+    pyarrow distinct (combiner), then one keys-only groupby — so only
+    deduplicated keys shuffle and the inner join cannot fan out left
+    rows on duplicate right keys. Output schema == left schema.
+    NULL-key caveat (same as ``hash_join``): pandas merge matches
+    nulls to each other, unlike SQL IN — drop null keys upstream when
+    SQL semantics matter."""
+    from ray.data.aggregate import Count
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return t.select(on_cols).group_by(on_cols, use_threads=False).aggregate([])
+
+    keys = (
+        right_ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(on_cols)
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+    )
+    return hash_join(left_ds, keys, on=on_cols, how="inner", num_buckets=num_buckets)
+
+
 def salted_hash_join(
     left_ds,
     right_ds,

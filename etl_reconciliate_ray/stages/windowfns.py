@@ -47,6 +47,8 @@ def window_functions(
     row_number: str | None = None,
     rank: str | None = None,
     dense_rank: str | None = None,
+    cume_dist: str | None = None,
+    percent_rank: str | None = None,
     ntile: tuple[str, int] | None = None,
     lag: dict[str, str] | None = None,
     lead: dict[str, str] | None = None,
@@ -62,6 +64,10 @@ def window_functions(
     ``rank`` / ``dense_rank``: SQL RANK/DENSE_RANK over the order tuple
     (ties share a rank; deterministic even when the order tuple ties,
     since they depend only on order VALUES, not sort stability).
+    ``cume_dist`` / ``percent_rank``: SQL CUME_DIST (rows ≤ current
+    peer group / partition rows) and PERCENT_RANK ((rank-1)/(rows-1),
+    0 for single-row partitions) — like rank, they depend only on
+    order VALUES, so they are deterministic under ties.
     ``ntile``: ``(output, k)`` — SQL NTILE(k): the partition's rows in
     order split into k groups whose sizes differ by at most one, the
     larger groups first (deterministic under the same total-order
@@ -96,7 +102,7 @@ def window_functions(
             # ordinal = global index - start index of the row's segment
             rn = np.arange(n, dtype=np.int64) - starts[seg_of] + 1
             cols[row_number] = pa.array(rn, pa.int64())
-        if rank or dense_rank:
+        if rank or dense_rank or cume_dist or percent_rank:
             # a tie-run starts where the (key, order_by) tuple changes
             new_run = is_start.copy()
             for c in order_by:
@@ -108,13 +114,31 @@ def window_functions(
                         # so two consecutive NaNs must NOT start a run
                         neq &= ~(np.isnan(v[1:]) & np.isnan(v[:-1]))
                     new_run[1:] |= neq
+            idx = np.arange(n, dtype=np.int64)
+            run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
             if rank:
-                idx = np.arange(n, dtype=np.int64)
-                run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
                 cols[rank] = pa.array(run_start - starts[seg_of] + 1, pa.int64())
             if dense_rank:
                 runs = np.cumsum(new_run)  # 1-based run ordinal
                 cols[dense_rank] = pa.array(runs - runs[starts[seg_of]] + 1, pa.int64())
+            if cume_dist or percent_rank:
+                sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+                m = sizes[seg_of]
+                if cume_dist:
+                    # last index of each tie run, broadcast to its rows
+                    run_id = np.cumsum(new_run)  # 1-based
+                    run_starts_idx = np.flatnonzero(new_run)
+                    run_ends = np.append(run_starts_idx[1:], n) - 1
+                    last_peer = run_ends[run_id - 1]
+                    cols[cume_dist] = pa.array(
+                        (last_peer - starts[seg_of] + 1) / m, pa.float64()
+                    )
+                if percent_rank:
+                    rk = run_start - starts[seg_of]  # rank - 1
+                    denom = np.maximum(m - 1, 1)
+                    cols[percent_rank] = pa.array(
+                        np.where(m > 1, rk / denom, 0.0), pa.float64()
+                    )
         if ntile:
             nt_out, nt_k = ntile
             sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)

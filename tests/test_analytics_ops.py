@@ -575,3 +575,50 @@ def test_decontam_null_text_rows(ray_session):
         .to_pandas().set_index("doc_id")["n_contam_grams"]
     )
     assert out[2] == 0 and out[3] == 1
+
+
+def test_cume_dist_percent_rank_tie_semantics(ray_session):
+    """Ties are peers: CUME_DIST counts the whole peer group, and
+    PERCENT_RANK uses (rank-1)/(m-1); single-row partition -> 0.0.
+    Checked against pandas' implementations."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"],
+        "o": [10, 10, 20, 20, 20, 30, 5],
+        "id": range(7),
+    })
+    out = (
+        window_functions(
+            rd.from_pandas(df).repartition(3), key="k", order_by=["o"],
+            cume_dist="cd", percent_rank="pr", keep=["k", "o", "id"],
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    g = df.groupby("k")["o"]
+    want_cd = g.transform(lambda s: s.rank(method="max") / len(s))
+    want_pr = g.transform(
+        lambda s: (s.rank(method="min") - 1) / max(len(s) - 1, 1)
+    )
+    assert np.allclose(out["cd"], want_cd, atol=0)
+    assert np.allclose(out["pr"], want_pr, atol=0)
+
+
+def test_hash_semi_join_no_fanout_on_duplicate_right(ray_session):
+    """Duplicate right-side keys must not duplicate left rows, and the
+    output schema is exactly the left schema."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.joins import hash_semi_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k": [2, 2, 2, 4, 9]})
+    out = (
+        hash_semi_join(rd.from_pandas(left), rd.from_pandas(right), on="k")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(out.columns) in (["k", "v"], ["v", "k"]) or set(out.columns) == {"k", "v"}
+    assert out["k"].tolist() == [2, 4]
+    assert out["v"].tolist() == ["b", "d"]
