@@ -836,6 +836,15 @@ def q_rollup_lineitem(sf_dir: str):
     )
 
 
+def q_chunk_docs(sf_dir: str):
+    """Overlapping document chunking (stages/textstage.make_chunker):
+    120-char windows at stride 100 — map-only fan-out, zero shuffle."""
+    from ..stages.textstage import make_chunker
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(make_chunker(120, 100), batch_format="pandas", batch_size=2048)
+
+
 def q_cume_dist_orders(sf_dir: str):
     """CUME_DIST + PERCENT_RANK per priority over floor(price) — the
     tie-bearing order column exercises peer-group semantics; both
@@ -1628,6 +1637,7 @@ QUERIES = {
     "ntile_events": q_ntile_events,
     "salted_join_events": q_salted_join_events,
     "cume_dist_orders": q_cume_dist_orders,
+    "chunk_docs": q_chunk_docs,
     "semi_join_lineitem": q_semi_join_lineitem,
     "top_terms_per_doc": q_top_terms_per_doc,
     "repetition_docs": q_repetition_docs,
@@ -1938,6 +1948,11 @@ ORACLE_SQL = {
     "salted_join_events": (
         "SELECT e.user_id, e.event_id, c.c_mktsegment FROM events e "
         "JOIN customer c ON e.user_id = c.c_custkey"
+    ),
+    "chunk_docs": (
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_start, "
+        "substr(text, i, 120) AS chunk_text "
+        "FROM documents, UNNEST(generate_series(1, len(text), 100)) AS t(i)"
     ),
     "cume_dist_orders": (
         "SELECT o_orderkey, o_orderpriority, "

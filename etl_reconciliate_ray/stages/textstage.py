@@ -175,6 +175,35 @@ class DecontamCount:
         )
 
 
+def make_chunker(width: int = 120, stride: int = 100):
+    """Fixed-width overlapping document chunking — the pre-tokenization
+    windowing step of a training pipeline (long doc → model-context
+    pieces with ``width - stride`` chars of overlap). Emits one row per
+    chunk: (doc_id, chunk_start [1-based, SQL substr convention],
+    chunk_text). Map-only — each doc is one input row, so chunking
+    never shuffles and output size is O(L/stride) per doc; NULL text
+    yields no chunks (SQL UNNEST-over-NULL semantics)."""
+    if stride <= 0 or width <= 0:
+        raise ValueError("width and stride must be positive")
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, starts, texts = [], [], []
+        for did, txt in zip(batch["doc_id"], batch["text"]):
+            if txt is None or (isinstance(txt, float) and txt != txt):
+                continue
+            for s in range(0, len(txt), stride):
+                ids.append(did)
+                starts.append(s + 1)
+                texts.append(txt[s : s + width])
+        return pd.DataFrame({
+            "doc_id": ids,
+            "chunk_start": pd.array(starts, dtype="int64"),
+            "chunk_text": texts,
+        })
+
+    return chunk
+
+
 def term_stats(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
     """Corpus vocabulary statistics: per lowercase whitespace term, the
     total occurrence count (tf) and distinct-document count (df) — the
