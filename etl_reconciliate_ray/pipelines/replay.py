@@ -807,8 +807,8 @@ def _as_of_upto(log: CommitLog, as_of_epoch: int | None) -> int | None:
         raise ValueError(
             f"as_of_epoch={as_of_epoch} is beyond the sealed head ({sealed})"
         )
-    floor = log.min_retained_epoch()
-    if floor is not None and as_of_epoch < floor:
+    floor = log.time_travel_floor()
+    if as_of_epoch < floor:
         raise ValueError(
             f"as_of_epoch={as_of_epoch} predates the retention floor "
             f"({floor}): history was truncated by compaction/snapshot"
@@ -835,8 +835,8 @@ def lake_dataset(
     columns when files span a schema change (Ray unifies blocks lazily,
     but a pruned uniform projection is both safer and cheaper).
     ``as_of_epoch`` reads are answerable back to the commit log's
-    retention floor (``CommitLog.min_retained_epoch``) and refused
-    below it — see ``_as_of_upto``."""
+    retention floor (``CommitLog.time_travel_floor``, persisted at
+    snapshot time) and refused below it — see ``_as_of_upto``."""
     import ray.data as rd
 
     log = CommitLog.open(_root_of(cfg_or_root))
@@ -898,6 +898,12 @@ def lake_changelog(cfg_or_root, from_epoch: int, to_epoch: int | None = None):
     log = CommitLog.open(_root_of(cfg_or_root))
     upto_to = _as_of_upto(log, to_epoch)
     upto_from = _as_of_upto(log, from_epoch)
+    if upto_to is None or upto_from > upto_to:
+        raise ValueError(
+            f"from_epoch={from_epoch} must be <= to_epoch "
+            f"({upto_to}): an inverted changelog would feed a consumer "
+            "reversed I/D semantics"
+        )
     old = _chains_payload(log, upto_epoch=upto_from)
     new = _chains_payload(log, upto_epoch=upto_to)
     parts = sorted(set(old) | set(new))

@@ -134,6 +134,37 @@ def hash_join(
     return tagged.groupby("__bucket__").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def _hot_salts(keys: pa.Array | pa.ChunkedArray, hot: np.ndarray, num_salts: int) -> np.ndarray:
+    """Per-row salt array: 0 for non-hot rows; hot rows cycle 0..k-1
+    PER KEY (each hot key's occurrence ordinal mod k). A cycle over the
+    combined hot mask would alias under interleaved hot keys (A,B,A,B
+    with k=2 pins A to salt 0 and B to salt 1 — zero spread for both);
+    a per-key ordinal is uniform for every hot key regardless of row
+    layout. Any spread is CORRECT (the build side is fully replicated);
+    this one is also balanced."""
+    salt = np.zeros(len(hot), dtype=np.int64)
+    hot_idx = np.flatnonzero(hot)
+    if hot_idx.size == 0:
+        return salt
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    hk = keys.take(pa.array(hot_idx))
+    codes = (
+        pc.dictionary_encode(hk).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    starts = np.concatenate([[0], np.flatnonzero(sc[1:] != sc[:-1]) + 1]).astype(np.int64)
+    is_start = np.zeros(len(sc), dtype=bool)
+    is_start[starts] = True
+    seg_of = np.cumsum(is_start) - 1
+    ordinal_sorted = np.arange(len(sc), dtype=np.int64) - starts[seg_of]
+    ordinal = np.empty(len(sc), dtype=np.int64)
+    ordinal[order] = ordinal_sorted
+    salt[hot_idx] = ordinal % num_salts
+    return salt
+
+
 def _salted_route(
     keys: pa.Array | pa.ChunkedArray, salt: np.ndarray, num_salts: int
 ) -> pa.Array:
@@ -226,14 +257,7 @@ def salted_hash_join(
 
     def salt_left(t: pa.Table) -> pa.Table:
         hot = pc.is_in(t[on], value_set=hot_arr).to_numpy(zero_copy_only=False)
-        # cycle over HOT rows only ((cumsum over the hot mask) % salts):
-        # a global-position cycle would alias with periodic row layouts
-        # (hot key at a stride sharing a factor with num_salts -> one
-        # salt -> zero spread). Any spread is CORRECT (the build side is
-        # fully replicated); this one is also uniform.
-        salt = np.where(
-            hot, (np.cumsum(hot, dtype=np.int64) - 1) % num_salts, 0
-        )
+        salt = _hot_salts(t[on], hot, num_salts)  # per-key cycle, see _hot_salts
         return t.append_column("__skey", _salted_route(t[on], salt, num_salts))
 
     def salt_right(t: pa.Table) -> pa.Table:

@@ -74,6 +74,14 @@ class CommitLog:
     #: existing (repo, path) keys to new buckets and duplicate keys
     #: across partitions. Recorded on first write; mismatch = hard error.
     _layout: dict | None = None
+    #: time-travel retention floor: snapshot truncation drops each
+    #: part's pre-base history, so at snapshot time the floor advances
+    #: to max over parts of their retained base epoch (persisted in the
+    #: SNAPSHOT_SEALED record; monotone across snapshots). A GLOBAL min
+    #: over entries would be wrong: parts truncate at DIFFERENT epochs,
+    #: and an as-of between two parts' bases would silently omit the
+    #: later-based part entirely.
+    _floor: int = 0
     # pipelined replay commits epochs from worker threads; the log
     # stays single-writer per PROCESS, serialized by this lock
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
@@ -97,6 +105,7 @@ class CommitLog:
                     self._sealed.add(rec["epoch"])
                 elif rec.get("type") == "SNAPSHOT_SEALED":
                     self._sealed.update(rec["sealed"])
+                    self._floor = max(self._floor, int(rec.get("floor", 0)))
                 elif rec.get("type") == "LAYOUT":
                     self._layout = rec["layout"]
                 else:
@@ -144,7 +153,18 @@ class CommitLog:
             recs = []
             if self._layout is not None:
                 recs.append({"type": "LAYOUT", "layout": self._layout})
-            recs.append({"type": "SNAPSHOT_SEALED", "sealed": sorted(self._sealed)})
+            # advance the time-travel floor: everything before each
+            # part's current base is about to be dropped
+            chains_now = self.part_chains()
+            self._floor = max(
+                self._floor,
+                max((c[0].epoch for c in chains_now.values()), default=0),
+            )
+            recs.append({
+                "type": "SNAPSHOT_SEALED",
+                "sealed": sorted(self._sealed),
+                "floor": self._floor,
+            })
             recs += [self._entry_rec(e) for e in sorted(live, key=lambda x: (x.epoch, x.part))]
             tmp = self.snapshot_path + ".tmp"
             with open(tmp, "w") as fh:
@@ -271,13 +291,15 @@ class CommitLog:
     def latest_sealed_epoch(self) -> int | None:
         return max(self._sealed) if self._sealed else None
 
-    def min_retained_epoch(self) -> int | None:
-        """Oldest epoch with a surviving log entry — the TIME-TRAVEL
-        retention floor. ``write_snapshot`` truncates history to the
-        current chains, so an as-of read below this floor cannot be
-        reconstructed and must be refused (silently returning a partial
-        lake would be corruption, not time travel)."""
-        return min((e for e, _ in self._entries), default=None)
+    def time_travel_floor(self) -> int:
+        """Oldest epoch an as-of read can still reconstruct for EVERY
+        part. ``write_snapshot`` truncates each part's pre-base history
+        — at potentially different epochs per part — so the floor
+        advances to the max retained-base epoch at each snapshot and is
+        persisted with it. As-of reads below the floor must be refused:
+        silently returning the parts that happen to survive would
+        fabricate a lake state that never existed."""
+        return self._floor
 
     def part_chains(self, upto_epoch: int | None = None) -> dict[int, list[PartEntry]]:
         """part -> its merge-on-read chain: the newest committed FULL

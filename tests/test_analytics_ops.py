@@ -519,9 +519,22 @@ def test_salted_route_spreads_hot_and_nonhot(ray_session):
     keys = pa.array(np.arange(2000, dtype=np.int64))
     skey0 = _salted_route(keys, np.zeros(2000, dtype=np.int64), num_salts).to_numpy()
     assert len(set(skey0 % num_buckets)) == num_buckets
-    # (c) stride-4 hot layout still uses all 4 salts: join a periodic
-    # left (hot key at every 4th row) and count distinct __skey values
-    # the hot key receives via the internal salting path
+    # (c) periodic layouts can't alias the salt cycle: hot key at every
+    # 4th row with num_salts=4, AND two hot keys interleaved A,B,A,B
+    # with num_salts=2 — each hot key must still receive ALL salts
+    from etl_reconciliate_ray.stages.joins import _hot_salts
+
+    k_stride = pa.array([7 if i % 4 == 0 else 1000 + i for i in range(400)])
+    hot_mask = np.array([i % 4 == 0 for i in range(400)])
+    salts = _hot_salts(k_stride, hot_mask, 4)
+    assert set(salts[hot_mask]) == {0, 1, 2, 3}
+    assert (salts[~hot_mask] == 0).all()
+    k_ab = pa.array([7, 8] * 50)
+    salts_ab = _hot_salts(k_ab, np.ones(100, dtype=bool), 2)
+    a_rows = np.arange(100) % 2 == 0
+    assert set(salts_ab[a_rows]) == {0, 1}
+    assert set(salts_ab[~a_rows]) == {0, 1}
+    # and the join over the periodic layout stays row-correct
     import ray.data as rd
 
     left = pd.DataFrame({"k": [7 if i % 4 == 0 else 1000 + i for i in range(400)],
@@ -531,7 +544,7 @@ def test_salted_route_spreads_hot_and_nonhot(ray_session):
         rd.from_pandas(left), rd.from_pandas(right),
         on="k", hot_keys={7}, num_salts=4, how="inner",
     ).to_pandas()
-    assert len(out) == 100  # correctness unchanged by the periodic layout
+    assert len(out) == 100
 
 
 def test_cube_integer_keys_stay_sortable(ray_session):

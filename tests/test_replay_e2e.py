@@ -686,8 +686,8 @@ def test_time_travel_as_of_matches_truncated_replay(fixture_small, tmp_path):
     # compaction + snapshot truncate history -> pre-floor reads refused
     compact(full)
     log = CommitLog.open(full.lake_root)
-    floor = log.min_retained_epoch()
-    if floor and floor > 0:
+    floor = log.time_travel_floor()
+    if floor > 0:
         with pytest.raises(ValueError, match="retention floor"):
             lake_table(full, as_of_epoch=floor - 1)
 
@@ -728,3 +728,49 @@ def test_changelog_between_epochs_matches_state_diff(fixture_small, tmp_path):
     assert len(want) > 0  # the fixture's tail epochs actually change keys
     # from == to -> empty feed
     assert lake_changelog(cfg, from_epoch=sealed, to_epoch=sealed).count() == 0
+
+
+def test_changelog_refuses_inverted_bounds(fixture_small, tmp_path):
+    import pytest
+
+    from etl_reconciliate_ray.pipelines.replay import lake_changelog
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_inv", manifest)
+    replay(fixture_dir, cfg)
+    sealed = CommitLog.open(cfg.lake_root).latest_sealed_epoch()
+    with pytest.raises(ValueError, match="must be <="):
+        lake_changelog(cfg, from_epoch=sealed, to_epoch=sealed - 2)
+
+
+def test_time_travel_floor_is_per_part_aware(tmp_path):
+    """The retention floor must be the MAX retained base epoch over
+    parts, not a global min: after snapshot truncation with one part
+    based at 0 and another compacted later, an as-of between the two
+    bases would silently omit the later-based part — it must be
+    refused."""
+    import pytest
+
+    from etl_reconciliate_ray.state.commitlog import CommitLog, PartEntry
+
+    root = str(tmp_path / "lake_floor")
+    log = CommitLog.open(root)
+    # part 0: full@0 only; part 1: full@0 then compacted full@3
+    for ep, part, kind in [(0, 0, "full"), (0, 1, "full"), (1, 1, "delta"),
+                           (2, 1, "delta"), (3, 1, "full")]:
+        log.commit_part(PartEntry(epoch=ep, part=part, files=(f"f{ep}_{part}",),
+                                  rows=1, state_sha256="s", kind=kind))
+        log.seal_epoch(ep) if part == 1 or ep == 0 else None
+    for ep in range(4):
+        if not log.is_sealed(ep):
+            log.seal_epoch(ep)
+    log.write_snapshot()  # drops part 1's pre-3 history
+    assert log.time_travel_floor() == 3
+    # reopened log sees the persisted floor
+    log2 = CommitLog.open(root)
+    assert log2.time_travel_floor() == 3
+    from etl_reconciliate_ray.pipelines.replay import _as_of_upto
+
+    with pytest.raises(ValueError, match="retention floor"):
+        _as_of_upto(log2, 1)  # between part0's base (0) and part1's (3)
+    assert _as_of_upto(log2, 3) == 3
