@@ -836,6 +836,17 @@ def q_rollup_lineitem(sf_dir: str):
     )
 
 
+def q_bigram_counts(sf_dir: str):
+    """Top-20 corpus bigram collocations
+    (stages/textstage.bigram_counts): pair-level Arrow explode +
+    per-batch combiner, one (bigram) shuffle of partial counts, global
+    deterministic top-n."""
+    from ..stages.textstage import bigram_counts
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_counts(ds, top_n=20)
+
+
 def q_chunk_docs(sf_dir: str):
     """Overlapping document chunking (stages/textstage.make_chunker):
     120-char windows at stride 100 — map-only fan-out, zero shuffle."""
@@ -1638,6 +1649,7 @@ QUERIES = {
     "salted_join_events": q_salted_join_events,
     "cume_dist_orders": q_cume_dist_orders,
     "chunk_docs": q_chunk_docs,
+    "bigram_counts": q_bigram_counts,
     "semi_join_lineitem": q_semi_join_lineitem,
     "top_terms_per_doc": q_top_terms_per_doc,
     "repetition_docs": q_repetition_docs,
@@ -1953,6 +1965,17 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(i AS BIGINT) AS chunk_start, "
         "substr(text, i, 120) AS chunk_text "
         "FROM documents, UNNEST(generate_series(1, len(text), 100)) AS t(i)"
+    ),
+    "bigram_counts": (
+        # engine tokenization: lowercase, split on whitespace runs,
+        # empty tokens dropped BEFORE pairing (so pairs can span a
+        # doc's leading/trailing whitespace but never cross docs)
+        "SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "SELECT w[i] || ' ' || w[i+1] AS bigram FROM ("
+        "SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "x -> x <> '') AS w FROM documents), "
+        "UNNEST(generate_series(1, len(w)-1)) AS t(i)) "
+        "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
     ),
     "cume_dist_orders": (
         "SELECT o_orderkey, o_orderpriority, "

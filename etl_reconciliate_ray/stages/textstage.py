@@ -175,6 +175,53 @@ class DecontamCount:
         )
 
 
+def bigram_counts(ds, top_n: int = 20, text_col: str = "text", doc_id_col: str = "doc_id"):
+    """Corpus bigram collocations: the ``top_n`` most frequent adjacent
+    lowercase word pairs — the counting backbone of collocation / PMI
+    phrase mining over a training corpus.
+
+    Vectorized: the Arrow explode from ``doc_term_counts``'s family is
+    reused at the PAIR level — per batch, adjacent (w_i, w_{i+1}) pairs
+    within each doc are joined into one ``a\\x20b`` string via offset
+    arithmetic (no per-row Python), counted by pyarrow hash aggregation
+    (combiner), then one small (bigram) shuffle + a driver-safe global
+    top-n (``top_n`` rows, not corpus-sized)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep_tok = pc.not_equal(flat, "")
+        flat = pc.filter(flat, keep_tok)
+        parent = parent[keep_tok.to_numpy(zero_copy_only=False)]
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        import numpy as np
+
+        # adjacent pairs within the same doc: rows i, i+1 with equal parent
+        same = parent[1:] == parent[:-1]
+        a = flat.slice(0, n - 1).filter(pa.array(same))
+        b = flat.slice(1).filter(pa.array(same))
+        pairs = pc.binary_join_element_wise(a, b, " ")
+        red = pa.table({"bigram": pairs}).group_by(
+            ["bigram"], use_threads=False
+        ).aggregate([("bigram", "count")])
+        return pa.table({"bigram": red["bigram"],
+                         "c": pc.cast(red["bigram_count"], pa.int64())})
+
+    counts = (
+        ds.map_batches(explode_pairs, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum(on="c", alias_name="n"))
+    )
+    # global top-n: deterministic (n desc, bigram asc); top_n rows only
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(top_n)
+
+
 def make_chunker(width: int = 120, stride: int = 100):
     """Fixed-width overlapping document chunking — the pre-tokenization
     windowing step of a training pipeline (long doc → model-context
