@@ -635,3 +635,45 @@ def test_hash_semi_join_no_fanout_on_duplicate_right(ray_session):
     assert list(out.columns) in (["k", "v"], ["v", "k"]) or set(out.columns) == {"k", "v"}
     assert out["k"].tolist() == [2, 4]
     assert out["v"].tolist() == ["b", "d"]
+
+
+def test_chunker_edges(ray_session):
+    """Chunk boundaries: exact multiples, short docs, empty and null
+    text; last chunk may be shorter than width; overlap = width-stride."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.textstage import make_chunker
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["abcdefghij", "abc", "", None],  # width 4, stride 3
+    })
+    out = (
+        rd.from_pandas(df)
+        .map_batches(make_chunker(4, 3), batch_format="pandas")
+        .to_pandas()
+    )
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_start")
+    assert d1["chunk_start"].tolist() == [1, 4, 7, 10]
+    assert d1["chunk_text"].tolist() == ["abcd", "defg", "ghij", "j"]
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == ["abc"]
+    assert (out["doc_id"] == 3).sum() == 0 and (out["doc_id"] == 4).sum() == 0
+    with pytest.raises(ValueError):
+        make_chunker(0, 3)
+
+
+def test_bigrams_never_cross_docs(ray_session):
+    """Adjacent docs in one batch must not contribute a pair spanning
+    the doc boundary; single-word and empty docs contribute nothing."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.textstage import bigram_counts
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["end marker", "start here", "solo", "  "],
+    })
+    out = bigram_counts(rd.from_pandas(df), top_n=10).to_pandas()
+    got = set(out["bigram"])
+    assert got == {"end marker", "start here"}
+    assert "marker start" not in got  # the cross-doc pair
