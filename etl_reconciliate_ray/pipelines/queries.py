@@ -641,6 +641,125 @@ def q_window_fns_events(sf_dir: str):
     )
 
 
+def q_session_gaps_events(sf_dir: str):
+    """Per-user inactivity-gap diagnostics (the LAG-based streaming
+    sessionization check a CDC/event pipeline runs to validate window
+    boundaries): for each user, the number of inter-event gaps longer
+    than 30 minutes and the widest gap, exact in integer microseconds.
+    One key-hash shuffle; inside each bucket the gaps AND the per-user
+    aggregate are computed by segmented numpy reduceat kernels, so only
+    one tiny row per user ever leaves the bucket — no second shuffle."""
+    from ..functions.hashing import hash64
+
+    gap_us = 1_800_000_000  # 30 min
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64()),
+            })
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(u[1:] != u[:-1]) + 1]
+        ).astype(np.int64)
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[starts] = 0  # first event of a user has no predecessor
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.concatenate([starts, [n]])), pa.int64()
+            ),
+            "n_gaps": pa.array(
+                np.add.reduceat((gap > gap_us).astype(np.int64), starts), pa.int64()
+            ),
+            "max_gap_us": pa.array(np.maximum.reduceat(gap, starts), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def q_first_last_orders(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the whole partition frame
+    (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING): each order
+    annotated with its customer's first and most recent order key in
+    (o_orderdate, o_orderkey) order. Same one-shuffle segmented-kernel
+    plan as window_fns_events — the partition edges are two `take`
+    gathers, no per-key loop."""
+    from ..stages.windowfns import window_functions
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return window_functions(
+        ds,
+        key="o_custkey",
+        order_by=["o_orderdate", "o_orderkey"],
+        row_number="rn",
+        first_value={"first_key": "o_orderkey"},
+        last_value={"last_key": "o_orderkey"},
+        keep=["o_orderkey", "o_custkey"],
+    )
+
+
+def q_full_outer_activity(sf_dir: str):
+    """FULL OUTER JOIN (both dangling legs of the reference's
+    reconciliation in one relational op — J6 left-outer plus J7
+    right-anti, `service/ReconciliationService.java:142-199`): per-user
+    event counts against per-customer finished-order counts. Both
+    inputs are pre-aggregated map-side (combiner) so only one
+    aggregate-sized row per key enters the single join shuffle; the
+    unmatched legs are coalesced to 0 so the output is typed int64
+    with no engine-dependent null-float coercion."""
+    import pyarrow.dataset as pads
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    ev = ev.map_batches(
+        lambda t: pa.table({"k": t["user_id"]}), batch_format="pyarrow"
+    )
+    orders = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_custkey"],
+        filter=(pads.field("o_orderstatus") == "F"),
+    )
+    orders = orders.map_batches(
+        lambda t: pa.table({"k": t["o_custkey"]}), batch_format="pyarrow"
+    )
+    left = preagg_groupby(ev, keys=["k"], count_alias="n_events")
+    right = preagg_groupby(orders, keys=["k"], count_alias="n_orders")
+    joined = hash_join(left, right, on="k", how="outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        def as_int(c):
+            v = pc.if_else(pc.is_null(t[c], nan_is_null=True), pa.scalar(0.0), pc.cast(t[c], pa.float64()))
+            return pc.cast(pc.round(v), pa.int64())
+
+        return pa.table({
+            "user_id": pc.cast(t["k"], pa.int64()),
+            "n_events": as_int("n_events"),
+            "n_orders": as_int("n_orders"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _event_user_keys(sf_dir: str):
     """Distinct event user ids projected onto the customer key name."""
     ds = read_table(sf_dir, "events", columns=["user_id"])
@@ -1616,6 +1735,9 @@ QUERIES = {
     "pivot_user_events": q_pivot_user_events,
     "rolling_user_values": q_rolling_user_values,
     "window_fns_events": q_window_fns_events,
+    "session_gaps_events": q_session_gaps_events,
+    "first_last_orders": q_first_last_orders,
+    "full_outer_activity": q_full_outer_activity,
     "except_users": q_except_users,
     "intersect_users": q_intersect_users,
     "stats_lineitem": q_stats_lineitem,
@@ -1801,6 +1923,34 @@ ORACLE_SQL = {
         "PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_cents "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "first_last_orders": (
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+        "FIRST_VALUE(o_orderkey) OVER w AS first_key, "
+        "LAST_VALUE(o_orderkey) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    ),
+    "session_gaps_events": (
+        "WITH d AS (SELECT user_id, "
+        "epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+        "FROM events) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(COALESCE(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gaps, "
+        "CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us "
+        "FROM d GROUP BY user_id"
+    ),
+    "full_outer_activity": (
+        "WITH e AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY 1), "
+        "o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) "
+        "SELECT k AS user_id, COALESCE(n_events, 0) AS n_events, "
+        "COALESCE(n_orders, 0) AS n_orders "
+        "FROM e FULL OUTER JOIN o USING (k)"
     ),
     "distinct_users_by_type": (
         "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "

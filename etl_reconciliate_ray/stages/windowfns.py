@@ -53,6 +53,8 @@ def window_functions(
     lag: dict[str, str] | None = None,
     lead: dict[str, str] | None = None,
     cumsum: dict[str, str] | None = None,
+    first_value: dict[str, str] | None = None,
+    last_value: dict[str, str] | None = None,
     num_buckets: int = 16,
     keep: Sequence[str] | None = None,
 ):
@@ -77,11 +79,20 @@ def window_functions(
     ``cumsum``: {output: source_col} running sum (int64 sources — pass
     pre-scaled integer columns so the running sum is exact and
     bit-identical to any SQL engine; see queries "cents" convention).
+    ``first_value`` / ``last_value``: {output: source_col} — the
+    source value at the partition's first/last row in ``order_by``
+    order, i.e. SQL FIRST_VALUE / LAST_VALUE with an explicit
+    ``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING``
+    frame (the default SQL frame makes LAST_VALUE the current row —
+    never what anyone wants; we implement the whole-partition frame).
+    Deterministic only when ``order_by`` totally orders each key.
     ``keep``: passthrough columns (default: key + order_by).
     """
     lag = dict(lag or {})
     lead = dict(lead or {})
     cumsum = dict(cumsum or {})
+    first_value = dict(first_value or {})
+    last_value = dict(last_value or {})
     keep = list(keep if keep is not None else [key, *order_by])
     sort_spec = [(key, "ascending")] + [(c, "ascending") for c in order_by]
 
@@ -167,6 +178,14 @@ def window_functions(
             if n:
                 is_end[np.concatenate([starts[1:] - 1, [n - 1]])] = True
             cols[out] = pa.compute.if_else(pa.array(is_end), pa.nulls(n, arr.type), arr)
+        if first_value or last_value:
+            sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+            seg_first = starts[seg_of]
+            seg_last = seg_first + sizes[seg_of] - 1
+            for out, src in first_value.items():
+                cols[out] = t[src].take(pa.array(seg_first))
+            for out, src in last_value.items():
+                cols[out] = t[src].take(pa.array(seg_last))
         for out, src in cumsum.items():
             # SQL SUM ignores NULLs: fill before leaving Arrow so an
             # int64 column with nulls never round-trips through float
