@@ -760,6 +760,79 @@ def q_full_outer_activity(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_redact_docs(sf_dir: str):
+    """Regex PII scrubbing over the corpus with an audit hit count —
+    rule chain applied in order (second rule rewrites the first rule's
+    output). Map-only, RE2 over Arrow buffers on both the engine and
+    the DuckDB oracle, so the comparison is regex-engine-exact."""
+    from ..stages.textstage import make_redactor
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    rules = [
+        (r"\b(customer|user)\b", "<PII>"),
+        (r"<PII>( <PII>)+", "<PII>+"),
+    ]
+    return ds.map_batches(make_redactor(rules), batch_format="pyarrow")
+
+
+def q_mode_event_type(sf_dir: str):
+    """Grouped MODE (most frequent value per key, ties broken by the
+    smallest value — made deterministic where SQL's MODE() is not):
+    each user's dominant event type. Two-level: per-batch pyarrow hash
+    count combiner, then top-1 per key — only O(keys x types) rows
+    shuffle."""
+    from ..stages.topk import topk_per_group
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = preagg_groupby(ev, keys=["user_id", "event_type"], count_alias="n")
+    top = topk_per_group(
+        counts, group_key="user_id", order_col="n", k=1,
+        tiebreak="event_type", descending=True,
+    )
+    return top.map_batches(
+        lambda t: t.select(["user_id", "event_type", "n"]), batch_format="pyarrow"
+    )
+
+
+def q_best_doc_per_source(sf_dir: str):
+    """Keep-best dedup (the training-data cousin of the reference's J9
+    first-candidate selection, ReconciliationService.java:129-147):
+    one representative document per source, preferring the longest
+    text, ties to the smallest doc_id. Map-side top-1 combiner —
+    one candidate row per (batch, source) shuffles."""
+    from ..stages.topk import topk_per_group
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    top = topk_per_group(
+        ds, group_key="source", order_col="n_chars", k=1,
+        tiebreak="doc_id", descending=True,
+    )
+    return top.map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+def q_cross_region_nation(sf_dir: str):
+    """CROSS JOIN of two dimension tables (the only join shape the
+    engine implements by broadcast-expansion rather than hashing):
+    the 5x25 region x nation label grid. The provably-tiny side is
+    read once on the driver and expanded against each streaming batch
+    with repeat/tile — no shuffle, no per-row Python."""
+    region = read_table_pandas(sf_dir, "region", columns=["r_name"])
+    r_names = region["r_name"].to_numpy()
+
+    nation = read_table(sf_dir, "nation", columns=["n_name"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t["n_name"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": pa.array(np.tile(r_names, len(n)), pa.string()),
+            "n_name": pa.array(np.repeat(n, len(r_names)), pa.string()),
+        })
+
+    return nation.map_batches(expand, batch_format="pyarrow")
+
+
 def _event_user_keys(sf_dir: str):
     """Distinct event user ids projected onto the customer key name."""
     ds = read_table(sf_dir, "events", columns=["user_id"])
@@ -1738,6 +1811,10 @@ QUERIES = {
     "session_gaps_events": q_session_gaps_events,
     "first_last_orders": q_first_last_orders,
     "full_outer_activity": q_full_outer_activity,
+    "redact_docs": q_redact_docs,
+    "mode_event_type": q_mode_event_type,
+    "best_doc_per_source": q_best_doc_per_source,
+    "cross_region_nation": q_cross_region_nation,
     "except_users": q_except_users,
     "intersect_users": q_intersect_users,
     "stats_lineitem": q_stats_lineitem,
@@ -1932,6 +2009,32 @@ ORACLE_SQL = {
         "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key "
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    ),
+    "redact_docs": (
+        "WITH r1 AS (SELECT doc_id, "
+        "regexp_replace(text, '\\b(customer|user)\\b', '<PII>', 'g') AS t1, "
+        "length(regexp_extract_all(text, '\\b(customer|user)\\b')) AS h1 "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "regexp_replace(t1, '<PII>( <PII>)+', '<PII>+', 'g') AS redacted, "
+        "CAST(h1 + length(regexp_extract_all(t1, '<PII>( <PII>)+')) AS BIGINT) AS n_hits "
+        "FROM r1"
+    ),
+    "mode_event_type": (
+        "SELECT user_id, event_type, n FROM ("
+        "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY COUNT(*) DESC, event_type) AS rn "
+        "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+    ),
+    "best_doc_per_source": (
+        "SELECT doc_id, source, n_chars FROM ("
+        "SELECT doc_id, source, n_chars, ROW_NUMBER() OVER ("
+        "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+        "FROM documents) WHERE rn = 1"
+    ),
+    "cross_region_nation": (
+        "SELECT r_name, n_name FROM region CROSS JOIN nation"
     ),
     "session_gaps_events": (
         "WITH d AS (SELECT user_id, "

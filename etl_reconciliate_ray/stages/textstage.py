@@ -311,3 +311,37 @@ def doc_term_counts(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def make_redactor(rules: list[tuple[str, str]] | None = None, text_col: str = "text"):
+    """PII-style regex scrubber: apply ``rules`` = [(pattern,
+    replacement), ...] in order to ``text_col``, emitting the redacted
+    text plus the total hit count (audit trail for a compliance
+    pipeline). Map-only and fully vectorized: Arrow's
+    ``replace_substring_regex`` / ``count_substring_regex`` run RE2
+    over the column buffers — the same regex engine DuckDB uses, so
+    the oracle comparison is engine-exact. Keep patterns RE2-safe (no
+    backrefs/lookarounds) so the operator stays portable.
+
+    Generalizes the reference's field-normalization mappers (M1-M4,
+    `AsMonitoringPaymentsDAOImpl.java:34-51` trim/format cleanup) to
+    arbitrary rule chains."""
+    import pyarrow.compute as pc
+
+    rules = rules if rules is not None else [
+        (r"[0-9]+(\.[0-9]+)?", "<NUM>"),
+        (r"<NUM>(-<NUM>)+", "<ID>"),
+    ]
+
+    def fn(t: pa.Table) -> pa.Table:
+        red = t[text_col]
+        hits = None
+        for pat, rep in rules:
+            c = pc.count_substring_regex(red, pat)
+            hits = c if hits is None else pc.add(hits, c)
+            red = pc.replace_substring_regex(red, pattern=pat, replacement=rep)
+        out = t.drop_columns([text_col])
+        out = out.append_column("redacted", red)
+        return out.append_column("n_hits", pc.cast(hits, pa.int64()))
+
+    return fn
