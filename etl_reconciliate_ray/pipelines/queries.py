@@ -833,6 +833,69 @@ def q_cross_region_nation(sf_dir: str):
     return nation.map_batches(expand, batch_format="pyarrow")
 
 
+def q_histogram_values(sf_dir: str):
+    """Equi-width histogram of a numeric column (the profiling step
+    before choosing quantile-sketch bins): bin = floor(value / 50),
+    count per bin. Map-side binning + partial-count combiner — only
+    O(bins) rows per batch shuffle."""
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def binify(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["value"], pa.scalar(50.0))), pa.int64())
+        return pa.table({"bin": b})
+
+    return preagg_groupby(
+        ds.map_batches(binify, batch_format="pyarrow"), keys=["bin"], count_alias="n"
+    )
+
+
+def q_ratio_to_report(sf_dir: str):
+    """RATIO_TO_REPORT / percent-of-total: each event type's share of
+    all events, in exact integer parts-per-million (floor division on
+    both sides — no float rounding-mode ambiguity between engines).
+    The grand total is derived from the aggregate itself, which is
+    key-cardinality-sized, so pulling it to the driver is O(types),
+    never O(rows)."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    counts = preagg_groupby(ds, keys=["event_type"], count_alias="n")
+    t = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(n.sum())
+    return pa.table({
+        "event_type": t["event_type"],
+        "n": pa.array(n, pa.int64()),
+        "total": pa.array(np.full(len(n), total), pa.int64()),
+        "share_ppm": pa.array(n * 1_000_000 // total, pa.int64()),
+    })
+
+
+def q_union_users(sf_dir: str):
+    """UNION DISTINCT across two key domains (completing the set-op
+    family next to except_users / intersect_users): all keys active as
+    either an event user or an order customer. Per-batch distinct
+    combiner, then one distinct shuffle over the already-collapsed
+    keys."""
+    ev = read_table(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda t: pa.table({"k": t["user_id"]}), batch_format="pyarrow"
+    )
+    oc = read_table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: pa.table({"k": t["o_custkey"]}), batch_format="pyarrow"
+    )
+    distinct = (
+        ev.union(oc)
+        .map_batches(
+            lambda t: t.group_by(["k"], use_threads=False).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .count()
+        .select_columns(["k"])
+    )
+    return distinct.map_batches(
+        lambda t: pa.table({"user_id": t["k"]}), batch_format="pyarrow"
+    )
+
+
 def _event_user_keys(sf_dir: str):
     """Distinct event user ids projected onto the customer key name."""
     ds = read_table(sf_dir, "events", columns=["user_id"])
@@ -1811,6 +1874,9 @@ QUERIES = {
     "session_gaps_events": q_session_gaps_events,
     "first_last_orders": q_first_last_orders,
     "full_outer_activity": q_full_outer_activity,
+    "histogram_values": q_histogram_values,
+    "ratio_to_report": q_ratio_to_report,
+    "union_users": q_union_users,
     "redact_docs": q_redact_docs,
     "mode_event_type": q_mode_event_type,
     "best_doc_per_source": q_best_doc_per_source,
@@ -2009,6 +2075,19 @@ ORACLE_SQL = {
         "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key "
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    ),
+    "histogram_values": (
+        "SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1"
+    ),
+    "ratio_to_report": (
+        "WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1) "
+        "SELECT event_type, n, CAST(SUM(n) OVER () AS BIGINT) AS total, "
+        "CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_ppm FROM c"
+    ),
+    "union_users": (
+        "SELECT user_id FROM events UNION SELECT o_custkey AS user_id FROM orders"
     ),
     "redact_docs": (
         "WITH r1 AS (SELECT doc_id, "

@@ -50,6 +50,7 @@ def _case_unique_order(rows):
         window_functions(
             _ds(df), key="k", order_by=["o"], row_number="rn",
             lag={"prev": "v"}, lead={"nxt": "v"}, cumsum={"cum": "v"},
+            first_value={"fv": "v"}, last_value={"lv": "v"},
             num_buckets=3,
         )
         .to_pandas()
@@ -62,9 +63,15 @@ def _case_unique_order(rows):
     exp_prev = g["v"].shift(1)
     exp_nxt = g["v"].shift(-1)
     exp_cum = g["v"].transform(lambda s: s.fillna(0).cumsum()).astype(int).tolist()
+    # whole-partition frame: the partition's first/last v in o-order,
+    # INCLUDING nulls (FIRST_VALUE does not skip nulls without
+    # IGNORE NULLS, which we don't implement)
+    exp_fv = g["v"].transform(lambda s: [s.iloc[0]] * len(s))
+    exp_lv = g["v"].transform(lambda s: [s.iloc[-1]] * len(s))
     assert out["rn"].tolist() == exp_rn
     assert out["cum"].tolist() == exp_cum
-    for got, want in ((out["prev"], exp_prev), (out["nxt"], exp_nxt)):
+    for got, want in ((out["prev"], exp_prev), (out["nxt"], exp_nxt),
+                      (out["fv"], exp_fv), (out["lv"], exp_lv)):
         for a, b in zip(got.tolist(), want.tolist()):
             assert (pd.isna(a) and pd.isna(b)) or a == b, (got.tolist(), want.tolist())
 
