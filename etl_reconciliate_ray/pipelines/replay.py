@@ -788,6 +788,67 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
     return metrics
 
 
+def vacuum(cfg_or_root, dry_run: bool = False) -> dict:
+    """Lake garbage collection: delete data files no commit-log entry
+    references any more. ``CommitLog.write_snapshot`` (run after every
+    compaction) prunes superseded chain ENTRIES — each part's pre-base
+    history — from the log, but the parquet files those entries pointed
+    at stay on disk forever; vacuum reclaims them. (The lake-lifecycle
+    counterpart of Iceberg's remove-orphan-files / Hudi cleaner;
+    nothing in the reference — its H2 metadata store grows unbounded.)
+
+    Safety rules:
+    - the retention set is ``CommitLog.referenced_files()``: every
+      entry still in the log keeps its files, so every as-of read the
+      retention floor permits still resolves. Vacuum never tightens
+      time-travel — only ``write_snapshot`` advances the floor.
+    - only files inside epoch directories <= the latest SEALED epoch
+      are candidates: a crashed-but-retryable epoch's content-addressed
+      files must survive until that epoch seals (single-writer
+      assumption, same as the commit log: vacuum runs from the driver,
+      never concurrently with an active writer).
+    - sidecar state (_reconcile_detail spill, _snapshot_spool,
+      lineage.json, commitlog*) is not lake data and is never touched.
+
+    Returns ``{checked, deleted, bytes_freed, dry_run, files}``
+    (``files`` lists the victims only under ``dry_run``)."""
+    import glob as _glob
+    import re as _re
+
+    root = os.path.abspath(_root_of(cfg_or_root))
+    log = CommitLog.open(root)
+    sealed = log.latest_sealed_epoch()
+    out = {"checked": 0, "deleted": 0, "bytes_freed": 0, "dry_run": dry_run, "files": []}
+    if sealed is None:
+        return out
+    keep = {os.path.relpath(os.path.abspath(f), root) for f in log.referenced_files()}
+    for path in _glob.glob(os.path.join(root, "epoch=*", "**", "*.parquet"), recursive=True):
+        m = _re.search(r"epoch=(\d+)", os.path.relpath(path, root))
+        if m is None or int(m.group(1)) > sealed:
+            continue
+        out["checked"] += 1
+        rel = os.path.relpath(os.path.abspath(path), root)
+        if rel in keep:
+            continue
+        out["bytes_freed"] += os.path.getsize(path)
+        out["deleted"] += 1
+        if dry_run:
+            out["files"].append(rel)
+        else:
+            os.remove(path)
+    if not dry_run:
+        # drop now-empty part/epoch dirs, deepest first
+        dirs = _glob.glob(os.path.join(root, "epoch=*", "part=*")) + _glob.glob(
+            os.path.join(root, "epoch=*")
+        )
+        for d in sorted(dirs, key=len, reverse=True):
+            try:
+                os.rmdir(d)
+            except OSError:
+                pass  # not empty — still holds live files
+    return out
+
+
 def _root_of(cfg_or_root) -> str:
     return cfg_or_root.lake_root if isinstance(cfg_or_root, ReplayConfig) else cfg_or_root
 

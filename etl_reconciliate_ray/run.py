@@ -35,6 +35,9 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--compact", action="store_true", help="compact chains after replay")
     p.add_argument("--view", action="store_true",
                    help="maintain the incremental per-repo aggregate view after replay")
+    p.add_argument("--vacuum", action="store_true",
+                   help="after replay (and compaction, if requested), delete lake "
+                        "files no commit-log entry references")
     p.add_argument("--num-cpus", type=int, default=None, help="only used if Ray is not initialised")
     args = p.parse_args(argv)
     if (args.fixture is None) == (args.binlog_dir is None):
@@ -78,6 +81,12 @@ def main(argv: list[str] | None = None) -> dict:
     else:
         metrics = replay_stream(args.binlog_dir, cfg, lake_seed=args.lake_seed)
 
+    vacuum_stats = None
+    if args.vacuum:
+        from .pipelines.replay import vacuum
+
+        vacuum_stats = vacuum(cfg)
+
     view_rows = None
     if args.view:
         from .pipelines.incremental import maintain_repo_view
@@ -88,6 +97,8 @@ def main(argv: list[str] | None = None) -> dict:
         summary = {"epochs": len(metrics), "lake_root": args.lake, "reconciled": False}
         if view_rows is not None:
             summary["view_repos"] = view_rows
+        if vacuum_stats is not None:
+            summary["vacuumed"] = vacuum_stats["deleted"]
         print(json.dumps(summary, sort_keys=True))
         return summary
 
@@ -100,6 +111,8 @@ def main(argv: list[str] | None = None) -> dict:
     meta = {"epochs": len(metrics), "lake_root": args.lake}
     if view_rows is not None:
         meta["view_repos"] = view_rows
+    if vacuum_stats is not None:
+        meta["vacuumed"] = vacuum_stats["deleted"]
     summary = write_report(
         detail, rollup, counts, args.report or os.path.join(args.lake, "report"),
         meta=meta,

@@ -334,6 +334,16 @@ class CommitLog:
                 files.extend(entry.files)
         return sorted(files)
 
+    def referenced_files(self) -> set[str]:
+        """Every data file ANY surviving log entry references — not just
+        the current chains: pre-base entries still in the log serve
+        time-travel reads between the retention floor and the head, so
+        their files must survive too. This is THE retention set for
+        ``replay.vacuum``; files outside it are unreachable by every
+        read path the log can still answer."""
+        with self._lock:
+            return {f for e in self._entries.values() for f in e.files}
+
     def lineage(self) -> list[dict]:
         """Per-partition lineage records (north_star: 'per-partition
         lineage manifests and metrics')."""

@@ -774,3 +774,61 @@ def test_time_travel_floor_is_per_part_aware(tmp_path):
     with pytest.raises(ValueError, match="retention floor"):
         _as_of_upto(log2, 1)  # between part0's base (0) and part1's (3)
     assert _as_of_upto(log2, 3) == 3
+
+
+def test_vacuum_reclaims_superseded_files_preserving_reads(fixture_small, tmp_path):
+    """compact + write_snapshot prune superseded chain ENTRIES; vacuum
+    must then reclaim their FILES — without changing the resolved state,
+    the floor-respecting time-travel surface, or anything a later
+    vacuum could still find."""
+    import glob
+    import os
+
+    from etl_reconciliate_ray.pipelines.replay import compact, lake_table, vacuum
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_vacuum", manifest)
+    cfg.pipeline_epochs = 4  # all-delta epochs -> chains of length > 1
+    replay(fixture_dir, cfg)
+    before = lake_state_hash(cfg.lake_root)
+
+    # pre-compact: every on-disk file is referenced -> vacuum is a no-op
+    pre = vacuum(cfg)
+    assert pre["deleted"] == 0
+
+    m = compact(cfg)
+    assert not m["skipped"]
+
+    dry = vacuum(cfg, dry_run=True)
+    assert dry["deleted"] > 0 and dry["files"], "superseded chain files exist"
+    n_files_before = len(
+        glob.glob(os.path.join(cfg.lake_root, "epoch=*", "**", "*.parquet"), recursive=True)
+    )
+
+    got = vacuum(cfg)
+    assert got["deleted"] == dry["deleted"] and got["bytes_freed"] > 0
+    n_files_after = len(
+        glob.glob(os.path.join(cfg.lake_root, "epoch=*", "**", "*.parquet"), recursive=True)
+    )
+    assert n_files_after == n_files_before - got["deleted"]
+
+    # state unchanged; a second vacuum finds nothing
+    assert lake_state_hash(cfg.lake_root) == before
+    assert vacuum(cfg)["deleted"] == 0
+
+    # every surviving file is exactly the retention set
+    log = CommitLog.open(cfg.lake_root)
+    on_disk = {
+        os.path.relpath(p, cfg.lake_root)
+        for p in glob.glob(
+            os.path.join(cfg.lake_root, "epoch=*", "**", "*.parquet"), recursive=True
+        )
+    }
+    referenced = {
+        os.path.relpath(f, cfg.lake_root) for f in log.referenced_files()
+    }
+    assert on_disk == referenced
+
+    # the floor-permitted as-of read still resolves after vacuum
+    floor = log.time_travel_floor()
+    assert lake_table(cfg, as_of_epoch=floor).num_rows > 0
