@@ -491,6 +491,59 @@ def q_asof_join_events(sf_dir: str):
     return out.map_batches(fmt, batch_format="pandas")
 
 
+def q_asof_forward_events(sf_dir: str):
+    """FORWARD as-of join: each click paired with the user's first
+    purchase at-or-after it (conversion attribution). Same one-shuffle
+    bucket-cogroup plan as the backward variant — only the per-bucket
+    merge direction flips (stages/joins.asof_join direction param)."""
+    import pyarrow.dataset as pads
+
+    from ..stages.joins import asof_join
+
+    cols = ["event_id", "ts", "user_id", "value"]
+    clicks = read_table(
+        sf_dir, "events", columns=cols, filter=(pads.field("event_type") == "click")
+    )
+    purchases = read_table(
+        sf_dir, "events", columns=cols, filter=(pads.field("event_type") == "purchase")
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        right_cols={"event_id": "next_purchase_id", "value": "next_value"},
+        direction="forward",
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "next_purchase_id": df["next_purchase_id"].fillna(-1).astype("int64"),
+                "next_value_cents": (df["next_value"] * 100).round().fillna(-1).astype("int64"),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted Bernoulli sampling (the quality-weighted
+    subsampling step of a training-data mix): keep each document with
+    probability min(999, n_chars/2)/1000, decided by a Knuth
+    multiplicative hash of its id — exact integer arithmetic on both
+    sides, so unlike ``ds.random_sample`` the draw is reproducible at
+    any parallelism AND oracle-checkable. Map-only, no shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.minimum(999, t["n_chars"].to_numpy(zero_copy_only=False) // 2)
+        u = (did * 2654435761) % 4294967296 % 1000
+        return t.filter(pa.array(u < w))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- A3 rollup
 def q_reconcile_rollup(sf_dir: str):
     """Group-level rollup with the reference's A3 priority cascade
@@ -1874,6 +1927,8 @@ QUERIES = {
     "session_gaps_events": q_session_gaps_events,
     "first_last_orders": q_first_last_orders,
     "full_outer_activity": q_full_outer_activity,
+    "asof_forward_events": q_asof_forward_events,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "histogram_values": q_histogram_values,
     "ratio_to_report": q_ratio_to_report,
     "union_users": q_union_users,
@@ -2028,6 +2083,21 @@ ORACLE_SQL = {
         "COALESCE(p.event_id, -1) AS purchase_event_id, "
         "COALESCE(CAST(ROUND(p.value * 100) AS BIGINT), -1) AS purchase_value_cents "
         "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
+    ),
+    "asof_forward_events": (
+        "WITH p AS (SELECT user_id, ts, event_id, value FROM ("
+        "SELECT user_id, ts, event_id, value, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn "
+        "FROM events WHERE event_type = 'purchase') WHERE rn = 1), "
+        "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
+        "SELECT c.event_id, c.user_id, "
+        "COALESCE(p.event_id, -1) AS next_purchase_id, "
+        "COALESCE(CAST(ROUND(p.value * 100) AS BIGINT), -1) AS next_value_cents "
+        "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts"
+    ),
+    "weighted_sample_docs": (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE (doc_id * 2654435761) % 4294967296 % 1000 < LEAST(999, n_chars // 2)"
     ),
     "reconcile_rollup": _RECONCILE_ORACLE_CTE + (
         "SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows, "

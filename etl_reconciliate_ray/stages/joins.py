@@ -339,9 +339,14 @@ def asof_join(
     by: str,
     right_cols: dict[str, str],
     num_buckets: int = 16,
+    direction: str = "backward",
 ):
-    """Distributed backward AS-OF join: for each left row, the newest
-    right row of the same ``by`` key with ``right[on] <= left[on]``.
+    """Distributed AS-OF join: for each left row, the newest right row
+    of the same ``by`` key with ``right[on] <= left[on]``
+    (``direction="backward"``, the default) or the OLDEST right row
+    with ``right[on] >= left[on]`` (``direction="forward"`` — the
+    "next event at or after" lookup, e.g. first purchase following a
+    click). Same plan either way; only the per-bucket merge flips.
 
     Ray Data has no asof join; composed per the custom-operator recipe
     (map_batches bucket-tag -> union -> ONE shuffle on the ``by`` hash
@@ -381,7 +386,7 @@ def asof_join(
         r = r.rename(columns=right_cols)
         l = l.sort_values(on, kind="stable")
         r = r.sort_values(on, kind="stable")
-        return pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        return pd.merge_asof(l, r, on=on, by=by, direction=direction)
 
     return tagged_l.union(tagged_r).groupby("__bucket").map_groups(
         asof_bucket, batch_format="pandas"
