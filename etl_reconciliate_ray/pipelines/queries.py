@@ -1115,6 +1115,82 @@ def q_term_stats(sf_dir: str):
     return term_stats(ds)
 
 
+def q_minmax_norm_events(sf_dir: str):
+    """Per-group min-max feature normalization (the ML-prep scaling
+    step): each event's value rescaled to [0, 1e6] within its user's
+    range, exact integer floor arithmetic on both sides (ppm), constant
+    0 for single-valued groups. One key-hash shuffle; the partition
+    MIN/MAX are segmented reduceat kernels (stages/windowfns
+    group_min/group_max), the rescale is a map over the same bucket."""
+    from ..stages.windowfns import window_functions
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"], "cents": cents
+        })
+
+    win = window_functions(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        key="user_id",
+        order_by=["event_id"],
+        group_min={"mn": "cents"},
+        group_max={"mx": "cents"},
+        keep=["event_id", "user_id", "cents"],
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        mn = t["mn"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        span = mx - mn
+        out = np.where(span == 0, 0, (c - mn) * 1_000_000 // np.where(span == 0, 1, span))
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "norm_ppm": pa.array(out, pa.int64()),
+        })
+
+    return win.map_batches(norm, batch_format="pyarrow")
+
+
+def q_postings_terms(sf_dir: str):
+    """Inverted-index build (term -> document frequency + sorted
+    posting list): the retrieval artifact an IR/dedup pipeline
+    materializes from a corpus. Reuses the doc_term_counts explode
+    (distinct (term, doc) pairs leave each batch, never raw tokens),
+    then ONE term-hash shuffle; postings are emitted as a sorted
+    comma-joined string so the artifact is schema-stable and
+    oracle-comparable. Per-bucket work is bounded by the bucket's
+    vocabulary slice, not the corpus."""
+    from ..functions.hashing import hash64
+    from ..stages.textstage import doc_term_counts
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = doc_term_counts(ds)  # term, doc_id, c
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["term"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "doc_id"])
+        g = df.groupby("term", sort=True)["doc_id"]
+        return pd.DataFrame({
+            "term": g.size().index,
+            "df": g.size().astype("int64").values,
+            "postings": g.agg(lambda s: ",".join(str(i) for i in s)).values,
+        })
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def q_rollup_lineitem(sf_dir: str):
     """GROUP BY ROLLUP (grouping-sets cascade, stages/agg.rollup_groupby):
     the reference's A3 rollup cascade (`ReconciliationService.java`
@@ -1943,6 +2019,8 @@ QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "melt_lineitem": q_melt_lineitem,
     "term_stats": q_term_stats,
+    "postings_terms": q_postings_terms,
+    "minmax_norm_events": q_minmax_norm_events,
     "rank_orders_per_priority": q_rank_orders_per_priority,
     "stratified_sample_events": q_stratified_sample_events,
     "left_join_customer_events": q_left_join_customer_events,
@@ -2239,6 +2317,23 @@ ORACLE_SQL = {
         "FROM (SELECT term, doc_id, COUNT(*) AS c FROM ("
         "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
         "FROM documents) WHERE term <> '' GROUP BY term, doc_id) GROUP BY term"
+    ),
+    "minmax_norm_events": (
+        "WITH c AS (SELECT event_id, user_id, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+        "SELECT event_id, user_id, "
+        "CAST(CASE WHEN mx = mn THEN 0 "
+        "ELSE (cents - mn) * 1000000 // (mx - mn) END AS BIGINT) AS norm_ppm "
+        "FROM (SELECT event_id, user_id, cents, "
+        "MIN(cents) OVER w AS mn, MAX(cents) OVER w AS mx "
+        "FROM c WINDOW w AS (PARTITION BY user_id))"
+    ),
+    "postings_terms": (
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS df, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+        "FROM (SELECT DISTINCT term, doc_id FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
+        "FROM documents) WHERE term <> '') GROUP BY term"
     ),
     "melt_lineitem": (
         "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem "

@@ -55,6 +55,8 @@ def window_functions(
     cumsum: dict[str, str] | None = None,
     first_value: dict[str, str] | None = None,
     last_value: dict[str, str] | None = None,
+    group_min: dict[str, str] | None = None,
+    group_max: dict[str, str] | None = None,
     num_buckets: int = 16,
     keep: Sequence[str] | None = None,
 ):
@@ -86,6 +88,10 @@ def window_functions(
     frame (the default SQL frame makes LAST_VALUE the current row —
     never what anyone wants; we implement the whole-partition frame).
     Deterministic only when ``order_by`` totally orders each key.
+    ``group_min`` / ``group_max``: {output: source_col} — SQL
+    ``MIN/MAX(src) OVER (PARTITION BY key)`` (whole-partition frame,
+    order-independent). Source must be a null-free numeric column
+    (segmented numpy reduceat; SQL's null-skipping is not replicated).
     ``keep``: passthrough columns (default: key + order_by).
     """
     lag = dict(lag or {})
@@ -93,6 +99,8 @@ def window_functions(
     cumsum = dict(cumsum or {})
     first_value = dict(first_value or {})
     last_value = dict(last_value or {})
+    group_min = dict(group_min or {})
+    group_max = dict(group_max or {})
     keep = list(keep if keep is not None else [key, *order_by])
     sort_spec = [(key, "ascending")] + [(c, "ascending") for c in order_by]
 
@@ -186,6 +194,11 @@ def window_functions(
                 cols[out] = t[src].take(pa.array(seg_first))
             for out, src in last_value.items():
                 cols[out] = t[src].take(pa.array(seg_last))
+        for agg_map, ufunc in ((group_min, np.minimum), (group_max, np.maximum)):
+            for out, src in agg_map.items():
+                v = t[src].to_numpy(zero_copy_only=False)
+                red = ufunc.reduceat(v, starts)
+                cols[out] = pa.array(red[seg_of], pa.from_numpy_dtype(v.dtype))
         for out, src in cumsum.items():
             # SQL SUM ignores NULLs: fill before leaving Arrow so an
             # int64 column with nulls never round-trips through float
