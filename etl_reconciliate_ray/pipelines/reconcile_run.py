@@ -125,6 +125,57 @@ def _spool_bucketed(ds, spool_dir: str, columns: list[str]) -> dict[int, list[tu
     return out
 
 
+def _make_cogroup_fn(spill: str, cols: list[str]):
+    """Per-bucket reconcile task body shared by the full and the
+    incremental phases: read the bucket's lake chain + spooled snapshot
+    row groups, reconcile vectorized, spill the wide detail rows
+    task-side (deterministic per-part file name — a retry or an
+    incremental recompute overwrites its own output idempotently), and
+    return only tiny (part, repo, status, n) partial-count rows."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.merge import _pqfile, read_chain
+    from ..stages.reconcile import reconcile_group_pdf
+
+    def cogroup_part(batch: pa.Table) -> pd.DataFrame:
+        out = []
+        for rec in batch.to_pylist():
+            part = int(rec["part"])
+            lake_t = read_chain(_json.loads(rec["chain"]), columns=cols, part=part)
+            left = lake_t.to_pandas() if lake_t is not None else pd.DataFrame(columns=cols)
+            snaps = [
+                _pqfile(f).read_row_group(rg, columns=cols).to_pandas()
+                for f, rg in _json.loads(rec["snap"])
+            ]
+            right = pd.concat(snaps, ignore_index=True) if snaps else pd.DataFrame(columns=cols)
+            left = left.assign(side="L")
+            right = right.assign(side="R")
+            both = pd.concat([left, right], ignore_index=True)
+            fname = os.path.join(spill, f"detail-part{part:05d}.parquet")
+            if len(both) == 0:
+                # a recomputed part may have become empty: drop its
+                # stale detail spill instead of leaving ghost rows
+                if os.path.exists(fname):
+                    os.remove(fname)
+                continue
+            det = reconcile_group_pdf(
+                both, ["repo", "path"], "content_sha256", attr_cols=["commit"]
+            )
+            pq.write_table(pa.Table.from_pandas(det, preserve_index=False), fname + ".tmp")
+            os.replace(fname + ".tmp", fname)
+            p = det.groupby(["repo", "status"], sort=False).size().rename("n").reset_index()
+            p.insert(0, "part", part)
+            out.append(p)
+        if not out:
+            return pd.DataFrame(columns=["part", "repo", "status", "n"])
+        return pd.concat(out, ignore_index=True)
+
+    return cogroup_part
+
+
 def reconcile_lake_vs_snapshot(
     lake_root: str,
     snapshot_ds,
@@ -143,19 +194,14 @@ def reconcile_lake_vs_snapshot(
     write, not an all-to-all sort); then one task per bucket reads both
     sides directly and reconciles vectorized."""
     import json as _json
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    from ..stages.merge import read_chain
-    from ..stages.reconcile import reconcile_group_pdf
-    from ..state.commitlog import CommitLog
-    from .replay import _chains_payload
-
     import shutil
 
+    import pyarrow as pa
+    import ray.data as rd
+
     from ..functions.hashing import bucket_of
+    from ..state.commitlog import CommitLog
+    from .replay import _chains_payload
 
     cols = ["repo", "path", "commit", "content_sha256"]
     spool_dir = os.path.join(lake_root, "_snapshot_spool")
@@ -211,36 +257,7 @@ def reconcile_lake_vs_snapshot(
     shutil.rmtree(spill, ignore_errors=True)
     os.makedirs(spill, exist_ok=True)
 
-    def cogroup_part(batch: pa.Table) -> pd.DataFrame:
-        out = []
-        for rec in batch.to_pylist():
-            part = int(rec["part"])
-            lake_t = read_chain(_json.loads(rec["chain"]), columns=cols, part=part)
-            left = lake_t.to_pandas() if lake_t is not None else pd.DataFrame(columns=cols)
-            from ..stages.merge import _pqfile
-
-            snaps = [
-                _pqfile(f).read_row_group(rg, columns=cols).to_pandas()
-                for f, rg in _json.loads(rec["snap"])
-            ]
-            right = pd.concat(snaps, ignore_index=True) if snaps else pd.DataFrame(columns=cols)
-            left = left.assign(side="L")
-            right = right.assign(side="R")
-            both = pd.concat([left, right], ignore_index=True)
-            if len(both) == 0:
-                continue
-            det = reconcile_group_pdf(
-                both, ["repo", "path"], "content_sha256", attr_cols=["commit"]
-            )
-            fname = os.path.join(spill, f"detail-part{part:05d}.parquet")
-            pq.write_table(pa.Table.from_pandas(det, preserve_index=False), fname + ".tmp")
-            os.replace(fname + ".tmp", fname)
-            out.append(
-                det.groupby(["repo", "status"], sort=False).size().rename("n").reset_index()
-            )
-        if not out:
-            return pd.DataFrame(columns=["repo", "status", "n"])
-        return pd.concat(out, ignore_index=True)
+    cogroup_part = _make_cogroup_fn(spill, cols)
 
     partials = (
         rd.from_items(items, override_num_blocks=max(1, len(items)))
@@ -351,3 +368,161 @@ def rollup_by_key(detail_ds, key: str):
         Sum(on="n_right", alias_name="n_right"),
     )
     return red.map_batches(_cascade_fn(key), batch_format="pandas")
+
+
+def reconcile_incremental(
+    lake_root: str,
+    snapshot_ds,
+    num_buckets: int = 32,
+    salt_for_repo: dict[str, int] | None = None,
+    snapshot_token: str | None = None,
+):
+    """Delta-aware reconciliation: recompute ONLY the buckets whose
+    merge-on-read chains changed since the previous call; every clean
+    bucket's detail spill and partial counts are reused verbatim.
+
+    The CDC shape this serves: the lake advances by a few epochs
+    between reconcile runs, each epoch touching a subset of buckets —
+    a full reconcile re-reads O(lake + snapshot) every run, this one
+    reads O(changed buckets). State lives in
+    ``<lake>/_reconcile_state``: the bucketed snapshot spool (built
+    once, reused while ``snapshot_token`` matches) and, per part, the
+    chain fingerprint + its (repo, status, n) partial counts. Crash
+    safety: state.json is republished atomically AFTER the recomputed
+    parts' detail files — a crash in between just re-marks those parts
+    dirty on the next call (the per-part file overwrite is idempotent).
+
+    ``snapshot_token``: any caller-chosen string identifying the
+    snapshot's content/version (path + mtime, a manifest sha, ...). A
+    mismatch with the stored token invalidates the spool AND all parts.
+    With ``None`` the caller asserts the snapshot is unchanged.
+
+    Returns ``(detail_ds, rollup_ds, counts_df, metrics)`` — the first
+    three exactly as ``reconcile_lake_vs_snapshot`` would produce for
+    the same lake + snapshot; ``metrics`` reports the reuse:
+    ``{"parts_total", "parts_recomputed", "snapshot_respooled"}``."""
+    import glob as _glob
+    import hashlib
+    import json as _json
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.hashing import bucket_of
+    from ..state.commitlog import CommitLog, layout_fingerprint
+    from .replay import _chains_payload
+
+    cols = ["repo", "path", "commit", "content_sha256"]
+    state_dir = os.path.join(lake_root, "_reconcile_state")
+    spool_dir = os.path.join(state_dir, "snap_spool")
+    spill = os.path.join(state_dir, "detail")
+    state_path = os.path.join(state_dir, "state.json")
+    os.makedirs(state_dir, exist_ok=True)
+
+    log = CommitLog.open(lake_root)
+    log.check_layout(layout_fingerprint(num_buckets, salt_for_repo))
+
+    state = {"snapshot_token": None, "snap_map": {}, "parts": {}}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = _json.load(fh)
+
+    respool = (
+        not os.path.isdir(spool_dir)
+        or state.get("snapshot_token") != snapshot_token
+        or not state.get("snap_map")
+    )
+    if respool:
+        def retag(batch: pa.Table) -> pa.Table:
+            if "bucket" in batch.column_names:
+                batch = batch.drop_columns(["bucket"])
+            return batch.append_column(
+                "bucket", bucket_of(batch["repo"], batch["path"], num_buckets, salt_for_repo)
+            )
+
+        shutil.rmtree(spool_dir, ignore_errors=True)
+        shutil.rmtree(spill, ignore_errors=True)
+        snap_map = _spool_bucketed(
+            snapshot_ds.map_batches(retag, batch_format="pyarrow"), spool_dir, cols
+        )
+        state = {
+            "snapshot_token": snapshot_token,
+            "snap_map": {str(p): rgs for p, rgs in snap_map.items()},
+            "parts": {},  # snapshot changed -> everything is dirty
+        }
+    snap_map = {int(p): [tuple(x) for x in rgs] for p, rgs in state["snap_map"].items()}
+
+    chains = _chains_payload(log, upto_epoch=log.latest_sealed_epoch())
+    parts = sorted(set(chains) | set(snap_map))
+    os.makedirs(spill, exist_ok=True)
+
+    def fp_of(part: int) -> str:
+        payload = _json.dumps(
+            {"chain": chains.get(part, []), "snap": snap_map.get(part, [])},
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()
+
+    dirty = [
+        p for p in parts if state["parts"].get(str(p), {}).get("fp") != fp_of(p)
+    ]
+    if dirty:
+        items = [
+            {
+                "part": p,
+                "chain": _json.dumps(chains.get(p, [])),
+                "snap": _json.dumps(snap_map.get(p, [])),
+            }
+            for p in dirty
+        ]
+        fresh = (
+            rd.from_items(items, override_num_blocks=max(1, len(items)))
+            .map_batches(_make_cogroup_fn(spill, cols), batch_format="pyarrow", batch_size=1)
+            .to_pandas()  # aggregate-sized: O(dirty parts x repos x statuses)
+        )
+        by_part = {p: [] for p in dirty}
+        for _, r in fresh.iterrows():
+            by_part[int(r["part"])].append([r["repo"], r["status"], int(r["n"])])
+        for p in dirty:
+            state["parts"][str(p)] = {"fp": fp_of(p), "partials": by_part[p]}
+        # drop state for parts that no longer exist on either side
+        state["parts"] = {k: v for k, v in state["parts"].items() if int(k) in set(parts)}
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(state, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, state_path)
+
+    rows = [
+        {"part": int(p), "repo": r, "status": s, "n": int(n)}
+        for p, rec in state["parts"].items()
+        for r, s, n in rec["partials"]
+    ]
+    pc_df = pd.DataFrame(rows, columns=["part", "repo", "status", "n"])
+    partials = rd.from_pandas(pc_df) if len(pc_df) else rd.from_items([])
+    if len(pc_df):
+        rollup = rollup_from_partials(partials, "repo")
+        counts = (
+            pc_df.groupby("status", sort=True)["n"].sum().astype("int64").reset_index()
+        )
+    else:
+        rollup = rd.from_items([])
+        counts = pd.DataFrame(
+            {"status": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
+        )
+    if _glob.glob(os.path.join(spill, "*.parquet")):
+        detail = rd.read_parquet(spill)
+    else:
+        empty = pd.DataFrame(
+            columns=["repo", "path", "content_sha256_l", "commit_l",
+                     "content_sha256_r", "commit_r", "status"]
+        ).astype(str)
+        detail = rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+    metrics = {
+        "parts_total": len(parts),
+        "parts_recomputed": len(dirty),
+        "snapshot_respooled": bool(respool),
+    }
+    return detail, rollup, counts, metrics

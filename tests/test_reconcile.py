@@ -177,3 +177,89 @@ def test_report_sink_partitioned_and_resumable(fixture_small, tmp_path):
     # resume: second call skips the written tables, summary unchanged
     summary2 = write_report(detail, rollup, counts, out)
     assert summary2["status_counts"] == want
+
+
+def test_incremental_reconcile_tracks_full(fixture_small, tmp_path):
+    """reconcile_incremental must produce EXACTLY what the full
+    reconcile produces for the same lake+snapshot, while recomputing
+    only changed buckets: all parts on the first call, zero on an
+    unchanged second call, and only the compacted parts after a
+    compaction — with the detail spill, rollup and counts all staying
+    equal to a fresh full reconcile each time."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.pipelines.replay import ReplayConfig, compact, replay
+    from etl_reconciliate_ray.pipelines.reconcile_run import (
+        reconcile_incremental,
+        reconcile_lake_vs_snapshot,
+    )
+    from etl_reconciliate_ray.stages.normalize import make_normalizer
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = ReplayConfig(
+        lake_root=str(tmp_path / "lake_increc"),
+        num_buckets=8,
+        salt_for_repo=manifest["salt_hot_repos"],
+        writer_concurrency=2,
+        pipeline_epochs=4,  # leave delta chains for compact to change
+    )
+    replay(fixture_dir, cfg)
+
+    def snap():
+        return rd.read_parquet(f"{fixture_dir}/snapshot.parquet").map_batches(
+            make_normalizer(num_buckets=8), batch_format="pyarrow"
+        )
+
+    def canon_detail(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["repo", "path", "status"])
+            .reset_index(drop=True)
+        )
+
+    def full():
+        d, r, c = reconcile_lake_vs_snapshot(
+            cfg.lake_root, snap(), num_buckets=8,
+            salt_for_repo=manifest["salt_hot_repos"],
+        )
+        return canon_detail(d), r.to_pandas().sort_values("repo").reset_index(drop=True), c
+
+    def inc():
+        d, r, c, m = reconcile_incremental(
+            cfg.lake_root, snap(), num_buckets=8,
+            salt_for_repo=manifest["salt_hot_repos"], snapshot_token="snapA",
+        )
+        return canon_detail(d), r.to_pandas().sort_values("repo").reset_index(drop=True), c, m
+
+    fd, fr, fc = full()
+    d1, r1, c1, m1 = inc()
+    assert m1["snapshot_respooled"] and m1["parts_recomputed"] == m1["parts_total"]
+    pd.testing.assert_frame_equal(d1, fd)
+    pd.testing.assert_frame_equal(r1, fr)
+    pd.testing.assert_frame_equal(c1, fc)
+
+    # unchanged lake + same token -> zero work, same answer
+    d2, r2, c2, m2 = inc()
+    assert m2["parts_recomputed"] == 0 and not m2["snapshot_respooled"]
+    pd.testing.assert_frame_equal(d2, fd)
+    pd.testing.assert_frame_equal(c2, fc)
+
+    # compaction rewrites some chains -> only those parts recompute,
+    # and the answer still equals a fresh full reconcile
+    m = compact(cfg)
+    assert not m["skipped"]
+    fd3, fr3, fc3 = full()
+    d3, r3, c3, m3 = inc()
+    assert 0 < m3["parts_recomputed"] <= m3["parts_total"]
+    assert not m3["snapshot_respooled"]
+    pd.testing.assert_frame_equal(d3, fd3)
+    pd.testing.assert_frame_equal(r3, fr3)
+    pd.testing.assert_frame_equal(c3, fc3)
+
+    # a new snapshot token invalidates spool + all parts
+    d4, r4, c4, m4 = reconcile_incremental(
+        cfg.lake_root, snap(), num_buckets=8,
+        salt_for_repo=manifest["salt_hot_repos"], snapshot_token="snapB",
+    )
+    assert m4["snapshot_respooled"] and m4["parts_recomputed"] == m4["parts_total"]
+    pd.testing.assert_frame_equal(canon_detail(d4), fd3)
