@@ -1115,6 +1115,40 @@ def q_term_stats(sf_dir: str):
     return term_stats(ds)
 
 
+def q_cum_distinct_events(sf_dir: str):
+    """Running distinct count (cumulative cardinality): after each
+    event, how many DISTINCT event types its user has produced so far —
+    the sessionized novelty feature SQL cannot express directly
+    (COUNT(DISTINCT) OVER is unsupported in most engines; both sides
+    decompose it into first-occurrence flags + a running sum). One
+    key-hash shuffle, vectorized per bucket."""
+    from ..functions.hashing import hash64
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        first = ~df.duplicated(["user_id", "event_type"])
+        cum = first.astype("int64").groupby(df["user_id"]).cumsum()
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "n_types_seen": cum.astype("int64"),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda df: per_bucket(df.drop(columns=["__b"])), batch_format="pandas"
+        )
+    )
+
+
 def q_minmax_norm_events(sf_dir: str):
     """Per-group min-max feature normalization (the ML-prep scaling
     step): each event's value rescaled to [0, 1e6] within its user's
@@ -2021,6 +2055,7 @@ QUERIES = {
     "term_stats": q_term_stats,
     "postings_terms": q_postings_terms,
     "minmax_norm_events": q_minmax_norm_events,
+    "cum_distinct_events": q_cum_distinct_events,
     "rank_orders_per_priority": q_rank_orders_per_priority,
     "stratified_sample_events": q_stratified_sample_events,
     "left_join_customer_events": q_left_join_customer_events,
@@ -2317,6 +2352,15 @@ ORACLE_SQL = {
         "FROM (SELECT term, doc_id, COUNT(*) AS c FROM ("
         "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
         "FROM documents) WHERE term <> '' GROUP BY term, doc_id) GROUP BY term"
+    ),
+    "cum_distinct_events": (
+        "WITH f AS (SELECT event_id, user_id, ts, "
+        "CASE WHEN ROW_NUMBER() OVER ("
+        "PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 "
+        "THEN 1 ELSE 0 END AS fo FROM events) "
+        "SELECT event_id, user_id, "
+        "CAST(SUM(fo) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen FROM f"
     ),
     "minmax_norm_events": (
         "WITH c AS (SELECT event_id, user_id, "

@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--compact", action="store_true", help="compact chains after replay")
     p.add_argument("--view", action="store_true",
                    help="maintain the incremental per-repo aggregate view after replay")
+    p.add_argument("--incremental", action="store_true",
+                   help="delta-aware reconcile: recompute only buckets whose "
+                        "chains changed since the last run (state under "
+                        "<lake>/_reconcile_state; snapshot identified by "
+                        "path+mtime)")
     p.add_argument("--vacuum", action="store_true",
                    help="after replay (and compaction, if requested), delete lake "
                         "files no commit-log entry references")
@@ -105,10 +110,22 @@ def main(argv: list[str] | None = None) -> dict:
     snap = rd.read_parquet(snapshot_path).map_batches(
         make_normalizer(args.num_buckets, salt), batch_format="pyarrow"
     )
-    detail, rollup, counts = reconcile_lake_vs_snapshot(
-        args.lake, snap, num_buckets=args.num_buckets, salt_for_repo=salt
-    )
+    inc_metrics = None
+    if args.incremental:
+        from .pipelines.reconcile_run import reconcile_incremental
+
+        token = f"{os.path.abspath(snapshot_path)}:{os.path.getmtime(snapshot_path)}"
+        detail, rollup, counts, inc_metrics = reconcile_incremental(
+            args.lake, snap, num_buckets=args.num_buckets, salt_for_repo=salt,
+            snapshot_token=token,
+        )
+    else:
+        detail, rollup, counts = reconcile_lake_vs_snapshot(
+            args.lake, snap, num_buckets=args.num_buckets, salt_for_repo=salt
+        )
     meta = {"epochs": len(metrics), "lake_root": args.lake}
+    if inc_metrics is not None:
+        meta["incremental"] = inc_metrics
     if view_rows is not None:
         meta["view_repos"] = view_rows
     if vacuum_stats is not None:

@@ -832,3 +832,29 @@ def test_vacuum_reclaims_superseded_files_preserving_reads(fixture_small, tmp_pa
     # the floor-permitted as-of read still resolves after vacuum
     floor = log.time_travel_floor()
     assert lake_table(cfg, as_of_epoch=floor).num_rows > 0
+
+
+def test_cli_incremental_reconcile(fixture_small, tmp_path, ray_session):
+    """CLI --incremental: first run reconciles everything; a rerun on
+    the unchanged lake+snapshot recomputes zero buckets and reports the
+    same exact counts."""
+    from etl_reconciliate_ray.run import main
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    lake = str(tmp_path / "cli_lake_inc")
+    want = {k: v for k, v in manifest["expected_status_counts"].items() if v}
+
+    s1 = main([
+        "--fixture", fixture_dir, "--lake", lake, "--num-buckets", "8",
+        "--incremental", "--report", str(tmp_path / "rep1"),
+    ])
+    assert s1["status_counts"] == want
+    assert s1["incremental"]["parts_recomputed"] == s1["incremental"]["parts_total"]
+
+    s2 = main([
+        "--fixture", fixture_dir, "--lake", lake, "--num-buckets", "8",
+        "--incremental", "--report", str(tmp_path / "rep2"),
+    ])
+    assert s2["status_counts"] == want
+    assert s2["incremental"]["parts_recomputed"] == 0
+    assert s2["incremental"]["snapshot_respooled"] is False
