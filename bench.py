@@ -138,6 +138,26 @@ def run_bench() -> dict:
         got = dict(zip(counts["status"], counts["n"]))
         sha_ok = got == {k: v for k, v in man["expected_status_counts"].items() if v}
 
+        # incremental reconcile, steady state: prime the per-bucket state
+        # (untimed — that's the first run's full cost, already measured
+        # above), then time the no-change rerun a CDC scheduler would
+        # issue between epochs. Must run BEFORE compact (which rewrites
+        # chains and would legitimately dirty every compacted bucket).
+        from etl_reconciliate_ray.pipelines.reconcile_run import reconcile_incremental
+
+        reconcile_incremental(
+            lake_root, snap, num_buckets=num_buckets,
+            salt_for_repo=man["salt_hot_repos"], snapshot_token="bench",
+        )
+        t0 = time.monotonic()
+        _, _, c_inc, m_inc = reconcile_incremental(
+            lake_root, snap, num_buckets=num_buckets,
+            salt_for_repo=man["salt_hot_repos"], snapshot_token="bench",
+        )
+        qtimes["cdc_reconcile_inc"] = round(time.monotonic() - t0, 3)
+        sha_ok = sha_ok and dict(zip(c_inc["status"], c_inc["n"])) == got
+        sha_ok = sha_ok and m_inc["parts_recomputed"] == 0
+
         t0 = time.monotonic()
         compact(cfg)  # async housekeeping in production; measured separately
         qtimes["cdc_compact"] = round(time.monotonic() - t0, 3)
