@@ -723,11 +723,11 @@ def q_session_gaps_events(sf_dir: str):
                 "n_gaps": pa.array([], pa.int64()),
                 "max_gap_us": pa.array([], pa.int64()),
             })
+        from ..stages.windowfns import _segment_starts
+
         u = t["user_id"].to_numpy(zero_copy_only=False)
         ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        starts = np.concatenate(
-            [[0], np.flatnonzero(u[1:] != u[:-1]) + 1]
-        ).astype(np.int64)
+        starts = _segment_starts(u)
         gap = np.empty(n, dtype=np.int64)
         gap[0] = 0
         gap[1:] = ts[1:] - ts[:-1]
@@ -909,17 +909,22 @@ def q_ratio_to_report(sf_dir: str):
     The grand total is derived from the aggregate itself, which is
     key-cardinality-sized, so pulling it to the driver is O(types),
     never O(rows)."""
+    import ray.data as rd
+
     ds = read_table(sf_dir, "events", columns=["event_type"])
     counts = preagg_groupby(ds, keys=["event_type"], count_alias="n")
     t = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
     n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     total = int(n.sum())
-    return pa.table({
+    # re-wrapped as a Dataset: QUERIES entries are composable lazy
+    # datasets everywhere else — returning a bare pa.Table would break
+    # any consumer that chains .map_batches/.union on the result
+    return rd.from_arrow(pa.table({
         "event_type": t["event_type"],
         "n": pa.array(n, pa.int64()),
         "total": pa.array(np.full(len(n), total), pa.int64()),
         "share_ppm": pa.array(n * 1_000_000 // total, pa.int64()),
-    })
+    }))
 
 
 def q_union_users(sf_dir: str):
@@ -1161,6 +1166,10 @@ def q_minmax_norm_events(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def derive(t: pa.Table) -> pa.Table:
+        # the query is defined over non-null values (oracle filters the
+        # same) — group_min/group_max run null-free reduceat kernels and
+        # a NaN would silently poison a whole partition's min/max
+        t = t.filter(pc.is_valid(t["value"]))
         cents = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
         return pa.table({
             "event_id": t["event_id"], "user_id": t["user_id"], "cents": cents
@@ -2364,7 +2373,8 @@ ORACLE_SQL = {
     ),
     "minmax_norm_events": (
         "WITH c AS (SELECT event_id, user_id, "
-        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events "
+        "WHERE value IS NOT NULL) "
         "SELECT event_id, user_id, "
         "CAST(CASE WHEN mx = mn THEN 0 "
         "ELSE (cents - mn) * 1000000 // (mx - mn) END AS BIGINT) AS norm_ppm "

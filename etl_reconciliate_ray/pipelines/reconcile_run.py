@@ -433,6 +433,14 @@ def reconcile_incremental(
         or state.get("snapshot_token") != snapshot_token
         or not state.get("snap_map")
     )
+    def publish_state() -> None:
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(state, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, state_path)
+
     if respool:
         def retag(batch: pa.Table) -> pa.Table:
             if "bucket" in batch.column_names:
@@ -441,6 +449,12 @@ def reconcile_incremental(
                 "bucket", bucket_of(batch["repo"], batch["path"], num_buckets, salt_for_repo)
             )
 
+        # invalidate BEFORE destroying the spool/spill: a crash between
+        # the rmtree and the new state publish must re-mark everything
+        # dirty on the next call — never serve the old token's counts
+        # over a deleted detail spill
+        if os.path.exists(state_path):
+            os.remove(state_path)
         shutil.rmtree(spool_dir, ignore_errors=True)
         shutil.rmtree(spill, ignore_errors=True)
         snap_map = _spool_bucketed(
@@ -451,6 +465,7 @@ def reconcile_incremental(
             "snap_map": {str(p): rgs for p, rgs in snap_map.items()},
             "parts": {},  # snapshot changed -> everything is dirty
         }
+        publish_state()
     snap_map = {int(p): [tuple(x) for x in rgs] for p, rgs in state["snap_map"].items()}
 
     chains = _chains_payload(log, upto_epoch=log.latest_sealed_epoch())
@@ -464,8 +479,9 @@ def reconcile_incremental(
         )
         return hashlib.sha256(payload.encode()).hexdigest()
 
+    fps = {p: fp_of(p) for p in parts}  # once: reused by scan AND store
     dirty = [
-        p for p in parts if state["parts"].get(str(p), {}).get("fp") != fp_of(p)
+        p for p in parts if state["parts"].get(str(p), {}).get("fp") != fps[p]
     ]
     if dirty:
         items = [
@@ -485,15 +501,10 @@ def reconcile_incremental(
         for _, r in fresh.iterrows():
             by_part[int(r["part"])].append([r["repo"], r["status"], int(r["n"])])
         for p in dirty:
-            state["parts"][str(p)] = {"fp": fp_of(p), "partials": by_part[p]}
+            state["parts"][str(p)] = {"fp": fps[p], "partials": by_part[p]}
         # drop state for parts that no longer exist on either side
         state["parts"] = {k: v for k, v in state["parts"].items() if int(k) in set(parts)}
-        tmp = state_path + ".tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(state, fh, sort_keys=True)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, state_path)
+        publish_state()
 
     rows = [
         {"part": int(p), "repo": r, "status": s, "n": int(n)}

@@ -821,13 +821,35 @@ def vacuum(cfg_or_root, dry_run: bool = False) -> dict:
     out = {"checked": 0, "deleted": 0, "bytes_freed": 0, "dry_run": dry_run, "files": []}
     if sealed is None:
         return out
-    keep = {os.path.relpath(os.path.abspath(f), root) for f in log.referenced_files()}
+
+    def _tail(f: str) -> str | None:
+        """Layout-canonical identity of a lake data file: its path from
+        the LAST ``epoch=...`` segment down. Commit-log entries may
+        record paths relative to a different cwd, or the lake may have
+        been moved — resolving against the current cwd (abspath) would
+        then match NOTHING and delete live bases. The epoch-tail is
+        unique within one lake by construction (every data file lives
+        at root/epoch=X/[part=Y/]name.parquet)."""
+        parts = f.replace(os.sep, "/").split("/")
+        for i in range(len(parts) - 1, -1, -1):
+            if parts[i].startswith("epoch="):
+                return "/".join(parts[i:])
+        return None
+
+    keep = {t for t in (_tail(f) for f in log.referenced_files()) if t is not None}
+    if not keep:
+        # a sealed lake whose entries yield no resolvable tails would
+        # mark EVERYTHING as garbage — refuse instead of mass-deleting
+        raise ValueError(
+            f"lake at {root} has sealed epochs but no commit-log entry resolves "
+            "to an epoch=* data path; refusing to vacuum"
+        )
     for path in _glob.glob(os.path.join(root, "epoch=*", "**", "*.parquet"), recursive=True):
         m = _re.search(r"epoch=(\d+)", os.path.relpath(path, root))
         if m is None or int(m.group(1)) > sealed:
             continue
         out["checked"] += 1
-        rel = os.path.relpath(os.path.abspath(path), root)
+        rel = _tail(path)
         if rel in keep:
             continue
         out["bytes_freed"] += os.path.getsize(path)

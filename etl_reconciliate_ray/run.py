@@ -114,7 +114,11 @@ def main(argv: list[str] | None = None) -> dict:
     if args.incremental:
         from .pipelines.reconcile_run import reconcile_incremental
 
-        token = f"{os.path.abspath(snapshot_path)}:{os.path.getmtime(snapshot_path)}"
+        st = os.stat(snapshot_path)
+        # size + ns-mtime: a same-size same-second swap (rsync -a of a
+        # different artifact) still almost always moves one of these;
+        # callers with stronger needs pass a content digest themselves
+        token = f"{os.path.abspath(snapshot_path)}:{st.st_size}:{st.st_mtime_ns}"
         detail, rollup, counts, inc_metrics = reconcile_incremental(
             args.lake, snap, num_buckets=args.num_buckets, salt_for_repo=salt,
             snapshot_token=token,

@@ -385,7 +385,12 @@ def asof_join(
         )
         r = r.rename(columns=right_cols)
         l = l.sort_values(on, kind="stable")
-        r = r.sort_values(on, kind="stable")
+        # sort the right side by on + EVERY remaining column, not just
+        # on: rows tied on `on` (necessarily different `by` after the
+        # dedup above) would otherwise keep their shuffle-arrival order
+        # — harmless to the per-by match, but this pins the frame
+        # bit-for-bit at any parallelism
+        r = r.sort_values([on] + [c for c in r.columns if c != on], kind="stable")
         return pd.merge_asof(l, r, on=on, by=by, direction=direction)
 
     return tagged_l.union(tagged_r).groupby("__bucket").map_groups(

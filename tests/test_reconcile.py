@@ -263,3 +263,44 @@ def test_incremental_reconcile_tracks_full(fixture_small, tmp_path):
     )
     assert m4["snapshot_respooled"] and m4["parts_recomputed"] == m4["parts_total"]
     pd.testing.assert_frame_equal(canon_detail(d4), fd3)
+
+
+def test_incremental_reconcile_lost_state_recomputes(fixture_small, tmp_path):
+    """A missing/invalidated state.json (crash window between respool
+    and publish) must force a full recompute on the next call — never
+    serve counts over a deleted detail spill."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from etl_reconciliate_ray.pipelines.replay import ReplayConfig, replay
+    from etl_reconciliate_ray.pipelines.reconcile_run import reconcile_incremental
+    from etl_reconciliate_ray.stages.normalize import make_normalizer
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = ReplayConfig(
+        lake_root=str(tmp_path / "lake_increc2"), num_buckets=8,
+        salt_for_repo=manifest["salt_hot_repos"], writer_concurrency=2,
+    )
+    replay(fixture_dir, cfg)
+
+    def snap():
+        return rd.read_parquet(f"{fixture_dir}/snapshot.parquet").map_batches(
+            make_normalizer(num_buckets=8), batch_format="pyarrow"
+        )
+
+    _, _, c1, m1 = reconcile_incremental(
+        cfg.lake_root, snap(), num_buckets=8,
+        salt_for_repo=manifest["salt_hot_repos"], snapshot_token="tokA",
+    )
+    state_dir = os.path.join(cfg.lake_root, "_reconcile_state")
+    # simulate the crash window: state invalidated, spill gone
+    os.remove(os.path.join(state_dir, "state.json"))
+    shutil.rmtree(os.path.join(state_dir, "detail"))
+    _, _, c2, m2 = reconcile_incremental(
+        cfg.lake_root, snap(), num_buckets=8,
+        salt_for_repo=manifest["salt_hot_repos"], snapshot_token="tokA",
+    )
+    assert m2["snapshot_respooled"] and m2["parts_recomputed"] == m2["parts_total"]
+    pd.testing.assert_frame_equal(c2, c1)

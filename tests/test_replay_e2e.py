@@ -858,3 +858,39 @@ def test_cli_incremental_reconcile(fixture_small, tmp_path, ray_session):
     assert s2["status_counts"] == want
     assert s2["incremental"]["parts_recomputed"] == 0
     assert s2["incremental"]["snapshot_respooled"] is False
+
+
+def test_vacuum_on_moved_lake_keeps_referenced_files(fixture_small, tmp_path):
+    """Commit-log entries may record paths from a different root (moved
+    lake, different cwd at write time). Vacuum must identify files by
+    their layout-canonical epoch-tail, never by resolving stored paths
+    against the current cwd — the failure mode is deleting every live
+    base while reporting it as garbage."""
+    import shutil as _sh
+
+    from etl_reconciliate_ray.pipelines.replay import vacuum
+
+    import glob as _gl
+    import os as _os
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_moved", manifest)
+    replay(fixture_dir, cfg)
+
+    moved = str(tmp_path / "lake_moved_elsewhere")
+    _sh.move(cfg.lake_root, moved)
+    files_before = sorted(
+        _os.path.relpath(f, moved)
+        for f in _gl.glob(_os.path.join(moved, "epoch=*", "**", "*.parquet"), recursive=True)
+    )
+    # every stored file path still points at the OLD root; nothing on
+    # disk may be deleted (reading a moved lake is separately out of
+    # scope — the commit log stores absolute paths — but vacuuming one
+    # must be a no-op, not a mass delete)
+    got = vacuum(moved)
+    assert got["deleted"] == 0
+    files_after = sorted(
+        _os.path.relpath(f, moved)
+        for f in _gl.glob(_os.path.join(moved, "epoch=*", "**", "*.parquet"), recursive=True)
+    )
+    assert files_after == files_before
