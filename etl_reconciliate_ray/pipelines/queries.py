@@ -750,6 +750,112 @@ def q_session_gaps_events(sf_dir: str):
     )
 
 
+def q_session_ids_events(sf_dir: str):
+    """Sessionization with PER-EVENT session ordinals (the row-level
+    companion of session_window_events' aggregate): an event starts a
+    new session when >30 min passed since its user's previous event;
+    each event is labelled with its user's 1-based session ordinal.
+    SQL expresses it the same decomposed way (boundary flag -> running
+    sum). One key-hash shuffle, segmented numpy kernel."""
+    from ..functions.hashing import hash64
+    from ..stages.windowfns import _segment_starts
+
+    gap_us = 1_800_000_000
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "session_ord": pa.array([], pa.int64()),
+            })
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        starts = _segment_starts(u)
+        new_sess = np.zeros(n, dtype=np.int64)
+        new_sess[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+        new_sess[starts] = 1  # a user's first event opens session 1
+        sid = np.cumsum(new_sess)
+        base = np.concatenate([[0], sid])[starts]  # sessions before my segment
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        seg_of = np.cumsum(is_start) - 1
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "session_ord": pa.array(sid - base[seg_of], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def q_sliding_count_events(sf_dir: str):
+    """Time-range sliding window (SQL RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW): for each event, how many events its
+    user produced in the trailing hour — including ts-peers, matching
+    SQL's RANGE peer semantics. Per bucket this is two vectorized
+    searchsorted passes over the (user, ts)-sorted block (no per-row
+    loop, no quadratic window re-scan)."""
+    from ..functions.hashing import hash64
+    from ..stages.windowfns import _segment_starts
+
+    win_us = 3_600_000_000
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "n_last_hour": pa.array([], pa.int64()),
+            })
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        starts = _segment_starts(u)
+        # ts is sorted only WITHIN a segment (the block sort is
+        # (user, ts)), so the binary searches run per segment: one
+        # vectorized searchsorted pair per USER, never per row — the
+        # same per-key bound any engine's RANGE frame has
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, np.concatenate([starts[1:], [n]])):
+            seg = ts[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - win_us, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "n_last_hour": pa.array(hi - lo, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def q_first_last_orders(sf_dir: str):
     """FIRST_VALUE / LAST_VALUE over the whole partition frame
     (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING): each order
@@ -2044,6 +2150,8 @@ QUERIES = {
     "rolling_user_values": q_rolling_user_values,
     "window_fns_events": q_window_fns_events,
     "session_gaps_events": q_session_gaps_events,
+    "session_ids_events": q_session_ids_events,
+    "sliding_count_events": q_sliding_count_events,
     "first_last_orders": q_first_last_orders,
     "full_outer_activity": q_full_outer_activity,
     "asof_forward_events": q_asof_forward_events,
@@ -2306,6 +2414,22 @@ ORACLE_SQL = {
     ),
     "cross_region_nation": (
         "SELECT r_name, n_name FROM region CROSS JOIN nation"
+    ),
+    "session_ids_events": (
+        "WITH f AS (SELECT event_id, user_id, ts, "
+        "CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL "
+        "OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 "
+        "THEN 1 ELSE 0 END AS brk FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT event_id, user_id, "
+        "CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_ord FROM f"
+    ),
+    "sliding_count_events": (
+        "SELECT event_id, user_id, "
+        "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS n_last_hour FROM events"
     ),
     "session_gaps_events": (
         "WITH d AS (SELECT user_id, "
