@@ -677,3 +677,32 @@ def test_bigrams_never_cross_docs(ray_session):
     got = set(out["bigram"])
     assert got == {"end marker", "start here"}
     assert "marker start" not in got  # the cross-doc pair
+
+
+def test_redactor_rule_chain_and_hit_counts(ray_session):
+    """Rule 2 must see rule 1's OUTPUT (ordered chain, not a parallel
+    apply), hits accumulate across rules, and non-matching text passes
+    through byte-identical."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.textstage import make_redactor
+
+    fn = make_redactor([
+        (r"\b(customer|user)\b", "<PII>"),
+        (r"<PII>( <PII>)+", "<PII>+"),
+    ])
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "customer user pays",       # run of 2 -> collapsed by rule 2
+            "a customer here",          # single hit, rule 2 no-op
+            "nothing to scrub",         # untouched
+            "user customer user done",  # run of 3
+        ]),
+    })
+    out = fn(t)
+    assert out["redacted"].to_pylist() == [
+        "<PII>+ pays", "a <PII> here", "nothing to scrub", "<PII>+ done",
+    ]
+    # hits: rule1 matches + rule2 run-collapses (2+1, 1+0, 0+0, 3+1)
+    assert out["n_hits"].to_pylist() == [3, 1, 0, 4]

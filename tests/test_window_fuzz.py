@@ -51,6 +51,7 @@ def _case_unique_order(rows):
             _ds(df), key="k", order_by=["o"], row_number="rn",
             lag={"prev": "v"}, lead={"nxt": "v"}, cumsum={"cum": "v"},
             first_value={"fv": "v"}, last_value={"lv": "v"},
+            group_min={"gmin": "o"}, group_max={"gmax": "o"},
             num_buckets=3,
         )
         .to_pandas()
@@ -70,6 +71,9 @@ def _case_unique_order(rows):
     exp_lv = g["v"].transform(lambda s: [s.iloc[-1]] * len(s))
     assert out["rn"].tolist() == exp_rn
     assert out["cum"].tolist() == exp_cum
+    # partition MIN/MAX over the (null-free) order column
+    assert out["gmin"].tolist() == g["o"].transform("min").tolist()
+    assert out["gmax"].tolist() == g["o"].transform("max").tolist()
     for got, want in ((out["prev"], exp_prev), (out["nxt"], exp_nxt),
                       (out["fv"], exp_fv), (out["lv"], exp_lv)):
         for a, b in zip(got.tolist(), want.tolist()):
