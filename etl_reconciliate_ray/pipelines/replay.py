@@ -788,6 +788,78 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
     return metrics
 
 
+def rebucket(
+    cfg_or_root,
+    dest_root: str,
+    num_buckets: int,
+    salt_for_repo: dict[str, int] | None = None,
+) -> dict:
+    """Bucket-layout migration (Iceberg partition-spec-evolution
+    equivalent): rewrite the lake's CURRENT resolved state into a fresh
+    lake at ``dest_root`` under a new (num_buckets, salt) layout.
+
+    The commit log's layout fence makes a lake's bucket routing
+    immutable IN PLACE — correctly so, since every persisted file and
+    chain entry embeds its bucket id. Changing the partition count
+    (scale the cluster up, onboard a hotter key distribution) is
+    therefore an explicit rewrite: resolve the source chains, re-tag
+    every row under the new layout, ONE all-to-all shuffle on the new
+    bucket id (inherent to any re-partitioning), one full base file per
+    new part committed + sealed as the destination's epoch 0. The
+    source lake is untouched (rollback = keep using it); the state
+    sha256 is layout-independent, so migration success is checkable as
+    ``lake_state_hash(src) == lake_state_hash(dest)``."""
+    import ray.data as rd
+
+    from ..functions.hashing import bucket_of
+    from ..stages.writer import write_piece_local
+    from ..state.commitlog import layout_fingerprint
+
+    src_root = _root_of(cfg_or_root)
+    src_log = CommitLog.open(src_root)
+    if src_log.latest_sealed_epoch() is None:
+        raise ValueError(f"source lake at {src_root} has no sealed epochs")
+    os.makedirs(dest_root, exist_ok=True)
+    dest_log = CommitLog.open(dest_root)
+    if dest_log.latest_sealed_epoch() is not None or dest_log.lineage():
+        raise ValueError(
+            f"destination {dest_root} already holds committed state; "
+            "rebucket only writes into an empty lake root"
+        )
+    dest_log.ensure_layout(layout_fingerprint(num_buckets, salt_for_repo))
+
+    t0 = time.monotonic()
+
+    def retag(batch: pa.Table) -> pa.Table:
+        if "bucket" in batch.column_names:
+            batch = batch.drop_columns(["bucket"])
+        return batch.append_column(
+            "bucket", bucket_of(batch["repo"], batch["path"], num_buckets, salt_for_repo)
+        )
+
+    def write_part(t: pa.Table) -> pa.Table:
+        part = int(t["bucket"][0].as_py())
+        return pa.Table.from_pylist([write_piece_local(dest_root, 0, part, t, "full")])
+
+    rows_ds = (
+        lake_dataset(src_root)
+        .map_batches(retag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_part, batch_format="pyarrow")
+    )
+    rows = [dict(r) for r in rows_ds.take_all()]  # manifest rows: O(parts)
+    _commit_manifest_rows(dest_log, 0, rows, None, seal=True)
+    metrics = {
+        "epoch": 0,
+        "mode": "rebucket",
+        "parts": len(rows),
+        "rows_written": sum(int(r["rows"]) for r in rows),
+        "sec": round(time.monotonic() - t0, 4),
+    }
+    _write_lineage(dest_root, dest_log, metrics)
+    return metrics
+
+
 def vacuum(cfg_or_root, dry_run: bool = False) -> dict:
     """Lake garbage collection: delete data files no commit-log entry
     references any more. ``CommitLog.write_snapshot`` (run after every

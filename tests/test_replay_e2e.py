@@ -894,3 +894,43 @@ def test_vacuum_on_moved_lake_keeps_referenced_files(fixture_small, tmp_path):
         for f in _gl.glob(_os.path.join(moved, "epoch=*", "**", "*.parquet"), recursive=True)
     )
     assert files_after == files_before
+
+
+def test_rebucket_migration_preserves_state(fixture_small, tmp_path):
+    """Layout migration: the destination lake under a different bucket
+    count must hold the identical key->content state (layout-independent
+    sha), pass the layout fence for the NEW layout, reconcile exactly,
+    and refuse to overwrite an existing destination."""
+    import pytest as _pt
+    import ray.data as rd
+
+    from etl_reconciliate_ray.pipelines.reconcile_run import reconcile_lake_vs_snapshot
+    from etl_reconciliate_ray.pipelines.replay import lake_table, rebucket
+    from etl_reconciliate_ray.stages.normalize import make_normalizer
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_rebkt_src", manifest)
+    replay(fixture_dir, cfg)
+    want_sha = lake_state_hash(cfg.lake_root)
+
+    dest = str(tmp_path / "lake_rebkt_dst")
+    m = rebucket(cfg, dest, num_buckets=16, salt_for_repo=None)
+    assert m["parts"] > 0 and m["rows_written"] >= lake_table(cfg.lake_root).num_rows
+
+    assert lake_state_hash(dest) == want_sha
+    # new layout is fenced in and readable; buckets really changed
+    got = lake_table(dest)
+    assert got.num_rows == lake_table(cfg.lake_root).num_rows
+    assert set(got["bucket"].to_pylist()) - set(range(16)) == set()
+
+    # reconcile against the snapshot under the NEW layout: exact counts
+    snap = rd.read_parquet(f"{fixture_dir}/snapshot.parquet").map_batches(
+        make_normalizer(num_buckets=16), batch_format="pyarrow"
+    )
+    _, _, counts = reconcile_lake_vs_snapshot(dest, snap, num_buckets=16, salt_for_repo=None)
+    got_counts = dict(zip(counts["status"], counts["n"]))
+    assert got_counts == {k: v for k, v in manifest["expected_status_counts"].items() if v}
+
+    # a second migration into the same destination must refuse
+    with _pt.raises(ValueError, match="already holds"):
+        rebucket(cfg, dest, num_buckets=16)
