@@ -544,6 +544,58 @@ def q_weighted_sample_docs(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def q_embdup_clusters(sf_dir: str):
+    """Embedding near-dup CLUSTERS: the IVF-bucketed candidate pairs
+    fed through the same distributed min-label connected components as
+    MinHash dedup (stages/dedup.connected_components_min_label) —
+    nothing corpus-sized touches the driver. Rows-only (CC is not
+    ANSI-SQL-expressible); the planted-clone structure is asserted in
+    tests."""
+    from ..stages.dedup import connected_components_min_label
+
+    pairs = q_embdup_pairs_ivf(sf_dir).map_batches(
+        lambda t: pa.table({"doc_a": t["id_a"], "doc_b": t["id_b"]}),
+        batch_format="pyarrow",
+    )
+    nodes = _dup_embeddings(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"node": df["vec_id"].astype("int64")}),
+        batch_format="pandas",
+    )
+    cc = connected_components_min_label(nodes, pairs)
+    return cc.map_batches(
+        lambda t: pa.table({"vec_id": t["node"], "cluster": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q_compression_ratio_docs(sf_dir: str):
+    """zlib redundancy signal per document (rows-only: zlib is not
+    SQL-expressible; property tests pin the semantics)."""
+    from ..stages.textstage import compression_ratio
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(compression_ratio, batch_format="pyarrow")
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """GPT-2-style pre-tokenizer token counts: the byte-level BPE
+    pre-split regex (contractions | letter runs | digit runs |
+    punctuation runs | whitespace), restricted to RE2 syntax (no
+    lookahead) so Arrow's count_substring_regex and DuckDB's
+    regexp_extract_all run the IDENTICAL engine — the count a training
+    pipeline budgets sequence packing with, map-only."""
+    pat = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bpe_pieces": pc.cast(pc.count_substring_regex(t["text"], pat), pa.int64()),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- A3 rollup
 def q_reconcile_rollup(sf_dir: str):
     """Group-level rollup with the reference's A3 priority cascade
@@ -2193,6 +2245,9 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "embdup_pairs": q_embdup_pairs,
     "embdup_pairs_ivf": q_embdup_pairs_ivf,
+    "embdup_clusters": q_embdup_clusters,
+    "compression_ratio_docs": q_compression_ratio_docs,
+    "bpe_token_counts": q_bpe_token_counts,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_lineitem": q_cube_lineitem,
     "ntile_events": q_ntile_events,
@@ -2505,6 +2560,11 @@ ORACLE_SQL = {
         "FROM (SELECT event_id, user_id, cents, "
         "MIN(cents) OVER w AS mn, MAX(cents) OVER w AS mx "
         "FROM c WINDOW w AS (PARTITION BY user_id))"
+    ),
+    "bpe_token_counts": (
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+        "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+        ")) AS BIGINT) AS n_bpe_pieces FROM documents"
     ),
     "postings_terms": (
         "SELECT term, CAST(COUNT(*) AS BIGINT) AS df, "

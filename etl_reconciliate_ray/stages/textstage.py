@@ -345,3 +345,25 @@ def make_redactor(rules: list[tuple[str, str]] | None = None, text_col: str = "t
         return out.append_column("n_hits", pc.cast(hits, pa.int64()))
 
     return fn
+
+
+def compression_ratio(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """zlib compression ratio per document (permille, integer) — the
+    classic redundancy/quality signal (boilerplate and repeated spans
+    compress far better than natural prose; C4/Gopher-style filters cut
+    on it). Per-row zlib calls dominate the cost exactly like sha256
+    does in the hashing stage — the Python loop is a thin dispatcher
+    around C. Deterministic for a fixed zlib level, but not
+    SQL-expressible: rows-only check + property tests."""
+    import zlib
+
+    ids = batch["doc_id"]
+    ratios = [
+        (len(zlib.compress(t.encode("utf-8"), 6)) * 1000) // max(1, len(t.encode("utf-8")))
+        if t is not None else None
+        for t in batch[text_col].to_pylist()
+    ]
+    return pa.table({
+        "doc_id": ids,
+        "zlib_permille": pa.array(ratios, pa.int64()),
+    })

@@ -706,3 +706,42 @@ def test_redactor_rule_chain_and_hit_counts(ray_session):
     ]
     # hits: rule1 matches + rule2 run-collapses (2+1, 1+0, 0+0, 3+1)
     assert out["n_hits"].to_pylist() == [3, 1, 0, 4]
+
+
+def test_compression_ratio_orders_redundancy(ray_session):
+    """Highly repetitive text must compress strictly better (lower
+    permille) than high-entropy text; empty text is defined (ratio of
+    the empty string's zlib header, not a crash); nulls stay null."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.textstage import compression_ratio
+
+    import random
+
+    rng = random.Random(7)
+    noisy = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ") for _ in range(2000))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["spam " * 400, noisy, "", None]),
+    })
+    out = compression_ratio(t)
+    r = dict(zip(out["doc_id"].to_pylist(), out["zlib_permille"].to_pylist()))
+    assert r[1] < r[2] < 1100  # repetitive << noisy; noisy near-incompressible
+    assert r[3] > 1000  # empty: header bytes over max(1, 0) floor
+    assert r[4] is None
+
+
+def test_embdup_clusters_recover_planted_structure(ray_session):
+    """Every planted clone (id+1e6, same direction) must share a
+    cluster labelled by its original id; every other vector is a
+    singleton labelled by itself."""
+    import __ray_entry__ as e
+
+    df = e.queries()["embdup_clusters"]("/root/testdata/sf0.001").to_pandas()
+    lab = dict(zip(df["vec_id"], df["cluster"]))
+    planted = [v for v in lab if v < 1_000_000 and v % 37 == 0]
+    assert planted, "fixture should contain planted ids"
+    for v in planted:
+        assert lab[v] == v and lab[v + 1_000_000] == v, (v, lab[v], lab.get(v + 1_000_000))
+    singles = [v for v in lab if v < 1_000_000 and v % 37 != 0]
+    assert all(lab[v] == v for v in singles)
