@@ -596,6 +596,49 @@ def q_bpe_token_counts(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def q_profile_lineitem(sf_dir: str):
+    """Single-pass data profiling (the schema-audit step run before
+    pointing a pipeline at a new table): per numeric column, row count,
+    null count, min and max — each batch collapses to one tiny partial
+    row per column, then an O(columns) reduce. The raw min/max pass
+    through as the same parquet doubles both engines read."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = read_table(sf_dir, "lineitem", columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            v = t[c]
+            rows.append({
+                "col_name": c,
+                "n_rows": t.num_rows,
+                "n_null": v.null_count,
+                "min_v": pc.min(v).as_py(),
+                "max_v": pc.max(v).as_py(),
+            })
+        return pa.Table.from_pylist(rows)
+
+    red = ds.map_batches(partial, batch_format="pyarrow").groupby("col_name").aggregate(
+        Sum(on="n_rows", alias_name="n_rows"),
+        Sum(on="n_null", alias_name="n_null"),
+        Min(on="min_v", alias_name="min_v"),
+        Max(on="max_v", alias_name="max_v"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col_name": t["col_name"],
+            "n_rows": pc.cast(t["n_rows"], pa.int64()),
+            "n_null": pc.cast(t["n_null"], pa.int64()),
+            "min_v": pc.cast(t["min_v"], pa.float64()),
+            "max_v": pc.cast(t["max_v"], pa.float64()),
+        })
+
+    return red.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- A3 rollup
 def q_reconcile_rollup(sf_dir: str):
     """Group-level rollup with the reference's A3 priority cascade
@@ -2248,6 +2291,7 @@ QUERIES = {
     "embdup_clusters": q_embdup_clusters,
     "compression_ratio_docs": q_compression_ratio_docs,
     "bpe_token_counts": q_bpe_token_counts,
+    "profile_lineitem": q_profile_lineitem,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_lineitem": q_cube_lineitem,
     "ntile_events": q_ntile_events,
@@ -2560,6 +2604,19 @@ ORACLE_SQL = {
         "FROM (SELECT event_id, user_id, cents, "
         "MIN(cents) OVER w AS mn, MAX(cents) OVER w AS mx "
         "FROM c WINDOW w AS (PARTITION BY user_id))"
+    ),
+    "profile_lineitem": (
+        "SELECT 'l_quantity' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null, "
+        "CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v "
+        "FROM lineitem UNION ALL "
+        "SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT), "
+        "CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT), "
+        "CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE) "
+        "FROM lineitem UNION ALL "
+        "SELECT 'l_discount', CAST(COUNT(*) AS BIGINT), "
+        "CAST(COUNT(*) - COUNT(l_discount) AS BIGINT), "
+        "CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE) FROM lineitem"
     ),
     "bpe_token_counts": (
         "SELECT doc_id, CAST(length(regexp_extract_all(text, "
