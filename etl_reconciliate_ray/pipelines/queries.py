@@ -596,6 +596,69 @@ def q_bpe_token_counts(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def q_mad_events(sf_dir: str):
+    """Robust per-group dispersion: MEDIAN and MAD (median absolute
+    deviation) of each user's event values — the outlier-insensitive
+    spread a quality filter cuts on where stddev is skew-poisoned.
+    Both medians are emitted DOUBLED (2x a median of ints is always an
+    exact integer under linear interpolation), killing float-rounding
+    ambiguity. Per bucket: two vectorized sort+gather passes over the
+    whole block (no per-user loop) — per-segment medians are index
+    arithmetic over segment starts/sizes."""
+    from ..functions.hashing import hash64
+    from ..stages.windowfns import _segment_starts
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return pa.table({
+            "user_id": t["user_id"], "cents": cents, "__b": pa.array(b)
+        })
+
+    def seg_median2(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(user_at_start, 2*median per segment, sizes) for v sorted
+        within each u-segment: median = mean of the two middle order
+        statistics, gathered by index arithmetic."""
+        n = len(u)
+        starts = _segment_starts(u)
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        lo = starts + (sizes - 1) // 2
+        hi = starts + sizes // 2
+        return u[starts], v[lo] + v[hi], sizes
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "cents"], kind="stable")
+        u = d["user_id"].to_numpy()
+        v = d["cents"].to_numpy()
+        users, med2, sizes = seg_median2(u, v)
+        # 2*|x - med| = |2x - 2*med| stays integer-exact
+        dev2 = np.abs(2 * v - np.repeat(med2, sizes))
+        d2 = pd.DataFrame({"u": u, "dev2": dev2}).sort_values(["u", "dev2"], kind="stable")
+        users2, mad4, _ = seg_median2(d2["u"].to_numpy(), d2["dev2"].to_numpy())
+        assert (users == users2).all()
+        return pd.DataFrame({
+            "user_id": users.astype("int64"),
+            "med2_cents": med2.astype("int64"),
+            # mad4 = 2*median(dev2) = 4*MAD; emit as the exact integer
+            "mad4_cents": mad4.astype("int64"),
+        })
+
+    return (
+        rd_groupby_bucket(ds.map_batches(tag, batch_format="pyarrow"), per_bucket)
+    )
+
+
+def rd_groupby_bucket(tagged_ds, fn):
+    """groupby('__b').map_groups(pandas fn dropping __b) — the shared
+    tail of every bucket-kernel query."""
+    return tagged_ds.groupby("__b").map_groups(
+        lambda df: fn(df.drop(columns=["__b"])), batch_format="pandas"
+    )
+
+
 def q_profile_lineitem(sf_dir: str):
     """Single-pass data profiling (the schema-audit step run before
     pointing a pipeline at a new table): per numeric column, row count,
@@ -2292,6 +2355,7 @@ QUERIES = {
     "compression_ratio_docs": q_compression_ratio_docs,
     "bpe_token_counts": q_bpe_token_counts,
     "profile_lineitem": q_profile_lineitem,
+    "mad_events": q_mad_events,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_lineitem": q_cube_lineitem,
     "ntile_events": q_ntile_events,
@@ -2604,6 +2668,15 @@ ORACLE_SQL = {
         "FROM (SELECT event_id, user_id, cents, "
         "MIN(cents) OVER w AS mn, MAX(cents) OVER w AS mx "
         "FROM c WINDOW w AS (PARTITION BY user_id))"
+    ),
+    "mad_events": (
+        "WITH c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents "
+        "FROM events WHERE value IS NOT NULL), "
+        "m AS (SELECT user_id, CAST(ROUND(2 * MEDIAN(cents)) AS BIGINT) AS med2_cents "
+        "FROM c GROUP BY user_id) "
+        "SELECT c.user_id, m.med2_cents, "
+        "CAST(ROUND(2 * MEDIAN(ABS(2 * c.cents - m.med2_cents))) AS BIGINT) AS mad4_cents "
+        "FROM c JOIN m ON c.user_id = m.user_id GROUP BY c.user_id, m.med2_cents"
     ),
     "profile_lineitem": (
         "SELECT 'l_quantity' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
