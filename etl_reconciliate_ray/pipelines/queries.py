@@ -596,6 +596,79 @@ def q_bpe_token_counts(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def q_user_journeys(sf_dir: str):
+    """Behavioral sequence extraction (the input a sequence model
+    trains on): each user's full event-type journey as an ordered
+    comma-joined string, plus its length. Ordered string_agg at KEY
+    scale (thousands of groups, unlike the 5-group dimension variant):
+    one key-hash shuffle, then a per-bucket pandas groupby-join —
+    per-key work is the key's own sequence, the bound any engine has."""
+    from ..functions.hashing import hash64
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=True)["event_type"]
+        return pd.DataFrame({
+            "user_id": g.size().index.astype("int64"),
+            "n_events": g.size().astype("int64").values,
+            "journey": g.agg(",".join).values,
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda df: per_bucket(df.drop(columns=["__b"])), batch_format="pandas"
+        )
+    )
+
+
+def q_lexical_diversity_docs(sf_dir: str):
+    """Lexical diversity per document: distinct bigrams / total bigrams
+    (exact integer pair, ratio left to the consumer — the repetition
+    signal n-gram-based quality filters threshold on). Map-only: each
+    document is one row, so its bigram multiset never leaves the
+    batch."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        words, parent = words[keep], parent[keep]
+        n_tot = np.zeros(t.num_rows, dtype=np.int64)
+        n_dis = np.zeros(t.num_rows, dtype=np.int64)
+        if len(words) > 1:
+            same_doc = parent[1:] == parent[:-1]
+            big_doc = parent[1:][same_doc]
+            pairs = np.char.add(
+                np.char.add(words[:-1][same_doc].astype(str), "\x1f"),
+                words[1:][same_doc].astype(str),
+            )
+            np.add.at(n_tot, big_doc, 1)
+            # distinct within doc: unique (doc, pair) combos
+            order = np.lexsort((pairs, big_doc))
+            bd, pr = big_doc[order], pairs[order]
+            first = np.ones(len(bd), dtype=bool)
+            first[1:] = (bd[1:] != bd[:-1]) | (pr[1:] != pr[:-1])
+            np.add.at(n_dis, bd[first], 1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": pa.array(n_tot, pa.int64()),
+            "n_distinct_bigrams": pa.array(n_dis, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def q_mad_events(sf_dir: str):
     """Robust per-group dispersion: MEDIAN and MAD (median absolute
     deviation) of each user's event values — the outlier-insensitive
@@ -2356,6 +2429,8 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "profile_lineitem": q_profile_lineitem,
     "mad_events": q_mad_events,
+    "user_journeys": q_user_journeys,
+    "lexical_diversity_docs": q_lexical_diversity_docs,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_lineitem": q_cube_lineitem,
     "ntile_events": q_ntile_events,
@@ -2668,6 +2743,20 @@ ORACLE_SQL = {
         "FROM (SELECT event_id, user_id, cents, "
         "MIN(cents) OVER w AS mn, MAX(cents) OVER w AS mx "
         "FROM c WINDOW w AS (PARTITION BY user_id))"
+    ),
+    "user_journeys": (
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "string_agg(event_type, ',' ORDER BY ts, event_id) AS journey "
+        "FROM events GROUP BY user_id"
+    ),
+    "lexical_diversity_docs": (
+        "WITH w AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr "
+        "FROM documents) "
+        "SELECT doc_id, CAST(GREATEST(len(arr) - 1, 0) AS BIGINT) AS n_bigrams, "
+        "CAST(CASE WHEN len(arr) < 2 THEN 0 ELSE len(list_distinct("
+        "[arr[i] || chr(31) || arr[i + 1] for i in generate_series(1, len(arr) - 1)]"
+        ")) END AS BIGINT) AS n_distinct_bigrams FROM w"
     ),
     "mad_events": (
         "WITH c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents "
