@@ -558,8 +558,8 @@ def q_embdup_clusters(sf_dir: str):
         batch_format="pyarrow",
     )
     nodes = _dup_embeddings(sf_dir).map_batches(
-        lambda df: pd.DataFrame({"node": df["vec_id"].astype("int64")}),
-        batch_format="pandas",
+        lambda t: pa.table({"node": pc.cast(t["vec_id"], pa.int64())}),
+        batch_format="pyarrow",
     )
     cc = connected_components_min_label(nodes, pairs)
     return cc.map_batches(
@@ -611,22 +611,24 @@ def q_user_journeys(sf_dir: str):
         b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
         return t.append_column("__b", pa.array(b))
 
+    def join_skip_null(s: pd.Series):
+        # string_agg semantics: NULL elements are skipped; an all-NULL
+        # group aggregates to NULL, not "".
+        vals = [x for x in s if isinstance(x, str)]
+        return ",".join(vals) if vals else None
+
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        g = df.groupby("user_id", sort=True)["event_type"]
+        # dropna=False: SQL GROUP BY keeps the NULL-user group.
+        g = df.groupby("user_id", sort=True, dropna=False)["event_type"]
+        sz = g.size()
         return pd.DataFrame({
-            "user_id": g.size().index.astype("int64"),
-            "n_events": g.size().astype("int64").values,
-            "journey": g.agg(",".join).values,
+            "user_id": pd.array(sz.index, dtype="Int64"),
+            "n_events": sz.astype("int64").values,
+            "journey": g.agg(join_skip_null).values,
         })
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(
-            lambda df: per_bucket(df.drop(columns=["__b"])), batch_format="pandas"
-        )
-    )
+    return rd_groupby_bucket(ds.map_batches(tag, batch_format="pyarrow"), per_bucket)
 
 
 def q_lexical_diversity_docs(sf_dir: str):
@@ -660,10 +662,14 @@ def q_lexical_diversity_docs(sf_dir: str):
             first = np.ones(len(bd), dtype=bool)
             first[1:] = (bd[1:] != bd[:-1]) | (pr[1:] != pr[:-1])
             np.add.at(n_dis, bd[first], 1)
+        # Oracle semantics on NULL text (verified in DuckDB): n_bigrams
+        # is 0 (GREATEST ignores NULLs) but the CASE falls through
+        # NULL<2 to ELSE and yields NULL — mask only the distinct count.
+        null_text = pc.is_null(t["text"]).to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_bigrams": pa.array(n_tot, pa.int64()),
-            "n_distinct_bigrams": pa.array(n_dis, pa.int64()),
+            "n_distinct_bigrams": pa.array(n_dis, pa.int64(), mask=null_text),
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")

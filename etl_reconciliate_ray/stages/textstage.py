@@ -359,9 +359,12 @@ def compression_ratio(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     ids = batch["doc_id"]
     ratios = [
-        (len(zlib.compress(t.encode("utf-8"), 6)) * 1000) // max(1, len(t.encode("utf-8")))
-        if t is not None else None
-        for t in batch[text_col].to_pylist()
+        (len(zlib.compress(b, 6)) * 1000) // max(1, len(b))
+        if b is not None else None
+        for b in (
+            t.encode("utf-8") if t is not None else None
+            for t in batch[text_col].to_pylist()
+        )
     ]
     return pa.table({
         "doc_id": ids,

@@ -745,3 +745,50 @@ def test_embdup_clusters_recover_planted_structure(ray_session):
         assert lab[v] == v and lab[v + 1_000_000] == v, (v, lab[v], lab.get(v + 1_000_000))
     singles = [v for v in lab if v < 1_000_000 and v % 37 != 0]
     assert all(lab[v] == v for v in singles)
+
+
+def test_null_semantics_match_oracle_on_planted_nulls(ray_session, tmp_path):
+    """user_journeys and lexical_diversity_docs must agree with their
+    DuckDB oracles on null-bearing data the sf fixtures never contain:
+    NULL event_type inside a journey (string_agg skips it), an all-NULL
+    journey group (NULL, not ""), a NULL user_id group (kept by SQL
+    GROUP BY), and NULL document text (n_bigrams 0, distinct NULL)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from etl_reconciliate_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    events = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03",
+                 "2024-01-01", "2024-01-02", "2024-01-05"]
+            ),
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([10, 10, 10, 11, 11, None], pa.int64()),
+        "event_type": pa.array(["view", None, "buy", None, None, "view"]),
+        "value": pa.array([1.0, 2.0, None, 4.0, 5.0, 6.0]),
+        "props": pa.array(["{}"] * 6),
+    })
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["aa bb aa bb", None, "solo"]),
+        "lang": pa.array(["en", "en", "en"]),
+        "source": pa.array(["s", "s", "s"]),
+        "n_chars": pa.array([11, 0, 4], pa.int64()),
+    })
+    pq.write_table(events, tmp_path / "events.parquet")
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    for name in ("user_journeys", "lexical_diversity_docs"):
+        got = QUERIES[name](str(tmp_path)).to_pandas()
+        want = con.execute(ORACLE_SQL[name]).df()
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+        want = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    con.close()
