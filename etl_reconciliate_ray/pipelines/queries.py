@@ -730,6 +730,97 @@ def q_mad_events(sf_dir: str):
     )
 
 
+def q_scd2_user_state(sf_dir: str):
+    """SCD Type 2 dimension build from the event changelog: each
+    user's event_type history collapsed to distinct consecutive
+    versions with [valid_from, valid_to) validity intervals, a version
+    ordinal, and an is_current flag — the standard warehouse derivation
+    of the same changelog the LWW lake keeps only the tip of
+    (reference keeps final state only, ReconciliationService.java:129).
+    One key-hash shuffle, vectorized per-bucket kernels."""
+    from ..functions.hashing import hash64
+    from ..stages.scd import scd2_intervals
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    return rd_groupby_bucket(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        lambda df: scd2_intervals(df, key="user_id", attr="event_type", order=["ts", "event_id"]),
+    )
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences (the
+    edge weights a next-event model or funnel analysis trains on):
+    count (previous event_type → event_type) pairs within each user's
+    ts-ordered stream. Per-bucket partial counts mean only
+    (src, dst, n) rows — bounded by the event-type alphabet squared —
+    leave the shuffle; the global sum is a tiny groupby."""
+    from ..functions.hashing import hash64
+    from ..stages.scd import transition_partial_counts
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    partials = rd_groupby_bucket(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        lambda df: transition_partial_counts(
+            df, key="user_id", attr="event_type", order=["ts", "event_id"]
+        ),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["src", "dst"], sort=False, as_index=False)["n"].sum()
+        # un-encode the null sentinel planted by the partial stage
+        for c in ("src", "dst"):
+            out[c] = out[c].mask(out[c] == "\x00N", None)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        partials.groupby(["src", "dst"])
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit across the star schema: orphan
+    count for every foreign key (rows whose FK value has no match in
+    the parent table; NULL FKs count as orphans, matching NOT EXISTS
+    on an equality predicate). Each check is a broadcast key set +
+    map-side partial counts — one int per block moves, at any scale;
+    big-big pairs would swap in the bloom prefilter
+    (stages/joins.bloom_semi)."""
+    from ..stages.scd import fk_orphan_count
+
+    checks = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    rows = []
+    for name, child, fk, parent, pk in checks:
+        keys = (
+            read_table(sf_dir, parent, columns=[pk])
+            .unique(pk)
+        )
+        child_ds = read_table(sf_dir, child, columns=[fk])
+        rows.append({"fk": name, "orphans": fk_orphan_count(child_ds, fk, np.asarray(keys))})
+    return pa.table({
+        "fk": pa.array([r["fk"] for r in rows]),
+        "orphans": pa.array([r["orphans"] for r in rows], pa.int64()),
+    })
+
+
 def rd_groupby_bucket(tagged_ds, fn):
     """groupby('__b').map_groups(pandas fn dropping __b) — the shared
     tail of every bucket-kernel query."""
@@ -2453,6 +2544,9 @@ QUERIES = {
     "monthly_revenue": q_monthly_revenue,
     "json_extract_props": q_json_extract_props,
     "bloom_semi_orders": q_bloom_semi_orders,
+    "scd2_user_state": q_scd2_user_state,
+    "event_transitions": q_event_transitions,
+    "fk_integrity": q_fk_integrity,
 }
 
 ORACLE_SQL = {
@@ -3010,6 +3104,42 @@ ORACLE_SQL = {
     "bloom_semi_orders": (
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
         "(SELECT c_custkey FROM customer WHERE c_nationkey < 5)"
+    ),
+    "scd2_user_state": (
+        "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+        "LAG(event_type) OVER w AS prev, ROW_NUMBER() OVER w AS rn "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "c AS (SELECT user_id, ts, event_id, event_type FROM o "
+        "WHERE rn = 1 OR prev IS DISTINCT FROM event_type) "
+        "SELECT user_id, event_type, ts AS valid_from, "
+        "LEAD(ts) OVER w2 AS valid_to, "
+        "CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version, "
+        "CAST(CASE WHEN LEAD(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current "
+        "FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "event_transitions": (
+        "WITH o AS (SELECT event_type, "
+        "LAG(event_type) OVER w AS prev, ROW_NUMBER() OVER w AS rn "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM o WHERE rn > 1 GROUP BY prev, event_type"
+    ),
+    "fk_integrity": (
+        "SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS orphans "
+        "FROM lineitem l WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) "
+        "UNION ALL SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT) "
+        "FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) "
+        "UNION ALL SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT) "
+        "FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey) "
+        "UNION ALL SELECT 'supplier->nation', CAST(COUNT(*) AS BIGINT) "
+        "FROM supplier s WHERE NOT EXISTS "
+        "(SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey) "
+        "UNION ALL SELECT 'nation->region', CAST(COUNT(*) AS BIGINT) "
+        "FROM nation n WHERE NOT EXISTS "
+        "(SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)"
     ),
     # rows-only (non-SQL-expressible or float-boundary-fragile):
     # minhash_clusters, simhash_docs, ngram_jaccard_pairs, ann_lsh,

@@ -785,7 +785,12 @@ def test_null_semantics_match_oracle_on_planted_nulls(ray_session, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
-    for name in ("user_journeys", "lexical_diversity_docs"):
+    for name in (
+        "user_journeys",
+        "lexical_diversity_docs",
+        "scd2_user_state",
+        "event_transitions",
+    ):
         got = QUERIES[name](str(tmp_path)).to_pandas()
         want = con.execute(ORACLE_SQL[name]).df()
         got = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
