@@ -821,6 +821,66 @@ def q_fk_integrity(sf_dir: str):
     })
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_events(sf_dir: str):
+    """Ordered-step funnel: users reaching view → click → purchase
+    under the min-time cascade (step i+1 counts only events at-or-after
+    the user's step-i reach time). Per-bucket partials are exact (each
+    user's history is bucket-local); only (step, n) rows — 3 per
+    bucket — leave the shuffle."""
+    from ..functions.hashing import hash64
+    from ..stages.funnel import funnel_partial
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    partials = rd_groupby_bucket(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        lambda df: funnel_partial(df, FUNNEL_STEPS),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("step", as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return partials.groupby("step").map_groups(finish, batch_format="pandas")
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort-retention matrix: users grouped by the calendar day of
+    their first event, counted per (cohort_day, days_since active)
+    cell. Distinct (user, day) pairs collapse inside each bucket, so
+    the global combine sums a result bounded by span-in-days², not by
+    the event count."""
+    from ..functions.hashing import hash64
+    from ..stages.funnel import cohort_partial
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    partials = rd_groupby_bucket(
+        ds.map_batches(tag, batch_format="pyarrow"), cohort_partial
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort_day", "days_since"], as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return partials.groupby(["cohort_day", "days_since"]).map_groups(
+        finish, batch_format="pandas"
+    )
+
+
 def rd_groupby_bucket(tagged_ds, fn):
     """groupby('__b').map_groups(pandas fn dropping __b) — the shared
     tail of every bucket-kernel query."""
@@ -2547,6 +2607,8 @@ QUERIES = {
     "scd2_user_state": q_scd2_user_state,
     "event_transitions": q_event_transitions,
     "fk_integrity": q_fk_integrity,
+    "funnel_events": q_funnel_events,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -3123,6 +3185,25 @@ ORACLE_SQL = {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
         "SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n "
         "FROM o WHERE rn > 1 GROUP BY prev, event_type"
+    ),
+    "funnel_events": (
+        "WITH e AS (SELECT user_id, ts, event_type FROM events WHERE user_id IS NOT NULL), "
+        "s1 AS (SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.user_id "
+        "AND e.ts >= s1.t WHERE e.event_type = 'click' GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e JOIN s2 ON e.user_id = s2.user_id "
+        "AND e.ts >= s2.t WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+        "SELECT '1:view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1 "
+        "UNION ALL SELECT '2:click', CAST(COUNT(*) AS BIGINT) FROM s2 "
+        "UNION ALL SELECT '3:purchase', CAST(COUNT(*) AS BIGINT) FROM s3"
+    ),
+    "cohort_retention": (
+        "WITH e2 AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d "
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+        "f AS (SELECT user_id, MIN(d) AS d0 FROM e2 GROUP BY user_id), "
+        "a AS (SELECT DISTINCT e2.user_id, f.d0, e2.d FROM e2 JOIN f ON e2.user_id = f.user_id) "
+        "SELECT d0 AS cohort_day, CAST(datediff('day', d0, d) AS BIGINT) AS days_since, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users FROM a GROUP BY 1, 2"
     ),
     "fk_integrity": (
         "SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS orphans "

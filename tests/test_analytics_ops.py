@@ -797,3 +797,47 @@ def test_null_semantics_match_oracle_on_planted_nulls(ray_session, tmp_path):
         want = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     con.close()
+
+
+def test_funnel_cascade_ordering():
+    """A user whose click precedes every view must NOT reach step 2:
+    the cascade counts step i+1 only at-or-after the step-i reach
+    time. Ties (same ts) DO advance (>= contract), and NULL users are
+    excluded."""
+    from etl_reconciliate_ray.stages.funnel import funnel_partial
+
+    t = pd.to_datetime
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 3, 3, 3, None],
+        "ts": t([
+            "2024-01-02", "2024-01-01",      # u1: view@2, click@1 → no step2
+            "2024-01-01", "2024-01-01",      # u2: view & click same instant → step2
+            "2024-01-01", "2024-01-02", "2024-01-03",  # u3: full funnel
+            "2024-01-01",
+        ]),
+        "event_type": ["view", "click", "view", "click",
+                       "view", "click", "purchase", "view"],
+    })
+    out = funnel_partial(df, ["view", "click", "purchase"])
+    got = dict(zip(out["step"], out["n_users"]))
+    assert got == {"1:view": 3, "2:click": 2, "3:purchase": 1}
+
+
+def test_cohort_partial_counts_distinct_user_days():
+    """Two events of one user on one day collapse to a single cell
+    count; a later-day return lands in days_since > 0 of the SAME
+    cohort day."""
+    from etl_reconciliate_ray.stages.funnel import cohort_partial
+
+    t = pd.to_datetime
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": t(["2024-01-01 03:00", "2024-01-01 09:00",
+                 "2024-01-03 12:00", "2024-01-02 01:00"]),
+    })
+    out = cohort_partial(df)
+    cells = {
+        (r.cohort_day.strftime("%m-%d"), r.days_since): r.n_users
+        for r in out.itertuples()
+    }
+    assert cells == {("01-01", 0): 1, ("01-01", 2): 1, ("01-02", 0): 1}
