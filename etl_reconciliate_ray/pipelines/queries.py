@@ -821,6 +821,55 @@ def q_fk_integrity(sf_dir: str):
     })
 
 
+def q_anomaly_events(sf_dir: str):
+    """Per-group z-score outlier flags with an EXACT integer contract:
+    an event is an outlier when (x - mean)² > 9·var_pop within its
+    user's values — evaluated as (n·x − s)² > 9·(n·q − s²) in scaled
+    integer cents (s = Σx, q = Σx²), so both engines compare the same
+    integers and no float boundary can flip a flag. Valid while
+    n·max|cents| < 3·10⁹ per group (int64 headroom); beyond that,
+    promote to HUGEINT/object — documented, not silently wrong.
+    One key-hash shuffle via window_functions group_sum/group_count."""
+    from ..stages.windowfns import window_functions
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "cents": cents,
+            "cents_sq": pc.multiply(cents, cents),
+        })
+
+    win = window_functions(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        key="user_id",
+        order_by=["event_id"],
+        group_sum={"s": "cents", "q": "cents_sq"},
+        group_count="n",
+        keep=["event_id", "user_id", "cents"],
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        dev = n * c - s
+        out = (n >= 2) & (dev * dev > 9 * (n * q - s * s))
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "cents": t["cents"],
+            "is_outlier": pa.array(out.astype(np.int64), pa.int64()),
+        })
+
+    return win.map_batches(flag, batch_format="pyarrow")
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -2609,6 +2658,7 @@ QUERIES = {
     "fk_integrity": q_fk_integrity,
     "funnel_events": q_funnel_events,
     "cohort_retention": q_cohort_retention,
+    "anomaly_events": q_anomaly_events,
 }
 
 ORACLE_SQL = {
@@ -3185,6 +3235,19 @@ ORACLE_SQL = {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
         "SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n "
         "FROM o WHERE rn > 1 GROUP BY prev, event_type"
+    ),
+    "anomaly_events": (
+        "WITH c AS (SELECT event_id, user_id, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents "
+        "FROM events WHERE value IS NOT NULL), "
+        "w AS (SELECT event_id, user_id, cents, "
+        "CAST(COUNT(*) OVER p AS BIGINT) AS n, "
+        "CAST(SUM(cents) OVER p AS BIGINT) AS s, "
+        "CAST(SUM(cents * cents) OVER p AS BIGINT) AS q "
+        "FROM c WINDOW p AS (PARTITION BY user_id)) "
+        "SELECT event_id, user_id, cents, "
+        "CAST(CASE WHEN n >= 2 AND (n * cents - s) * (n * cents - s) "
+        "> 9 * (n * q - s * s) THEN 1 ELSE 0 END AS BIGINT) AS is_outlier FROM w"
     ),
     "funnel_events": (
         "WITH e AS (SELECT user_id, ts, event_type FROM events WHERE user_id IS NOT NULL), "

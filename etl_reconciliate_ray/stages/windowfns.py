@@ -57,6 +57,8 @@ def window_functions(
     last_value: dict[str, str] | None = None,
     group_min: dict[str, str] | None = None,
     group_max: dict[str, str] | None = None,
+    group_sum: dict[str, str] | None = None,
+    group_count: str | None = None,
     num_buckets: int = 16,
     keep: Sequence[str] | None = None,
 ):
@@ -92,6 +94,11 @@ def window_functions(
     ``MIN/MAX(src) OVER (PARTITION BY key)`` (whole-partition frame,
     order-independent). Source must be a null-free numeric column
     (segmented numpy reduceat; SQL's null-skipping is not replicated).
+    ``group_sum``: {output: source_col} — SQL ``SUM(src) OVER
+    (PARTITION BY key)``; same null-free int64 contract as cumsum
+    (pass pre-scaled integer columns for exactness).
+    ``group_count``: output name for SQL ``COUNT(*) OVER (PARTITION
+    BY key)`` (partition row count, order-independent).
     ``keep``: passthrough columns (default: key + order_by).
     """
     lag = dict(lag or {})
@@ -101,6 +108,7 @@ def window_functions(
     last_value = dict(last_value or {})
     group_min = dict(group_min or {})
     group_max = dict(group_max or {})
+    group_sum = dict(group_sum or {})
     keep = list(keep if keep is not None else [key, *order_by])
     sort_spec = [(key, "ascending")] + [(c, "ascending") for c in order_by]
 
@@ -199,6 +207,16 @@ def window_functions(
                 v = t[src].to_numpy(zero_copy_only=False)
                 red = ufunc.reduceat(v, starts)
                 cols[out] = pa.array(red[seg_of], pa.from_numpy_dtype(v.dtype))
+        if group_sum or group_count:
+            sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+            for out, src in group_sum.items():
+                v = (
+                    t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                red = np.add.reduceat(v, starts) if n else np.array([], np.int64)
+                cols[out] = pa.array(red[seg_of], pa.int64())
+            if group_count:
+                cols[group_count] = pa.array(sizes[seg_of], pa.int64())
         for out, src in cumsum.items():
             # SQL SUM ignores NULLs: fill before leaving Arrow so an
             # int64 column with nulls never round-trips through float

@@ -52,6 +52,7 @@ def _case_unique_order(rows):
             lag={"prev": "v"}, lead={"nxt": "v"}, cumsum={"cum": "v"},
             first_value={"fv": "v"}, last_value={"lv": "v"},
             group_min={"gmin": "o"}, group_max={"gmax": "o"},
+            group_sum={"gsum": "o"}, group_count="gcnt",
             num_buckets=3,
         )
         .to_pandas()
@@ -74,6 +75,8 @@ def _case_unique_order(rows):
     # partition MIN/MAX over the (null-free) order column
     assert out["gmin"].tolist() == g["o"].transform("min").tolist()
     assert out["gmax"].tolist() == g["o"].transform("max").tolist()
+    assert out["gsum"].tolist() == g["o"].transform("sum").tolist()
+    assert out["gcnt"].tolist() == g["o"].transform("size").tolist()
     for got, want in ((out["prev"], exp_prev), (out["nxt"], exp_nxt),
                       (out["fv"], exp_fv), (out["lv"], exp_lv)):
         for a, b in zip(got.tolist(), want.tolist()):
