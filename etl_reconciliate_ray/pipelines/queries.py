@@ -285,6 +285,17 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, _query_vectors(sf_dir), k=5, num_lists=8, nprobe=4, train_sample=train)
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ADC top-k (rows-only: recall-traded
+    compression; recall asserted vs exact knn in a unit test). The
+    32×-compressed m-byte codes are what a 100 TB corpus keeps hot."""
+    from ..stages.similarity import pq_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    train = read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_topk(ds, _query_vectors(sf_dir), k=5, m=8, kcodes=32, train_sample=train)
+
+
 # ---------------------------------------------------------------- text
 def q_token_stats(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2659,6 +2670,7 @@ QUERIES = {
     "funnel_events": q_funnel_events,
     "cohort_retention": q_cohort_retention,
     "anomaly_events": q_anomaly_events,
+    "ann_pq": q_ann_pq,
 }
 
 ORACLE_SQL = {

@@ -343,3 +343,150 @@ def ivf_topk(
         )
 
     return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def _pq_train(
+    sample: np.ndarray, m: int, kcodes: int, seed: int = 42, iters: int = 8
+) -> np.ndarray:
+    """Product-quantization codebooks: split the (normalized) vectors
+    into ``m`` contiguous subspaces and run a tiny seeded k-means in
+    each — returns (m, kcodes, d/m). Deterministic in its inputs
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011)."""
+    n, d = sample.shape
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(kcodes, n), sub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cents = x[rng.choice(n, size=min(kcodes, n), replace=False)].copy()
+        for _ in range(iters):
+            # L2 assignment within the subspace
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _pq_codes(emb: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode (n, d) vectors to (n, m) uint8 codes against the
+    codebooks — nearest subspace centroid by L2, fully vectorized per
+    subspace."""
+    m, kc, sub = books.shape
+    n = emb.shape[0]
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        x = emb[:, j * sub : (j + 1) * sub]
+        d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(
+    emb_ds,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Map-only PQ encoding: each vector compresses to m bytes
+    (d·4 bytes → m bytes, e.g. 256 B → 8 B at d=64, m=8) — the format
+    a 100 TB corpus keeps resident for ANN while full vectors stay in
+    cold storage. Codebooks are broadcast once via ray.put."""
+    import ray
+
+    ref = ray.put(books)
+
+    class Encode:
+        def __init__(self):
+            self.books = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = _normalize(_emb_matrix(batch[emb_col]))
+            codes = _pq_codes(emb, self.books)
+            return pd.DataFrame({
+                id_col: batch[id_col].to_numpy(),
+                "pq_code": [c.tobytes() for c in codes],
+            })
+
+    return emb_ds.map_batches(
+        Encode, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+def pq_topk(
+    emb_ds,
+    query_df: pd.DataFrame,
+    k: int = 5,
+    m: int = 8,
+    kcodes: int = 32,
+    rerank: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    train_sample: pd.DataFrame | None = None,
+    seed: int = 42,
+):
+    """PQ approximate top-k: asymmetric distance computation (ADC)
+    shortlists ``rerank*k`` candidates per batch — each query
+    precomputes an (m × kcodes) lookup table of subspace dot products
+    ONCE, and a candidate's ADC score is m table gathers summed — then
+    only the shortlist is re-scored exactly against the full vectors
+    already in the batch (the ADC+R re-rank of Jégou et al. 2011 §V;
+    exact work drops from O(n·d) to O(rerank·k·d) per query). Same
+    output contract as ivf_topk / ann_lsh_topk (query_id, neighbor_id,
+    rank); global reduce shuffles O(batches × k) rows."""
+    import ray
+
+    train = train_sample if train_sample is not None else query_df
+    books = _pq_train(_normalize(_emb_matrix(train[emb_col])), m, kcodes, seed=seed)
+    qmat = _normalize(_emb_matrix(query_df[emb_col]))
+    qids = query_df[id_col].to_numpy()
+    mm, kc, sub = books.shape
+    # LUT[q, j, c] = <query subvector j, codebook[j][c]>
+    lut = np.einsum("qjs,jcs->qjc", qmat.reshape(len(qmat), mm, sub), books)
+    ref = ray.put((qids, qmat, lut, books))
+    shortlist = rerank * k
+
+    class PQTopK:
+        def __init__(self):
+            self.qids, self.qmat, self.lut, self.books = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = _normalize(_emb_matrix(batch[emb_col]))
+            ids = batch[id_col].to_numpy()
+            codes = _pq_codes(emb, self.books)  # (n, m)
+            rows = []
+            j_idx = np.arange(codes.shape[1])
+            for qi, qid in enumerate(self.qids):
+                # ADC: sum over subspaces of LUT gathers
+                s_adc = self.lut[qi][j_idx, codes].sum(axis=1)
+                cand = np.flatnonzero(ids != qid)
+                if len(cand) > shortlist:
+                    keep = np.argpartition(-s_adc[cand], shortlist)[:shortlist]
+                    cand = cand[keep]
+                # exact re-rank of the shortlist only
+                s = emb[cand] @ self.qmat[qi]
+                order = np.lexsort((ids[cand], -s))[:k]
+                for o in order:
+                    rows.append((int(qid), int(ids[cand[o]]), float(s[o])))
+            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    local = emb_ds.map_batches(
+        PQTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].to_numpy(),
+            "neighbor_id": g["neighbor_id"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")

@@ -558,3 +558,62 @@ def test_bloom_prefilter_properties(ray_session):
     # definitely-absent fast path is a correct SUBSET of the anti result
     anti_fast = set(bloom_prefilter(ds, bloom, on="k", invert=True).to_pandas()["k"])
     assert anti_fast <= {k for k in df["k"] if k not in exact}
+
+
+def test_pq_recall_vs_exact_knn(ray_session):
+    """PQ-ADC top-k must keep high recall vs exact knn on sf0.001, and
+    a degenerate codebook (kcodes >= corpus, m=1 would be exact) isn't
+    used — this exercises real 8-subspace compression."""
+    import pyarrow.parquet as pq
+
+    from etl_reconciliate_ray.pipelines.queries import _query_vectors
+    from etl_reconciliate_ray.sources.catalog import read_table
+    from etl_reconciliate_ray.stages.similarity import knn_cosine, pq_topk
+
+    q = _query_vectors(SF_DIR)
+    train = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+
+    def pairs(df):
+        return set(map(tuple, df[["query_id", "neighbor_id"]].to_numpy()))
+
+    exact = pairs(
+        knn_cosine(
+            read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"]), q, k=5
+        ).to_pandas()
+    )
+    approx = pairs(
+        pq_topk(
+            read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"]),
+            q, k=5, m=8, kcodes=32, train_sample=train,
+        ).to_pandas()
+    )
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_pq_encode_compresses_and_is_deterministic(ray_session):
+    """pq_encode emits exactly m bytes per vector and identical codes
+    across two runs (broadcast codebooks, seeded training)."""
+    import pyarrow.parquet as pq
+
+    from etl_reconciliate_ray.sources.catalog import read_table
+    from etl_reconciliate_ray.stages.similarity import (
+        _emb_matrix,
+        _normalize,
+        _pq_train,
+        pq_encode,
+    )
+
+    train = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    books = _pq_train(_normalize(_emb_matrix(train["embedding"])), m=8, kcodes=32)
+    ds = read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"])
+    a = pq_encode(ds, books).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = pq_encode(ds, books).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert (a["pq_code"].str.len() == 8).all()
+    assert a.equals(b)
+    # codes must discriminate: not all vectors share one code word
+    assert a["pq_code"].nunique() > len(a) // 2
