@@ -1674,6 +1674,19 @@ def q_term_stats(sf_dir: str):
     return term_stats(ds)
 
 
+BM25_QUERY_TERMS = ["merge", "window", "customer"]
+
+
+def q_bm25_docs(sf_dir: str):
+    """BM25 ranked retrieval (stages/textstage.bm25_topk): top-10 docs
+    for a fixed query-term bag; ranking on the e4-rounded integer
+    score so the float-sum order is engine-exact vs the oracle."""
+    from ..stages.textstage import bm25_topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, BM25_QUERY_TERMS, k=10)
+
+
 def q_cum_distinct_events(sf_dir: str):
     """Running distinct count (cumulative cardinality): after each
     event, how many DISTINCT event types its user has produced so far —
@@ -2618,6 +2631,7 @@ QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "melt_lineitem": q_melt_lineitem,
     "term_stats": q_term_stats,
+    "bm25_docs": q_bm25_docs,
     "postings_terms": q_postings_terms,
     "minmax_norm_events": q_minmax_norm_events,
     "cum_distinct_events": q_cum_distinct_events,
@@ -2947,6 +2961,24 @@ ORACLE_SQL = {
         "FROM (SELECT term, doc_id, COUNT(*) AS c FROM ("
         "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
         "FROM documents) WHERE term <> '' GROUP BY term, doc_id) GROUP BY term"
+    ),
+    "bm25_docs": (
+        "WITH dl AS (SELECT doc_id, len(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS dl "
+        "FROM documents), "
+        "st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
+        "FROM documents) WHERE term IN ('merge', 'window', 'customer') "
+        "GROUP BY doc_id, term), "
+        "idf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term), "
+        "sc AS (SELECT tf.doc_id, SUM("
+        "ln((st.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1) * tf.tf * 2.2 / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score "
+        "FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN st "
+        "GROUP BY tf.doc_id) "
+        "SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4 "
+        "FROM sc ORDER BY score_e4 DESC, doc_id LIMIT 10"
     ),
     "cum_distinct_events": (
         "WITH f AS (SELECT event_id, user_id, ts, "

@@ -370,3 +370,110 @@ def compression_ratio(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "doc_id": ids,
         "zlib_permille": pa.array(ratios, pa.int64()),
     })
+
+
+def bm25_topk(
+    ds,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+):
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009): top-k
+    documents for a bag of query terms, scored
+
+        sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+        idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)
+
+    over lowercase whitespace tokens (the corpus-wide tokenization
+    every text query here shares). Two passes, both scale-safe:
+
+    1. corpus stats — map-only per-doc token counts reduced to the two
+       scalars (N, avgdl); at 100 TB these are computed once and
+       cached, exactly like an IR system's index-time stats.
+    2. candidates — the explode is filtered to ``query_terms`` BEFORE
+       anything leaves the batch, so only the postings working set
+       (doc_id, term, tf, dl) survives: O(matching postings), never
+       O(corpus tokens). df per term is a ≤|Q|-row aggregate of that
+       set; scoring joins the tiny idf table broadcast-style inside
+       ``map_groups`` per doc.
+
+    Scores are emitted as ``score_e4`` integers (round(score*1e4)) and
+    the ranking orders on the ROUNDED score — float-sum associativity
+    can differ between engines by an ulp, so ranking on the integer
+    makes the (score_e4 DESC, doc_id ASC) order engine-exact against
+    the SQL oracle. The candidate set is materialized once (it is the
+    small side); the corpus is never collected.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean
+
+    qset = pa.array(sorted(set(t.lower() for t in query_terms)), pa.string())
+
+    def doc_len(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dl = np.bincount(parent[keep], minlength=t.num_rows)
+        return pa.table({"dl": pa.array(dl, pa.int64())})
+
+    stats = ds.map_batches(doc_len, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"), Mean(on="dl", alias_name="avgdl")
+    )
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+
+    def candidates(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep_np = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dl = np.bincount(parent[keep_np], minlength=t.num_rows)
+        hit = pc.and_(pc.not_equal(flat, ""), pc.is_in(flat, value_set=qset))
+        hit_np = hit.to_numpy(zero_copy_only=False)
+        # group on the batch-local row ordinal so doc_id and dl can
+        # both be gathered positionally afterwards — no per-row dict
+        pairs = pa.table({
+            "term": pc.filter(flat, hit),
+            "row": pa.array(parent[hit_np], pa.int64()),
+        })
+        red = pairs.group_by(["term", "row"], use_threads=False).aggregate(
+            [("term", "count")]
+        )
+        row = red["row"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": red["term"],
+            "doc_id": pc.take(t[doc_id_col], red["row"]),
+            "tf": pc.cast(red["term_count"], pa.int64()),
+            "dl": pa.array(dl[row], pa.int64()),
+        })
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow").materialize()
+    df_rows = cand.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    idf = {
+        r["term"]: float(np.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0))
+        for r in df_rows
+    }
+
+    def score_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("term", kind="stable")
+        tf = g["tf"].to_numpy(dtype=np.float64)
+        dl = float(g["dl"].iloc[0])
+        w = np.array([idf[t] for t in g["term"]])
+        s = float(
+            (w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))).sum()
+        )
+        return pd.DataFrame({
+            "doc_id": [int(g["doc_id"].iloc[0])],
+            "score_e4": [int(round(s * 10000))],
+        })
+
+    return (
+        cand.groupby("doc_id")
+        .map_groups(score_doc, batch_format="pandas")
+        .sort(["score_e4", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
