@@ -1674,6 +1674,18 @@ def q_term_stats(sf_dir: str):
     return term_stats(ds)
 
 
+def q_resample_locf_events(sf_dir: str):
+    """Daily resample + LOCF gap-fill per user (stages/timeseries):
+    map-side (key, day) partials, one key-hash shuffle, per-key
+    calendar expansion bounded by the activity span."""
+    from ..stages.timeseries import resample_locf
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return resample_locf(ds, key="user_id", unit="day")
+
+
 BM25_QUERY_TERMS = ["merge", "window", "customer"]
 
 
@@ -2632,6 +2644,7 @@ QUERIES = {
     "melt_lineitem": q_melt_lineitem,
     "term_stats": q_term_stats,
     "bm25_docs": q_bm25_docs,
+    "resample_locf_events": q_resample_locf_events,
     "postings_terms": q_postings_terms,
     "minmax_norm_events": q_minmax_norm_events,
     "cum_distinct_events": q_cum_distinct_events,
@@ -2961,6 +2974,27 @@ ORACLE_SQL = {
         "FROM (SELECT term, doc_id, COUNT(*) AS c FROM ("
         "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
         "FROM documents) WHERE term <> '' GROUP BY term, doc_id) GROUP BY term"
+    ),
+    "resample_locf_events": (
+        "WITH e AS (SELECT user_id, "
+        "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, event_id, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+        "b AS (SELECT user_id, day, COUNT(*) AS n FROM e GROUP BY 1, 2), "
+        "lv AS (SELECT user_id, day, "
+        "FIRST(cents ORDER BY ts DESC, event_id DESC) AS last_cents "
+        "FROM e WHERE cents IS NOT NULL GROUP BY 1, 2), "
+        "span AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM b GROUP BY 1), "
+        "cal AS (SELECT user_id, "
+        "unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM span), "
+        "j AS (SELECT cal.user_id, cal.day, COALESCE(b.n, 0) AS n, lv.last_cents "
+        "FROM cal LEFT JOIN b ON cal.user_id = b.user_id AND cal.day = b.day "
+        "LEFT JOIN lv ON cal.user_id = lv.user_id AND cal.day = lv.day) "
+        "SELECT user_id, day, CAST(n AS BIGINT) AS n_events, "
+        "CAST(COALESCE(last_value(last_cents IGNORE NULLS) OVER ("
+        "PARTITION BY user_id ORDER BY day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) "
+        "AS locf_cents FROM j"
     ),
     "bm25_docs": (
         "WITH dl AS (SELECT doc_id, len(list_filter("

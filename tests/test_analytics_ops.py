@@ -841,3 +841,43 @@ def test_cohort_partial_counts_distinct_user_days():
         for r in out.itertuples()
     }
     assert cells == {("01-01", 0): 1, ("01-01", 2): 1, ("01-02", 0): 1}
+
+
+def test_resample_locf_gapfill_semantics(ray_session):
+    """Planted stream: user 1 has a 2-day gap (0-event days appear
+    with the value carried forward), a leading null value (locf stays
+    0 until the first observation), and a same-day pair where the
+    later (ts, event_id) wins; null-keyed rows are dropped."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.timeseries import resample_locf
+
+    t = pd.to_datetime
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": pd.array([1, 1, 1, 1, 2, None], dtype="Int64"),
+        "ts": t([
+            "2024-01-01 05:00", "2024-01-01 07:00",  # same day: id 2 wins
+            "2024-01-04 01:00",                       # after a 2-day gap
+            "2024-01-05 01:00", "2024-01-02 01:00", None,
+        ]),
+        "value": [None, 2.5, 7.0, None, 9.0, 1.0],
+    })
+    out = (
+        resample_locf(rd.from_pandas(df), key="user_id", unit="day")
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    got = [
+        (int(r.user_id), r.day.strftime("%m-%d"), int(r.n_events), int(r.locf_cents))
+        for r in out.itertuples()
+    ]
+    assert got == [
+        (1, "01-01", 2, 250),   # null value ignored, id 2's 2.50 wins
+        (1, "01-02", 0, 250),   # gap day, carried forward
+        (1, "01-03", 0, 250),
+        (1, "01-04", 1, 700),
+        (1, "01-05", 1, 700),   # day present but value null: LOCF holds
+        (2, "01-02", 1, 900),
+    ]
