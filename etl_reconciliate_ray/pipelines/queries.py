@@ -1674,6 +1674,16 @@ def q_term_stats(sf_dir: str):
     return term_stats(ds)
 
 
+def q_fuzzy_part_names(sf_dir: str):
+    """Edit-distance self-join over distinct part names (stages/fuzzy):
+    prefix-filtered q-gram candidates + banded DP verify — EXACT vs
+    the DuckDB levenshtein oracle, not a recall check."""
+    from ..stages.fuzzy import fuzzy_self_join
+
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+    return fuzzy_self_join(ds, "p_name", k=2, q=2)
+
+
 def q_resample_locf_events(sf_dir: str):
     """Daily resample + LOCF gap-fill per user (stages/timeseries):
     map-side (key, day) partials, one key-hash shuffle, per-key
@@ -2645,6 +2655,7 @@ QUERIES = {
     "term_stats": q_term_stats,
     "bm25_docs": q_bm25_docs,
     "resample_locf_events": q_resample_locf_events,
+    "fuzzy_part_names": q_fuzzy_part_names,
     "postings_terms": q_postings_terms,
     "minmax_norm_events": q_minmax_norm_events,
     "cum_distinct_events": q_cum_distinct_events,
@@ -2974,6 +2985,13 @@ ORACLE_SQL = {
         "FROM (SELECT term, doc_id, COUNT(*) AS c FROM ("
         "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
         "FROM documents) WHERE term <> '' GROUP BY term, doc_id) GROUP BY term"
+    ),
+    "fuzzy_part_names": (
+        "WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL) "
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, "
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+        "FROM n a JOIN n b ON a.p_name < b.p_name "
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2"
     ),
     "resample_locf_events": (
         "WITH e AS (SELECT user_id, "

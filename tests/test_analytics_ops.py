@@ -881,3 +881,64 @@ def test_resample_locf_gapfill_semantics(ray_session):
         (1, "01-05", 1, 700),   # day present but value null: LOCF holds
         (2, "01-02", 1, 900),
     ]
+
+
+def test_fuzzy_self_join_exact_with_short_pool(ray_session):
+    """Planted values exercise both candidate paths: normal strings
+    through the prefix-filter grams, and strings below q*(k+1) chars
+    through the short all-pairs pool. Result must equal a brute-force
+    banded-DP oracle over all distinct pairs."""
+    import itertools
+
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.fuzzy import (
+        _edit_distance_banded,
+        fuzzy_self_join,
+    )
+
+    vals = [
+        "red widget", "red wigdet", "red widgets",  # dist 2 / 1 chains
+        "blue bolt", "blue belt", "glue belt",
+        "abc", "abd", "xyz", "ab",                   # short pool (< 6)
+        "completely different string", None, "red widget",  # dup + null
+    ]
+    ds = rd.from_items([{"p_name": v} for v in vals])
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_self_join(ds, "p_name", k=2, q=2).to_pandas().itertuples()
+    }
+    distinct = sorted(set(v for v in vals if v is not None))
+    want = set()
+    for a, b in itertools.combinations(distinct, 2):
+        d = _edit_distance_banded(a, b, 2)
+        if d <= 2:
+            want.add((a, b, d))
+    assert got == want and len(want) >= 4
+
+
+def test_edit_distance_banded_matches_unbanded():
+    """Banded DP agrees with a plain Wagner-Fischer reference on a
+    grid of word pairs, including > k early exits."""
+    from etl_reconciliate_ray.stages.fuzzy import _edit_distance_banded
+
+    def full(a, b):
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j]
+            for i, ca in enumerate(a, 1):
+                cur.append(
+                    prev[i - 1] if ca == cb
+                    else 1 + min(prev[i - 1], prev[i], cur[-1])
+                )
+            prev = cur
+        return prev[-1]
+
+    words = ["", "a", "ab", "abc", "abcd", "hot gear", "red gear",
+             "red bolt", "small ring", "smal ring", "small rings"]
+    for a in words:
+        for b in words:
+            for k in (1, 2, 3):
+                d = full(a, b)
+                got = _edit_distance_banded(a, b, k)
+                assert got == (d if d <= k else k + 1), (a, b, k, d, got)
