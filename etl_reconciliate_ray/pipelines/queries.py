@@ -2252,6 +2252,44 @@ def q_left_join_customer_events(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_moments_events(sf_dir: str):
+    """Grouped skewness + excess kurtosis via mergeable M3/M4 central
+    moments (stages/stats.grouped_higher_moments, Pébay 2008): the
+    distribution-shape drift monitor, single pass, partial-row
+    shuffle only."""
+    from ..stages.stats import grouped_higher_moments
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_higher_moments(ds, keys=["event_type"], x="value")
+
+
+def q_custdist_orders(sf_dir: str):
+    """Degree distribution (TPC-H Q13 shape): orders-per-customer
+    histogram including zero-order customers. Orders pre-aggregate to
+    one row per customer map-side, LEFT join keeps the no-order
+    customers, and the distribution is a second tiny groupby over
+    counts — both shuffles carry aggregates, never raw rows."""
+    ord_ = read_table(sf_dir, "orders", columns=["o_custkey"])
+    ord_counts = preagg_groupby(ord_, keys=["o_custkey"], count_alias="n")
+    ord_counts = ord_counts.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"], "n": t["n"]}),
+        batch_format="pyarrow",
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    j = hash_join(cust, ord_counts, on="c_custkey", how="left", num_buckets=16)
+
+    def to_count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_count": pc.fill_null(pc.cast(t["n"], pa.int64()), 0)}
+        )
+
+    return preagg_groupby(
+        j.map_batches(to_count, batch_format="pyarrow"),
+        keys=["c_count"],
+        count_alias="custdist",
+    )
+
+
 def q_quarantine_docs(sf_dir: str):
     """Dead-letter split (stages/quarantine.py): documents failing
     ordered validity rules (tiny_text, then oversize) are routed to a
@@ -2656,6 +2694,8 @@ QUERIES = {
     "bm25_docs": q_bm25_docs,
     "resample_locf_events": q_resample_locf_events,
     "fuzzy_part_names": q_fuzzy_part_names,
+    "custdist_orders": q_custdist_orders,
+    "moments_events": q_moments_events,
     "postings_terms": q_postings_terms,
     "minmax_norm_events": q_minmax_norm_events,
     "cum_distinct_events": q_cum_distinct_events,
@@ -2985,6 +3025,19 @@ ORACLE_SQL = {
         "FROM (SELECT term, doc_id, COUNT(*) AS c FROM ("
         "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
         "FROM documents) WHERE term <> '' GROUP BY term, doc_id) GROUP BY term"
+    ),
+    "moments_events": (
+        "SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n, "
+        "CAST(ROUND(skewness(value) * 1000000) AS BIGINT) AS skew_e6, "
+        "CAST(ROUND(kurtosis(value) * 1000000) AS BIGINT) AS kurt_e6 "
+        "FROM events GROUP BY event_type"
+    ),
+    "custdist_orders": (
+        "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+        "SELECT c_custkey, CAST(COALESCE(n, 0) AS BIGINT) AS c_count "
+        "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n "
+        "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey) "
+        "GROUP BY c_count"
     ),
     "fuzzy_part_names": (
         "WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL) "

@@ -107,3 +107,93 @@ def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None):
         .groupby(keys)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def _pebay_fold(g: pd.DataFrame) -> tuple[float, float, float, float, float]:
+    """Merge per-batch (n, mean, M2, M3, M4) partials with Pébay's
+    pairwise update (Pébay 2008, SAND2008-6212 — the M3/M4 analogue of
+    Chan's M2 combiner). Returns (n, mean, M2, M3, M4)."""
+    n, mx, m2, m3, m4 = 0.0, 0.0, 0.0, 0.0, 0.0
+    for row in g.itertuples(index=False):
+        nb = float(row.n)
+        if nb == 0:
+            continue
+        mb, m2b, m3b, m4b = row.mean_x, row.m2_x, row.m3_x, row.m4_x
+        tot = n + nb
+        d = mb - mx
+        d2 = d * d
+        m4 = (
+            m4 + m4b
+            + d2 * d2 * n * nb * (n * n - n * nb + nb * nb) / (tot**3)
+            + 6.0 * d2 * (n * n * m2b + nb * nb * m2) / (tot**2)
+            + 4.0 * d * (n * m3b - nb * m3) / tot
+        )
+        m3 = (
+            m3 + m3b
+            + d * d2 * n * nb * (n - nb) / (tot**2)
+            + 3.0 * d * (n * m2b - nb * m2) / tot
+        )
+        m2 = m2 + m2b + d2 * n * nb / tot
+        mx = mx + d * nb / tot
+        n = tot
+    return n, mx, m2, m3, m4
+
+
+def grouped_higher_moments(ds, keys: Sequence[str], x: str):
+    """Per-key adjusted sample skewness and excess kurtosis — the
+    distribution-shape drift monitors (a quality-score column going
+    heavy-tailed is invisible to mean/variance). Same single-pass
+    mergeable-sketch shape as ``grouped_stats``: batches emit centered
+    (n, mean, M2, M3, M4) partials, one O(keys × batches) shuffle,
+    Pébay's exact pairwise merge per key. Estimators match DuckDB /
+    pandas adjusted conventions:
+
+        skew = g1·sqrt(n(n-1))/(n-2),          g1 = (M3/n)/(M2/n)^1.5
+        kurt = ((n+1)·g2 + 6)·(n-1)/((n-2)(n-3)), g2 = n·M4/M2² - 3
+
+    Returns (keys, n, skew_e6, kurt_e6) with the e6-rounded integer
+    contract (float merge order differs between engines by ulps; the
+    rounding makes the comparison exact)."""
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, observed=True, dropna=False)
+        d = df[x] - g[x].transform("mean")
+        work = pd.DataFrame({
+            "__d2": d * d, "__d3": d * d * d, "__d4": (d * d) * (d * d)
+        })
+        for k in keys:
+            work[k] = df[k]
+        w = work.groupby(keys, sort=False, observed=True, dropna=False)
+        out = pd.DataFrame({
+            "n": g[x].count().astype("int64"),
+            "mean_x": g[x].mean(),
+            "m2_x": w["__d2"].sum(),
+            "m3_x": w["__d3"].sum(),
+            "m4_x": w["__d4"].sum(),
+        })
+        return out.reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n, _, m2, m3, m4 = _pebay_fold(g)
+        row = {k: [g.iloc[0][k]] for k in keys}
+        row["n"] = [int(n)]
+        if n > 2 and m2 > 0:
+            g1 = (m3 / n) / (m2 / n) ** 1.5
+            skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+            row["skew_e6"] = [int(round(skew * 1e6))]
+        else:
+            row["skew_e6"] = [None]
+        if n > 3 and m2 > 0:
+            g2 = n * m4 / (m2 * m2) - 3.0
+            kurt = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+            row["kurt_e6"] = [int(round(kurt * 1e6))]
+        else:
+            row["kurt_e6"] = [None]
+        return pd.DataFrame(row).astype({"skew_e6": "Int64", "kurt_e6": "Int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -942,3 +942,36 @@ def test_edit_distance_banded_matches_unbanded():
                 d = full(a, b)
                 got = _edit_distance_banded(a, b, k)
                 assert got == (d if d <= k else k + 1), (a, b, k, d, got)
+
+
+def test_higher_moments_merge_matches_single_pass(ray_session):
+    """Pébay M3/M4 merge across many small batches must equal pandas'
+    single-pass adjusted skew/kurt exactly (to e6 rounding), including
+    a skewed heavy-tailed group and a group with nulls."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.stats import grouped_higher_moments
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": np.repeat(["a", "b", "c"], 400),
+        "v": np.concatenate([
+            rng.normal(5, 2, 400),
+            rng.lognormal(0, 1.2, 400),       # heavy right tail
+            rng.uniform(-1, 1, 400),
+        ]),
+    })
+    df.loc[df.sample(60, random_state=0).index, "v"] = np.nan
+    # many small blocks → many partials per key → real merge work
+    ds = rd.from_pandas(df).repartition(16)
+    out = (
+        grouped_higher_moments(ds, keys=["k"], x="v")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for k, g in df.groupby("k"):
+        v = g["v"].dropna()
+        assert out.loc[k, "n"] == len(v)
+        assert out.loc[k, "skew_e6"] == int(round(v.skew() * 1e6))
+        assert out.loc[k, "kurt_e6"] == int(round(v.kurt() * 1e6))
