@@ -1743,6 +1743,41 @@ def q_cum_distinct_events(sf_dir: str):
     )
 
 
+def q_ewma_events(sf_dir: str):
+    """Per-user exponentially-weighted moving average of event values
+    (alpha=0.3, adjust=False recursion e_i = a·v_i + (1-a)·e_{i-1}) —
+    the classic streaming-feature smoother. Sequential per key but
+    embarrassingly parallel across keys: one user-hash shuffle, then
+    pandas' C-speed ewm per bucket. Not ANSI-SQL-expressible without
+    either a recursive CTE or an overflow-prone pow(1-a, -rn) prefix
+    trick, so rows-only for the driver; exactness is unit-tested
+    against the recursion definition and across repartitionings
+    (tests/test_analytics_ops.py)."""
+    from ..functions.hashing import hash64
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["value"])))
+        b = (hash64(t["user_id"]) % np.uint64(32)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        e = df.groupby("user_id", sort=False)["value"].transform(
+            lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+        )
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ewma_e6": np.round(e * 1e6).astype("int64"),
+        })
+
+    return rd_groupby_bucket(
+        ds.map_batches(tag, batch_format="pyarrow"), per_bucket
+    )
+
+
 def q_minmax_norm_events(sf_dir: str):
     """Per-group min-max feature normalization (the ML-prep scaling
     step): each event's value rescaled to [0, 1e6] within its user's
@@ -2696,6 +2731,7 @@ QUERIES = {
     "fuzzy_part_names": q_fuzzy_part_names,
     "custdist_orders": q_custdist_orders,
     "moments_events": q_moments_events,
+    "ewma_events": q_ewma_events,
     "postings_terms": q_postings_terms,
     "minmax_norm_events": q_minmax_norm_events,
     "cum_distinct_events": q_cum_distinct_events,

@@ -975,3 +975,37 @@ def test_higher_moments_merge_matches_single_pass(ray_session):
         assert out.loc[k, "n"] == len(v)
         assert out.loc[k, "skew_e6"] == int(round(v.skew() * 1e6))
         assert out.loc[k, "kurt_e6"] == int(round(v.kurt() * 1e6))
+
+
+def test_ewma_matches_recursion_and_is_partition_invariant(ray_session):
+    """ewma_events must equal the literal recursion e_1 = v_1,
+    e_i = a·v_i + (1-a)·e_{i-1} per user in (ts, event_id) order, and
+    be identical regardless of input partitioning."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from etl_reconciliate_ray.pipelines.queries import q_ewma_events
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        q_ewma_events(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    raw = (
+        pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "value"])
+        .to_pandas()
+        .dropna(subset=["user_id", "value"])
+        .sort_values(["user_id", "ts", "event_id"], kind="stable")
+    )
+    want = {}
+    for uid, g in raw.groupby("user_id"):
+        e = None
+        for r in g.itertuples():
+            e = r.value if e is None else 0.3 * r.value + 0.7 * e
+            want[r.event_id] = int(round(e * 1e6))
+    assert len(out) == len(want)
+    got = dict(zip(out["event_id"], out["ewma_e6"]))
+    assert got == want
