@@ -259,6 +259,25 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return verify_pairs_distributed(pairs, ds, threshold=0.8)
 
 
+def q_pagerank_docs(sf_dir: str):
+    """PageRank over the LSH near-dup candidate graph (stages/graph):
+    ranks the most central document of each duplicate neighborhood —
+    the canonical-representative pick. Iterated join + groupby-sum
+    rounds, nothing corpus-sized on the driver; rows-only (iterative,
+    not ANSI-SQL-expressible) with star/cycle/numpy-reference property
+    tests."""
+    from ..stages.dedup import lsh_candidate_pairs
+    from ..stages.graph import pagerank
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    nodes = ds.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    edges = lsh_candidate_pairs(ds)
+    return pagerank(nodes, edges, damping=0.85, iters=8)
+
+
 # ---------------------------------------------------------------- similarity
 def _query_vectors(sf_dir: str) -> pd.DataFrame:
     df = read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -2732,6 +2751,7 @@ QUERIES = {
     "custdist_orders": q_custdist_orders,
     "moments_events": q_moments_events,
     "ewma_events": q_ewma_events,
+    "pagerank_docs": q_pagerank_docs,
     "postings_terms": q_postings_terms,
     "minmax_norm_events": q_minmax_norm_events,
     "cum_distinct_events": q_cum_distinct_events,

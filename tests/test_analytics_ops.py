@@ -1009,3 +1009,69 @@ def test_ewma_matches_recursion_and_is_partition_invariant(ray_session):
     assert len(out) == len(want)
     got = dict(zip(out["event_id"], out["ewma_e6"]))
     assert got == want
+
+
+def _pagerank_numpy(n, edges, d=0.85, iters=10):
+    """Dense reference implementation of the exact same iteration."""
+    deg = np.zeros(n)
+    for s, t in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[deg == 0].sum()
+        nxt = np.full(n, (1.0 - d) / n + d * dang / n)
+        for s, t in edges:
+            nxt[t] += d * r[s] / deg[s]
+        r = nxt
+    return r
+
+
+def test_pagerank_star_cycle_and_reference(ray_session):
+    """Star: the hub outranks every leaf. Cycle: exactly uniform.
+    Random graph: matches a dense numpy power iteration of the same
+    formula to 1e-9. Ranks always sum to 1."""
+    import itertools
+    import random
+
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.graph import pagerank
+
+    def run(n, und_edges, iters=10, undirected=True):
+        nodes = rd.from_items(
+            [{"node": i} for i in range(n)], override_num_blocks=2
+        )
+        edges = rd.from_items(
+            [{"doc_a": a, "doc_b": b} for a, b in und_edges],
+            override_num_blocks=2,
+        )
+        out = (
+            pagerank(nodes, edges, iters=iters, undirected=undirected,
+                     num_buckets=2)
+            .to_pandas()
+            .set_index("node")["rank"]
+            .sort_index()
+        )
+        return out
+
+    # star 0-1..0-5 (undirected)
+    star = run(6, [(0, i) for i in range(1, 6)], iters=3)
+    assert abs(star.sum() - 1.0) < 1e-9
+    assert star[0] > star[1] * 2
+    assert np.allclose(star[1:], star[1], atol=1e-12)
+
+    # directed 4-cycle → exactly uniform
+    cyc = run(4, [(i, (i + 1) % 4) for i in range(4)], iters=2, undirected=False)
+    assert np.allclose(cyc, 0.25, atol=1e-12)
+
+    # random sparse graph incl. a dangling node, vs numpy reference
+    rng = random.Random(7)
+    n = 30
+    dir_edges = sorted({
+        (rng.randrange(n), rng.randrange(n)) for _ in range(60)
+    })
+    dir_edges = [(a, b) for a, b in dir_edges if a != b and a != n - 1]
+    got = run(n, dir_edges, iters=5, undirected=False)
+    want = _pagerank_numpy(n, dir_edges, iters=5)
+    assert abs(got.sum() - 1.0) < 1e-9
+    assert np.allclose(got.to_numpy(), want, atol=1e-9)
