@@ -3126,7 +3126,7 @@ ORACLE_SQL = {
     "bm25_docs": (
         "WITH dl AS (SELECT doc_id, len(list_filter("
         "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS dl "
-        "FROM documents), "
+        "FROM documents WHERE text IS NOT NULL), "
         "st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl), "
         "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM ("
         "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "

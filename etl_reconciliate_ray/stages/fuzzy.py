@@ -130,19 +130,28 @@ def fuzzy_self_join(ds, col: str, k: int = 2, q: int = 2):
             self.order = ray.get(order_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            grams, vals, shorts = [], [], []
+            grams, vals = [], []
             for s in t[col].to_pylist():
                 if len(s) < short_cut:
-                    shorts.append(s)
+                    # short values: the count filter can be void for a
+                    # short-short pair (T <= 0), so they all meet in one
+                    # sentinel pool (bounded: short strings over a finite
+                    # alphabet). A short-LONG pair still has T =
+                    # g_long - k*q >= 1 (the long side is >= q*(k+1) by
+                    # definition), so the gram filter applies — but only
+                    # if the short side emits its FULL gram set (its
+                    # partner's prefix is unknowable), else boundary
+                    # pairs like ('abcd', 'abcdef') are silently lost.
+                    for g in set(_grams(s, q)):
+                        grams.append(g)
+                        vals.append(s)
+                    grams.append("\x00short")
+                    vals.append(s)
                     continue
                 gs = sorted(set(_grams(s, q)), key=self.order.__getitem__)
                 for g in gs[:prefix_n]:
                     grams.append(g)
                     vals.append(s)
-            # short values all share one sentinel bucket (bounded pool)
-            for s in shorts:
-                grams.append("\x00short")
-                vals.append(s)
             return pa.table({
                 "gram": pa.array(grams, pa.string()),
                 "val": pa.array(vals, pa.string()),

@@ -86,25 +86,44 @@ def pagerank(
     if n_total == 0:
         return nodes_ds.map_batches(lambda t: empty, batch_format="pyarrow")
 
+    # OUTER join so an edge source absent from nodes_ds surfaces as a
+    # row with a null marker instead of silently vanishing from the
+    # inner message join (its rank mass would just leak). Undirected
+    # graphs route BOTH endpoints through deg, so this catches every
+    # undeclared endpoint; directed-graph unknown destinations are
+    # caught by the n_self check in the round reduce below.
     base = hash_join(
         nodes_ds.map_batches(
-            lambda t: pa.table({"node": _i64(t["node"])}), batch_format="pyarrow"
+            lambda t: pa.table({
+                "node": _i64(t["node"]),
+                "is_node": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow",
         ),
         deg,
         on="node",
-        how="left",
+        how="outer",
         num_buckets=num_buckets,
     )
-    # state: (node, s, deg) materialized; rank = d·s + add, add on the
-    # driver. Init s = 0, add = 1/N → uniform rank_0.
-    state = base.map_batches(
-        lambda t: pa.table({
+
+    def init_state(t: pa.Table) -> pa.Table:
+        marker = t["is_node"]
+        missing = pc.is_null(marker, nan_is_null=True)
+        bad = t.filter(missing)
+        if bad.num_rows:
+            raise ValueError(
+                "pagerank: edge endpoint(s) not present in nodes_ds: "
+                f"{bad['node'].to_pylist()[:5]}"
+            )
+        return pa.table({
             "node": _i64(t["node"]),
             "s": pa.array(np.zeros(t.num_rows)),
             "deg": pc.fill_null(pc.cast(t["deg"], pa.int64()), 0),
-        }),
-        batch_format="pyarrow",
-    ).materialize()
+        })
+
+    # state: (node, s, deg) materialized; rank = d·s + add, add on the
+    # driver. Init s = 0, add = 1/N → uniform rank_0.
+    state = base.map_batches(init_state, batch_format="pyarrow").materialize()
     add = 1.0 / n_total
 
     def _rank(t: pa.Table, add: float):
@@ -130,6 +149,7 @@ def pagerank(
                 "node": _i64(t["dst"]),
                 "w": pc.cast(t["w"], pa.float64()),
                 "self_deg": pa.array(np.zeros(t.num_rows, np.int64)),
+                "n_self": pa.array(np.zeros(t.num_rows, np.int64)),
             }),
             batch_format="pyarrow",
         )
@@ -144,6 +164,7 @@ def pagerank(
                 pc.if_else(pc.equal(t["deg"], 0), rank, pa.scalar(0.0))
             )
             dang = 0.0 if dang.as_py() is None else float(dang.as_py())
+            ones = pa.array(np.ones(t.num_rows + 1, np.int64))
             return pa.table({
                 "node": pa.concat_arrays([
                     _i64(t["node"]).combine_chunks(),
@@ -155,13 +176,18 @@ def pagerank(
                 "self_deg": pa.concat_arrays([
                     _i64(t["deg"]).combine_chunks(), pa.array([0], pa.int64()),
                 ]),
+                "n_self": ones,
             })
 
         red = (
             state.map_batches(self_fn, batch_format="pyarrow")
             .union(msgs)
             .groupby("node")
-            .aggregate(Sum(on="w", alias_name="s"), Sum(on="self_deg", alias_name="deg"))
+            .aggregate(
+                Sum(on="w", alias_name="s"),
+                Sum(on="self_deg", alias_name="deg"),
+                Sum(on="n_self", alias_name="n_self"),
+            )
             # cap the state's block count: union + groupby otherwise
             # grow blocks every round (state blocks + message blocks in,
             # as many out), making round k slower than round k-1
@@ -169,16 +195,29 @@ def pagerank(
             .materialize()
         )
         # one small vectorized pass over the materialized reduce output
-        dangling = red.map_batches(
-            lambda t: pa.table({
+        def dang_fn(t: pa.Table) -> pa.Table:
+            # a node row with no self contribution is a message to a
+            # destination that was never in nodes_ds — a directed-graph
+            # contract violation the outer join can't see
+            bad = t.filter(
+                pc.and_(
+                    pc.greater(t["node"], _SENTINEL), pc.equal(t["n_self"], 0)
+                )
+            )
+            if bad.num_rows:
+                raise ValueError(
+                    "pagerank: edge destination(s) not present in nodes_ds: "
+                    f"{bad['node'].to_pylist()[:5]}"
+                )
+            return pa.table({
                 "m": pc.if_else(
                     pc.equal(t["node"], _SENTINEL),
                     pc.cast(t["s"], pa.float64()),
                     pa.scalar(0.0),
                 )
-            }),
-            batch_format="pyarrow",
-        ).sum("m")
+            })
+
+        dangling = red.map_batches(dang_fn, batch_format="pyarrow").sum("m")
         dangling = float(dangling or 0.0)
         state = red
         add = (1.0 - d) / n_total + d * dangling / n_total

@@ -25,6 +25,25 @@ def _emb_matrix(series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in series])
 
 
+def _global_topk(k: int):
+    """Shared final reducer for every top-k stage: merge the per-batch
+    local top-ks into the global top-k per query, ordering by
+    (score desc, neighbor_id asc) for determinism; emits dense ranks."""
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].to_numpy(),
+            "neighbor_id": g["neighbor_id"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return global_topk
+
+
+
 def knn_cosine(
     emb_ds,
     query_df: pd.DataFrame,
@@ -68,18 +87,7 @@ def knn_cosine(
         LocalTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"],
-                "neighbor_id": g["neighbor_id"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            }
-        )
-
-    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
 
 
 def ann_lsh_topk(
@@ -130,17 +138,7 @@ def ann_lsh_topk(
         BucketTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].to_numpy(),
-                "neighbor_id": g["neighbor_id"].to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            }
-        )
-
-    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
 
 
 def cosine_dup_pairs(
@@ -332,17 +330,7 @@ def ivf_topk(
         IVFTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].to_numpy(),
-                "neighbor_id": g["neighbor_id"].to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            }
-        )
-
-    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
 
 
 def _pq_train(
@@ -355,6 +343,7 @@ def _pq_train(
     TPAMI 2011)."""
     n, d = sample.shape
     assert d % m == 0, f"dim {d} not divisible by m={m}"
+    assert kcodes <= 256, f"kcodes={kcodes} exceeds uint8 code range"
     sub = d // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, min(kcodes, n), sub), dtype=np.float64)
@@ -362,8 +351,10 @@ def _pq_train(
         x = sample[:, j * sub : (j + 1) * sub]
         cents = x[rng.choice(n, size=min(kcodes, n), replace=False)].copy()
         for _ in range(iters):
-            # L2 assignment within the subspace
-            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # L2 assignment via the matmul expansion (||x||² is
+            # constant per row): O(n·kcodes) memory, same argmin as
+            # the (n, kcodes, sub) broadcast form
+            d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
             assign = d2.argmin(axis=1)
             for c in range(len(cents)):
                 members = x[assign == c]
@@ -378,11 +369,13 @@ def _pq_codes(emb: np.ndarray, books: np.ndarray) -> np.ndarray:
     codebooks — nearest subspace centroid by L2, fully vectorized per
     subspace."""
     m, kc, sub = books.shape
+    assert kc <= 256, f"codebook size {kc} exceeds uint8 code range"
     n = emb.shape[0]
     codes = np.empty((n, m), dtype=np.uint8)
     for j in range(m):
         x = emb[:, j * sub : (j + 1) * sub]
-        d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        cents = books[j]
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
         codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
     return codes
 
@@ -479,14 +472,4 @@ def pq_topk(
         PQTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
     )
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["score", "neighbor_id"], ascending=[False, True], kind="stable"
-        ).head(k)
-        return pd.DataFrame({
-            "query_id": g["query_id"].to_numpy(),
-            "neighbor_id": g["neighbor_id"].to_numpy(),
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-        })
-
-    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")

@@ -18,6 +18,24 @@ from ..functions import text as T
 from ..functions.hashing import sha256_hex_array
 
 
+def _whitespace_explode(batch: pa.Table, text_col: str):
+    """THE corpus tokenization — lowercase whitespace split with empty
+    tokens dropped (matches every text oracle's
+    ``regexp_split_to_array(lower(text), '\\s+') ... term <> ''``).
+    One definition shared by term_stats / postings / BM25 / bigram
+    stages so their tokenizations can never drift apart. Returns
+    ``(tokens, parent_row_indices)`` — a StringArray and the int
+    ndarray mapping each token back to its batch row."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    return pc.filter(flat, keep), parent[keep.to_numpy(zero_copy_only=False)]
+
+
 class TokenStats:
     """doc_id, n_tokens (whitespace tokens), n_chars."""
 
@@ -190,12 +208,7 @@ def bigram_counts(ds, top_n: int = 20, text_col: str = "text", doc_id_col: str =
     from ray.data.aggregate import Sum
 
     def explode_pairs(t: pa.Table) -> pa.Table:
-        lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        keep_tok = pc.not_equal(flat, "")
-        flat = pc.filter(flat, keep_tok)
-        parent = parent[keep_tok.to_numpy(zero_copy_only=False)]
+        flat, parent = _whitespace_explode(t, text_col)
         n = len(flat)
         if n < 2:
             return pa.table({"bigram": pa.array([], pa.string()),
@@ -292,16 +305,12 @@ def doc_term_counts(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
     import pyarrow.compute as pc
 
     def explode(t: pa.Table) -> pa.Table:
-        lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists)
-        ids = pc.take(t[doc_id_col], parent)
-        # leading/trailing/all-whitespace text splits to '' tokens —
-        # drop them (both here and in the SQL oracle) instead of
+        # empty tokens from edge whitespace are dropped inside the
+        # shared explode (both here and in the SQL oracle) instead of
         # trimming, which Arrow and SQL define differently
-        keep = pc.not_equal(flat, "")
+        flat, parent = _whitespace_explode(t, text_col)
         pairs = pa.table(
-            {"term": pc.filter(flat, keep), "doc_id": pc.filter(ids, keep)}
+            {"term": flat, "doc_id": pc.take(t[doc_id_col], pa.array(parent))}
         )
         red = pairs.group_by(["term", "doc_id"], use_threads=False).aggregate(
             [("term", "count")]
@@ -414,11 +423,11 @@ def bm25_topk(
     qset = pa.array(sorted(set(t.lower() for t in query_terms)), pa.string())
 
     def doc_len(t: pa.Table) -> pa.Table:
-        lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        dl = np.bincount(parent[keep], minlength=t.num_rows)
+        # null-text docs are outside the corpus (N and avgdl both skip
+        # them — the SQL oracle's WHERE text IS NOT NULL does the same)
+        t = t.filter(pc.is_valid(t[text_col]))
+        _, parent = _whitespace_explode(t, text_col)
+        dl = np.bincount(parent, minlength=t.num_rows)
         return pa.table({"dl": pa.array(dl, pa.int64())})
 
     stats = ds.map_batches(doc_len, batch_format="pyarrow").aggregate(
@@ -427,12 +436,10 @@ def bm25_topk(
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
 
     def candidates(t: pa.Table) -> pa.Table:
-        lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        keep_np = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        dl = np.bincount(parent[keep_np], minlength=t.num_rows)
-        hit = pc.and_(pc.not_equal(flat, ""), pc.is_in(flat, value_set=qset))
+        t = t.filter(pc.is_valid(t[text_col]))
+        flat, parent = _whitespace_explode(t, text_col)
+        dl = np.bincount(parent, minlength=t.num_rows)
+        hit = pc.is_in(flat, value_set=qset)
         hit_np = hit.to_numpy(zero_copy_only=False)
         # group on the batch-local row ordinal so doc_id and dl can
         # both be gathered positionally afterwards — no per-row dict

@@ -901,6 +901,7 @@ def test_fuzzy_self_join_exact_with_short_pool(ray_session):
         "red widget", "red wigdet", "red widgets",  # dist 2 / 1 chains
         "blue bolt", "blue belt", "glue belt",
         "abc", "abd", "xyz", "ab",                   # short pool (< 6)
+        "abcd", "abcdef",                            # short-LONG boundary pair
         "completely different string", None, "red widget",  # dup + null
     ]
     ds = rd.from_items([{"p_name": v} for v in vals])
@@ -1075,3 +1076,23 @@ def test_pagerank_star_cycle_and_reference(ray_session):
     want = _pagerank_numpy(n, dir_edges, iters=5)
     assert abs(got.sum() - 1.0) < 1e-9
     assert np.allclose(got.to_numpy(), want, atol=1e-9)
+
+
+def test_pagerank_rejects_undeclared_edge_endpoints(ray_session):
+    """Edges pointing at (or from) nodes absent from nodes_ds must fail
+    loudly, not silently leak rank mass."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.graph import pagerank
+
+    nodes = rd.from_items([{"node": 0}, {"node": 1}], override_num_blocks=1)
+    # unknown source (undirected routes both endpoints through deg)
+    e_src = rd.from_items([{"doc_a": 7, "doc_b": 0}], override_num_blocks=1)
+    with pytest.raises(Exception, match="not present in nodes_ds"):
+        pagerank(nodes, e_src, iters=1, num_buckets=2).to_pandas()
+    # unknown destination on a DIRECTED graph (src-side join can't see it)
+    e_dst = rd.from_items([{"doc_a": 0, "doc_b": 9}], override_num_blocks=1)
+    with pytest.raises(Exception, match="not present in nodes_ds"):
+        pagerank(
+            nodes, e_dst, iters=1, num_buckets=2, undirected=False
+        ).to_pandas()
