@@ -2033,6 +2033,50 @@ def q_top_terms_per_doc(sf_dir: str):
     )
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Per-document top-3 terms by TF-IDF (tf · ln(N/df)) — the IR
+    weighting that separates distinctive terms from corpus boilerplate
+    (top_terms_per_doc's raw-tf ranking can't). Composition of existing
+    scale-safe stages: doc_term_counts explode → vocab-sized df
+    aggregate → term-hash join → e6-integer scoring (ranking on the
+    ROUNDED score so float ulps can't flip the order vs the oracle) →
+    two-level top-k-per-group combiner."""
+    from ..stages.textstage import doc_term_counts
+    from ..stages.topk import topk_per_group
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = int(
+        ds.map_batches(
+            lambda t: pa.table({
+                "n": pa.array(
+                    [t.filter(pc.is_valid(t["text"])).num_rows], pa.int64()
+                )
+            }),
+            batch_format="pyarrow",
+        ).sum("n")
+    )
+    from ray.data.aggregate import Count
+
+    pairs = doc_term_counts(ds)  # (term, doc_id, c): globally distinct pairs
+    df = pairs.groupby("term").aggregate(Count(alias_name="df"))
+    j = hash_join(pairs, df, on="term", num_buckets=32)
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e6 = np.round(c * np.log(n_docs / dfv) * 1e6).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"], "term": t["term"],
+            "tfidf_e6": pa.array(e6, pa.int64()),
+        })
+
+    return topk_per_group(
+        j.map_batches(score, batch_format="pyarrow"),
+        group_key="doc_id", order_col="tfidf_e6", k=3, tiebreak="term",
+        descending=True,
+    )
+
+
 def q_cube_lineitem(sf_dir: str):
     """GROUP BY CUBE (stages/agg.cube_groupby): every subset of the
     grouping keys from ONE pass over the data — the finest aggregate is
@@ -2746,6 +2790,7 @@ QUERIES = {
     "melt_lineitem": q_melt_lineitem,
     "term_stats": q_term_stats,
     "bm25_docs": q_bm25_docs,
+    "tfidf_terms": q_tfidf_terms,
     "resample_locf_events": q_resample_locf_events,
     "fuzzy_part_names": q_fuzzy_part_names,
     "custdist_orders": q_custdist_orders,
@@ -3101,6 +3146,19 @@ ORACLE_SQL = {
         "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
         "FROM n a JOIN n b ON a.p_name < b.p_name "
         "WHERE levenshtein(a.p_name, b.p_name) <= 2"
+    ),
+    "tfidf_terms": (
+        "WITH tf AS (SELECT doc_id, term, COUNT(*) AS c FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
+        "FROM documents) WHERE term <> '' GROUP BY doc_id, term), "
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL), "
+        "s AS (SELECT tf.doc_id, tf.term, "
+        "CAST(ROUND(tf.c * ln(n.n_docs * 1.0 / df.df) * 1000000) AS BIGINT) "
+        "AS tfidf_e6 FROM tf JOIN df USING (term) CROSS JOIN n) "
+        "SELECT doc_id, term, tfidf_e6, CAST(rn AS BIGINT) AS rank FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY tfidf_e6 DESC, term) AS rn FROM s) WHERE rn <= 3"
     ),
     "resample_locf_events": (
         "WITH e AS (SELECT user_id, "

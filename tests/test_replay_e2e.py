@@ -934,3 +934,51 @@ def test_rebucket_migration_preserves_state(fixture_small, tmp_path):
     # a second migration into the same destination must refuse
     with _pt.raises(ValueError, match="already holds"):
         rebucket(cfg, dest, num_buckets=16)
+
+
+def test_crash_mid_compact_orphan_pieces_ignored_then_vacuumed(fixture_small, tmp_path):
+    """A compaction task that wrote its piece but crashed BEFORE the
+    manifest commit leaves an orphan file at the next epoch number.
+    Reads are manifest-driven so the orphan is invisible; a rerun
+    compact converges to the same state (content-addressed names make
+    the overlapping piece idempotent); vacuum reclaims the orphan once
+    that epoch seals."""
+    import os
+
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.pipelines.replay import compact, lake_table, vacuum
+    from etl_reconciliate_ray.stages.writer import write_piece_local
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_crashcompact", manifest)
+    cfg.pipeline_epochs = 4  # all-delta epochs -> chains of length > 1
+    replay(fixture_dir, cfg)
+    before = lake_state_hash(cfg.lake_root)
+    log = CommitLog.open(cfg.lake_root)
+    crash_epoch = log.latest_sealed_epoch() + 1
+
+    # fake the crash: one finished piece (real resolved bytes would be
+    # identical — use garbage rows to prove reads never look at it)
+    garbage = pa.table({
+        "repo": ["zzz-orphan"], "path": ["x"], "commit": ["c"],
+        "lang": ["l"], "content": ["GARBAGE"], "seq": pa.array([1], pa.int64()),
+        "op": ["U"], "content_sha256": ["0" * 64],
+        "bucket": pa.array([0], pa.int32()),
+    })
+    orphan = write_piece_local(cfg.lake_root, crash_epoch, 0, garbage, "full")
+    orphan_file = orphan["file"]  # write_piece_local returns the full path
+    assert os.path.exists(orphan_file)
+    assert lake_state_hash(cfg.lake_root) == before  # manifest-driven reads
+
+    m = compact(cfg)
+    assert not m["skipped"] and m["epoch"] == crash_epoch
+    assert lake_state_hash(cfg.lake_root) == before
+    tbl = lake_table(cfg.lake_root)
+    assert "zzz-orphan" not in set(tbl["repo"].to_pylist())
+
+    # the orphan is unreferenced in a sealed epoch -> vacuum reclaims it
+    v = vacuum(cfg)
+    assert v["deleted"] >= 1
+    assert not os.path.exists(orphan_file)
+    assert lake_state_hash(cfg.lake_root) == before
