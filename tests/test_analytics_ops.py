@@ -1096,3 +1096,36 @@ def test_pagerank_rejects_undeclared_edge_endpoints(ray_session):
         pagerank(
             nodes, e_dst, iters=1, num_buckets=2, undirected=False
         ).to_pandas()
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_fuzzy_self_join_fuzz_vs_bruteforce(ray_session, k):
+    """Randomized corpus over a tiny alphabet (lots of short strings,
+    duplicates, empties) — the prefix-filter + short-pool candidate
+    generation must be EXACT vs brute force at every k."""
+    import itertools
+    import random
+
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.fuzzy import (
+        _edit_distance_banded,
+        fuzzy_self_join,
+    )
+
+    rng = random.Random(100 + k)
+    vals = [
+        "".join(rng.choice("ab ") for _ in range(rng.randint(0, 10)))
+        for _ in range(80)
+    ]
+    ds = rd.from_items([{"p_name": v} for v in vals])
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_self_join(ds, "p_name", k=k, q=2).to_pandas().itertuples()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(set(vals)), 2):
+        d = _edit_distance_banded(a, b, k)
+        if d <= k:
+            want.add((a, b, d))
+    assert got == want
