@@ -243,6 +243,45 @@ def q_minhash_clusters(sf_dir: str):
     return minhash_clusters(ds, threshold=0.8)
 
 
+def q_dedup_plan_docs(sf_dir: str):
+    """End-to-end near-dup governance plan: every document labeled with
+    its MinHash/LSH cluster and a keep/drop decision (keep = longest
+    text, ties to the smallest doc_id) — the artifact a training-data
+    curation run actually consumes. Composition of minhash_clusters
+    (distributed CC) ∘ doc-length map ∘ doc-hash join ∘ per-cluster
+    representative pick; rows-only (CC is not ANSI-SQL) with a planted
+    3-dup unit test."""
+    from ..stages.dedup import minhash_clusters
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters = minhash_clusters(ds, threshold=0.8)
+    lens = ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "text_len": pc.cast(
+                pc.fill_null(pc.utf8_length(t["text"]), 0), pa.int64()
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    j = hash_join(clusters, lens, on="doc_id", num_buckets=16)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["text_len", "doc_id"], ascending=[False, True], kind="stable"
+        ).reset_index(drop=True)
+        keep = np.zeros(len(g), dtype=np.int64)
+        keep[0] = 1
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "cluster_id": g["cluster_id"].astype("int64"),
+            "text_len": g["text_len"].astype("int64"),
+            "keep": keep,
+        })
+
+    return j.groupby("cluster_id").map_groups(pick, batch_format="pandas")
+
+
 def q_simhash_docs(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(SimHashStage, batch_format="pandas", batch_size=1024, concurrency=(1, 4))
@@ -1581,6 +1620,69 @@ def q_stats_lineitem(sf_dir: str):
     return st.map_batches(finish, batch_format="pandas")
 
 
+def q_weighted_avg_lineitem(sf_dir: str):
+    """Grouped weighted average (Σw·x / Σw) with the EXACT-integer
+    contract: numerator and denominator are emitted as separate scaled
+    integer sums (quantity-weighted price), so the comparison needs no
+    float division on either side. Map-side partial sums, one tiny
+    shuffle."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t["l_quantity"]), pc.is_valid(t["l_extendedprice"]))
+        t = t.filter(ok)
+        q100 = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        p100 = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "wx_e4": pc.multiply(q100, p100),
+            "w_e2": q100,
+        })
+
+    return preagg_groupby(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["l_returnflag"],
+        sums={"sum_wx_e4": "wx_e4", "sum_w_e2": "w_e2"},
+        count_alias="n",
+    )
+
+
+def q_regr_lineitem(sf_dir: str):
+    """Grouped least-squares trend (REGR_SLOPE/INTERCEPT): price as a
+    linear function of quantity per return flag — the drift-trend
+    monitor. Same mergeable-moments sketch as stats_lineitem (slope =
+    Cxy/M2x is scale-free between sample and population forms); rows
+    with either side null are excluded map-side to match SQL's pairwise
+    REGR semantics."""
+    from ..stages.stats import grouped_stats
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def both_valid(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.is_valid(t["l_quantity"]), pc.is_valid(t["l_extendedprice"]))
+        )
+
+    st = grouped_stats(
+        ds.map_batches(both_valid, batch_format="pyarrow"),
+        keys=["l_returnflag"], x="l_quantity", y="l_extendedprice",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": df["n"].astype("int64"),
+            "slope_e6": np.round(df["slope_xy"] * 1e6).astype("int64"),
+            "icept_cents": np.round(df["icept_xy"] * 100).astype("int64"),
+        })
+
+    return st.map_batches(finish, batch_format="pandas")
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): map-side distinct partials, one
     (key, value) shuffle, tiny per-key count (stages/distinctcount.py).
@@ -2791,6 +2893,9 @@ QUERIES = {
     "term_stats": q_term_stats,
     "bm25_docs": q_bm25_docs,
     "tfidf_terms": q_tfidf_terms,
+    "regr_lineitem": q_regr_lineitem,
+    "dedup_plan_docs": q_dedup_plan_docs,
+    "weighted_avg_lineitem": q_weighted_avg_lineitem,
     "resample_locf_events": q_resample_locf_events,
     "fuzzy_part_names": q_fuzzy_part_names,
     "custdist_orders": q_custdist_orders,
@@ -3146,6 +3251,23 @@ ORACLE_SQL = {
         "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
         "FROM n a JOIN n b ON a.p_name < b.p_name "
         "WHERE levenshtein(a.p_name, b.p_name) <= 2"
+    ),
+    "weighted_avg_lineitem": (
+        "SELECT l_returnflag, "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_wx_e4, "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_w_e2, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL "
+        "GROUP BY l_returnflag"
+    ),
+    "regr_lineitem": (
+        "SELECT l_returnflag, "
+        "CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n, "
+        "CAST(ROUND(REGR_SLOPE(l_extendedprice, l_quantity) * 1000000) AS BIGINT) "
+        "AS slope_e6, "
+        "CAST(ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity) * 100) AS BIGINT) "
+        "AS icept_cents FROM lineitem GROUP BY l_returnflag"
     ),
     "tfidf_terms": (
         "WITH tf AS (SELECT doc_id, term, COUNT(*) AS c FROM ("

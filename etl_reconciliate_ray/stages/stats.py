@@ -100,6 +100,13 @@ def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None):
         if with_y:
             denom = np.sqrt(acc["m2_x"] * acc["m2_y"])
             row["corr_xy"] = [acc["cxy"] / denom if denom > 0 else np.nan]
+            # regression artifacts (slope = Cxy/M2x is the same ratio
+            # for sample and population forms, matching SQL REGR_SLOPE)
+            row["mean_y"] = [acc["mean_y"]]
+            row["var_y"] = [acc["m2_y"] / (n - 1) if n > 1 else np.nan]
+            slope = acc["cxy"] / acc["m2_x"] if acc["m2_x"] > 0 else np.nan
+            row["slope_xy"] = [slope]
+            row["icept_xy"] = [acc["mean_y"] - slope * acc["mean_x"]]
         return pd.DataFrame(row)
 
     return (

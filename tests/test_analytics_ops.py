@@ -1129,3 +1129,45 @@ def test_fuzzy_self_join_fuzz_vs_bruteforce(ray_session, k):
         if d <= k:
             want.add((a, b, d))
     assert got == want
+
+
+def test_dedup_plan_keeps_longest_per_cluster(ray_session, tmp_path):
+    """Planted corpus: three near-identical docs (one longer) must form
+    one cluster keeping exactly the longest; a distinct doc keeps
+    itself."""
+    import pyarrow.parquet as pq_mod
+
+    from etl_reconciliate_ray.pipelines.queries import q_dedup_plan_docs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [base, base + "tail", base + "tail more", "completely unrelated short text"],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_mod.write_table(docs, str(d / "documents.parquet"))
+    out = q_dedup_plan_docs(str(d)).to_pandas().sort_values("doc_id")
+    by_doc = out.set_index("doc_id")
+    assert len(set(by_doc.loc[[1, 2, 3], "cluster_id"])) == 1  # one cluster
+    assert by_doc.loc[4, "cluster_id"] != by_doc.loc[1, "cluster_id"]
+    kept = sorted(out[out["keep"] == 1]["doc_id"])
+    assert kept == [3, 4]  # longest of the trio + the singleton
+    assert out.groupby("cluster_id")["keep"].sum().eq(1).all()
+
+
+def test_langid_heuristic_properties():
+    """Language-ID must pick the language with the most stopword hits,
+    fall back to 'und' on zero hits, and break ties deterministically
+    (sorted language order, strict improvement wins)."""
+    from etl_reconciliate_ray.functions.text import langid
+
+    assert langid("the cat sat and it is that simple for me to see") == "en"
+    assert langid("el que la de y en un los del se habla") == "es"
+    assert langid("le chat et les des une du que paris") == "fr"
+    assert langid("der die das und den von zu mit ist haus") == "de"
+    assert langid("12345 !!! ??? zzz qqq") == "und"
+    assert langid("") == "und"
+    # exact tie ('de'/'en' both hit only on shared stopwords 'in'/'und'?
+    # construct: 'la' (es+fr) — sorted order keeps the FIRST maximum (es)
+    assert langid("la") == "es"
