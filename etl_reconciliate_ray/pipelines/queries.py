@@ -243,6 +243,28 @@ def q_minhash_clusters(sf_dir: str):
     return minhash_clusters(ds, threshold=0.8)
 
 
+def q_incremental_dedup_docs(sf_dir: str):
+    """Incremental (per-epoch) dedup: an incoming batch — every 10th
+    corpus doc, id-shifted and tail-perturbed, so hits are guaranteed
+    at every SF — matched against the existing corpus WITHOUT corpus
+    self-pairs (stages/dedup.incremental_dup_check). Rows-only
+    (LSH+verify is not ANSI-SQL); the planted construction doubles as
+    the falsifiable check: every incoming doc must match its source."""
+    from ..stages.dedup import incremental_dup_check
+
+    corpus = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive_new(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["doc_id"].to_numpy() % 10 == 0
+        return pd.DataFrame({
+            "doc_id": df.loc[m, "doc_id"].astype("int64") + 1_000_000,
+            "text": df.loc[m, "text"].astype(str) + " tail",
+        })
+
+    new = corpus.map_batches(derive_new, batch_format="pandas")
+    return incremental_dup_check(new, corpus, threshold=0.8)
+
+
 def q_dedup_plan_docs(sf_dir: str):
     """End-to-end near-dup governance plan: every document labeled with
     its MinHash/LSH cluster and a keep/drop decision (keep = longest
@@ -2896,6 +2918,7 @@ QUERIES = {
     "regr_lineitem": q_regr_lineitem,
     "dedup_plan_docs": q_dedup_plan_docs,
     "weighted_avg_lineitem": q_weighted_avg_lineitem,
+    "incremental_dedup_docs": q_incremental_dedup_docs,
     "resample_locf_events": q_resample_locf_events,
     "fuzzy_part_names": q_fuzzy_part_names,
     "custdist_orders": q_custdist_orders,

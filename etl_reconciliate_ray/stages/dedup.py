@@ -319,3 +319,90 @@ class SimHashStage:
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].to_numpy(), "simhash": vals.view(np.int64)}
         )
+
+
+def incremental_dup_check(
+    new_ds,
+    corpus_ds,
+    threshold: float = 0.8,
+    max_bucket_size: int = 512,
+    num_buckets: int = 16,
+    **mh_kwargs,
+):
+    """Incremental (CDC-flavored) near-dup check: match an INCOMING
+    batch of documents against an EXISTING corpus without re-pairing
+    the corpus with itself — the steady-state dedup a continuously
+    ingesting lake runs per epoch, where corpus×corpus work would be
+    O(lake²) every batch.
+
+    Both sides stream through the same MinHash/LSH banding actors; band
+    buckets emit only CROSS pairs (new × corpus), capped per side at
+    ``max_bucket_size`` with a logged drop; exact shingle-Jaccard
+    verification reuses the distributed pair pipeline. Returns
+    Dataset(new_doc_id, dup_of_doc_id, jaccard >= threshold). Doc ids
+    must be disjoint between the two sides (they name different rows).
+    """
+    import logging
+
+    shingle_k = mh_kwargs.get("shingle_k", 5)
+
+    def banded(ds, side):
+        b = ds.map_batches(
+            MinHashBands, fn_constructor_kwargs=mh_kwargs,
+            batch_format="pandas", batch_size=2048, concurrency=(1, 8),
+        )
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = np.int8(side)
+            return df
+
+        return b.map_batches(tag, batch_format="pandas")
+
+    bands = banded(corpus_ds, 0).union(banded(new_ds, 1))
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        old = sorted(set(g.loc[g["side"] == 0, "doc_id"].tolist()))
+        new = sorted(set(g.loc[g["side"] == 1, "doc_id"].tolist()))
+        for name, ids in (("corpus", old), ("new", new)):
+            if len(ids) > max_bucket_size:
+                logging.getLogger(__name__).warning(
+                    "incremental_dup_check: band bucket (band=%s hash=%s) has "
+                    "%d %s docs; capping to %d smallest ids",
+                    g["band"].iloc[0], g["band_hash"].iloc[0],
+                    len(ids), name, max_bucket_size,
+                )
+        old = np.asarray(old[:max_bucket_size], dtype=np.int64)
+        new = np.asarray(new[:max_bucket_size], dtype=np.int64)
+        if len(old) == 0 or len(new) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ni, oi = np.meshgrid(np.arange(len(new)), np.arange(len(old)), indexing="ij")
+        return pd.DataFrame({
+            "doc_a": new[ni.ravel()],   # the incoming doc
+            "doc_b": old[oi.ravel()],   # its corpus counterpart
+        })
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(cross_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__n__"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+    texts = corpus_ds.union(new_ds)
+    verified = verify_pairs_distributed(
+        pairs, texts, threshold=threshold, shingle_k=shingle_k,
+        num_buckets=num_buckets,
+    )
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "new_doc_id": df["doc_a"].astype("int64"),
+            "dup_of_doc_id": df["doc_b"].astype("int64"),
+            "jaccard": df["jaccard"],
+        })
+
+    return verified.map_batches(rename, batch_format="pandas")

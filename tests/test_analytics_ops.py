@@ -1171,3 +1171,27 @@ def test_langid_heuristic_properties():
     # exact tie ('de'/'en' both hit only on shared stopwords 'in'/'und'?
     # construct: 'la' (es+fr) — sorted order keeps the FIRST maximum (es)
     assert langid("la") == "es"
+
+
+def test_incremental_dedup_matches_planted_sources(ray_session):
+    """Every planted incoming doc (source + ' tail') must be matched
+    back to its source; unrelated incoming docs must not match; the
+    corpus is never paired with itself."""
+    from etl_reconciliate_ray.pipelines.queries import q_incremental_dedup_docs
+
+    out = q_incremental_dedup_docs("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    # planted construction: new id = source id + 1_000_000
+    assert ((out["new_doc_id"] >= 1_000_000)).all()
+    hits = dict(zip(out["new_doc_id"], out["dup_of_doc_id"]))
+    # each planted doc matches AT LEAST its own source
+    own = out[out["new_doc_id"] - 1_000_000 == out["dup_of_doc_id"]]
+    import pyarrow.parquet as pq_mod
+
+    n_sources = (
+        pq_mod.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_pandas() % 10 == 0
+    ).sum()
+    assert len(own) == n_sources
+    assert (out["jaccard"] >= 0.8).all()
