@@ -83,7 +83,10 @@ def resample_locf(
         days = pd.date_range(df["day"].min(), df["day"].max(), freq=freq)
         out = pd.DataFrame({
             key: np.full(len(days), kv),
-            "day": days,
+            # microsecond unit to match the SQL oracle's TIMESTAMP
+            # (date_range yields ns; the driver compare normalizes, but
+            # emitting the declared unit keeps the schema honest)
+            "day": days.astype("datetime64[us]"),
             "n_events": n.reindex(days).fillna(0).astype("int64").to_numpy(),
             "locf_cents": last.reindex(days)
             .ffill()
