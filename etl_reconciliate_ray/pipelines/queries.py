@@ -245,19 +245,24 @@ def q_minhash_clusters(sf_dir: str):
 
 def q_incremental_dedup_docs(sf_dir: str):
     """Incremental (per-epoch) dedup: an incoming batch — every 10th
-    corpus doc, id-shifted and tail-perturbed, so hits are guaranteed
-    at every SF — matched against the existing corpus WITHOUT corpus
-    self-pairs (stages/dedup.incremental_dup_check). Rows-only
-    (LSH+verify is not ANSI-SQL); the planted construction doubles as
-    the falsifiable check: every incoming doc must match its source."""
+    corpus doc, id-shifted past the corpus id range and tail-perturbed
+    (planted Jaccard ≈0.9, LSH miss probability ~1e-4/pair) — matched
+    against the existing corpus WITHOUT corpus self-pairs
+    (stages/dedup.incremental_dup_check). Rows-only (LSH+verify is not
+    ANSI-SQL); the planted construction doubles as the falsifiable
+    check: incoming docs must match their sources."""
     from ..stages.dedup import incremental_dup_check
 
     corpus = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # offset past the real id range so the two sides stay disjoint at
+    # any SF (incremental_dup_check precondition); >= 1e6 keeps the
+    # planted ids recognizable
+    offset = max(1_000_000, int(corpus.max("doc_id")) + 1)
 
     def derive_new(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["doc_id"].to_numpy() % 10 == 0
+        m = (df["doc_id"].to_numpy() % 10 == 0) & df["text"].notna().to_numpy()
         return pd.DataFrame({
-            "doc_id": df.loc[m, "doc_id"].astype("int64") + 1_000_000,
+            "doc_id": df.loc[m, "doc_id"].astype("int64") + offset,
             "text": df.loc[m, "text"].astype(str) + " tail",
         })
 
@@ -1695,11 +1700,15 @@ def q_regr_lineitem(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # zero-variance / single-row groups have no defined slope —
+        # emit NULL exactly like SQL's REGR_SLOPE, not a NaN-cast crash
+        slope = pd.array(np.round(df["slope_xy"] * 1e6), dtype="Int64")
+        icept = pd.array(np.round(df["icept_xy"] * 100), dtype="Int64")
         return pd.DataFrame({
             "l_returnflag": df["l_returnflag"],
             "n": df["n"].astype("int64"),
-            "slope_e6": np.round(df["slope_xy"] * 1e6).astype("int64"),
-            "icept_cents": np.round(df["icept_xy"] * 100).astype("int64"),
+            "slope_e6": slope,
+            "icept_cents": icept,
         })
 
     return st.map_batches(finish, batch_format="pandas")

@@ -57,12 +57,34 @@ class MinHashBands:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, bands, bhashes = [], [], []
         for did, txt in zip(batch["doc_id"], batch["text"]):
+            if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                continue  # null text: no shingles, never a candidate
             sig = self.mh.signature(T.char_shingles(txt, self.shingle_k))
             for b, h in enumerate(self.mh.bands(sig, self.num_bands)):
                 ids.append(did)
                 bands.append(b)
                 bhashes.append(h)
         return pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": bhashes})
+
+
+def _band_rows(ds, mh_kwargs: dict):
+    """Shared MinHash/LSH banding stage wiring (actor pool, batch size,
+    concurrency) for the self-join and incremental dedup paths."""
+    return ds.map_batches(
+        MinHashBands, fn_constructor_kwargs=mh_kwargs,
+        batch_format="pandas", batch_size=2048, concurrency=(1, 8),
+    )
+
+
+def _dedupe_pairs(pairs):
+    """Collapse candidate pairs produced by multiple colliding bands."""
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__n__"))
+        .select_columns(["doc_a", "doc_b"])
+    )
 
 
 def lsh_candidate_pairs(docs_ds, max_bucket_size: int = 512, **mh_kwargs):
@@ -76,10 +98,7 @@ def lsh_candidate_pairs(docs_ds, max_bucket_size: int = 512, **mh_kwargs):
     drop is logged — never silent (ray_guide.md "no silent caps")."""
     import logging
 
-    bands = docs_ds.map_batches(
-        MinHashBands, fn_constructor_kwargs=mh_kwargs, batch_format="pandas",
-        batch_size=2048, concurrency=(1, 8),
-    )
+    bands = _band_rows(docs_ds, mh_kwargs)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"].tolist()))
@@ -103,14 +122,7 @@ def lsh_candidate_pairs(docs_ds, max_bucket_size: int = 512, **mh_kwargs):
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-    # dedupe pairs produced by multiple colliding bands
-    from ray.data.aggregate import Count
-
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="__n__"))
-        .select_columns(["doc_a", "doc_b"])
-    )
+    return _dedupe_pairs(pairs)
 
 
 def verify_jaccard_pairs(pairs_df: pd.DataFrame, docs_df: pd.DataFrame,
@@ -347,10 +359,7 @@ def incremental_dup_check(
     shingle_k = mh_kwargs.get("shingle_k", 5)
 
     def banded(ds, side):
-        b = ds.map_batches(
-            MinHashBands, fn_constructor_kwargs=mh_kwargs,
-            batch_format="pandas", batch_size=2048, concurrency=(1, 8),
-        )
+        b = _band_rows(ds, mh_kwargs)
 
         def tag(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
@@ -383,14 +392,10 @@ def incremental_dup_check(
             "doc_b": old[oi.ravel()],   # its corpus counterpart
         })
 
-    from ray.data.aggregate import Count
-
-    pairs = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(cross_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="__n__"))
-        .select_columns(["doc_a", "doc_b"])
+    pairs = _dedupe_pairs(
+        bands.groupby(["band", "band_hash"]).map_groups(
+            cross_pairs, batch_format="pandas"
+        )
     )
     texts = corpus_ds.union(new_ds)
     verified = verify_pairs_distributed(
