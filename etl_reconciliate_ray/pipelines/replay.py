@@ -860,6 +860,45 @@ def rebucket(
     return metrics
 
 
+def bucket_stats(cfg_or_root) -> dict:
+    """Per-bucket skew audit from commit-log METADATA only — no data
+    file is opened. For each partition's current merge-on-read chain:
+    chain row volume (the resolve work a reader pays; full + delta
+    rows, so overlapping keys count per layer), delta depth, and file
+    references. The summary's ``skew`` (max/mean chain rows) is the
+    ops signal that a hot key needs ``salt_for_repo`` splitting or a
+    ``rebucket`` migration. Returns {"parts": pa.Table, "summary":
+    dict}."""
+    root = cfg_or_root if isinstance(cfg_or_root, str) else cfg_or_root.lake_root
+    log = CommitLog.open(root)
+    chains = log.part_chains()
+    parts, rows, files, deltas, epochs = [], [], [], [], []
+    for p in sorted(chains):
+        c = chains[p]
+        parts.append(int(p))
+        rows.append(int(sum(e.rows for e in c)))
+        files.append(int(sum(len(e.files) for e in c)))
+        deltas.append(int(sum(1 for e in c if e.kind != "full")))
+        epochs.append(int(c[-1].epoch))
+    tbl = pa.table({
+        "part": pa.array(parts, pa.int64()),
+        "chain_rows": pa.array(rows, pa.int64()),
+        "chain_files": pa.array(files, pa.int64()),
+        "delta_depth": pa.array(deltas, pa.int64()),
+        "latest_epoch": pa.array(epochs, pa.int64()),
+    })
+    mean_rows = (sum(rows) / len(rows)) if rows else 0.0
+    summary = {
+        "parts": len(parts),
+        "total_chain_rows": int(sum(rows)),
+        "max_chain_rows": int(max(rows)) if rows else 0,
+        "mean_chain_rows": round(mean_rows, 1),
+        "skew": round(max(rows) / mean_rows, 3) if mean_rows else 0.0,
+        "max_delta_depth": int(max(deltas)) if deltas else 0,
+    }
+    return {"parts": tbl, "summary": summary}
+
+
 def vacuum(cfg_or_root, dry_run: bool = False) -> dict:
     """Lake garbage collection: delete data files no commit-log entry
     references any more. ``CommitLog.write_snapshot`` (run after every

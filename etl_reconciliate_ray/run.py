@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--vacuum", action="store_true",
                    help="after replay (and compaction, if requested), delete lake "
                         "files no commit-log entry references")
+    p.add_argument("--bucket-stats", action="store_true",
+                   help="print the per-bucket skew audit (chain rows/files/delta "
+                        "depth from commit-log metadata; no data read)")
     p.add_argument("--num-cpus", type=int, default=None, help="only used if Ray is not initialised")
     args = p.parse_args(argv)
     if (args.fixture is None) == (args.binlog_dir is None):
@@ -91,6 +94,12 @@ def main(argv: list[str] | None = None) -> dict:
         from .pipelines.replay import vacuum
 
         vacuum_stats = vacuum(cfg)
+
+    if args.bucket_stats:
+        from .pipelines.replay import bucket_stats
+
+        print(json.dumps({"bucket_stats": bucket_stats(cfg)["summary"]},
+                         sort_keys=True))
 
     view_rows = None
     if args.view:

@@ -982,3 +982,47 @@ def test_crash_mid_compact_orphan_pieces_ignored_then_vacuumed(fixture_small, tm
     assert v["deleted"] >= 1
     assert not os.path.exists(orphan_file)
     assert lake_state_hash(cfg.lake_root) == before
+
+
+def test_bucket_stats_metadata_only_audit(fixture_small, tmp_path):
+    """bucket_stats must report every partition's chain volume from the
+    commit log alone, shrink delta depth to zero after compaction, and
+    expose the skew signal feeding salt/rebucket decisions."""
+    from etl_reconciliate_ray.pipelines.replay import bucket_stats, compact
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_stats", manifest)
+    cfg.pipeline_epochs = 4  # all-delta epochs -> chains of length > 1
+    replay(fixture_dir, cfg)
+
+    st = bucket_stats(cfg)
+    s = st["summary"]
+    tbl = st["parts"].to_pandas()
+    assert s["parts"] == len(tbl) > 0
+    assert (tbl["chain_rows"] > 0).all()
+    assert s["max_delta_depth"] >= 1          # pre-compaction deltas exist
+    assert s["skew"] >= 1.0
+    assert s["total_chain_rows"] == tbl["chain_rows"].sum()
+
+    compact(cfg)
+    st2 = bucket_stats(cfg)
+    assert st2["summary"]["max_delta_depth"] == 0
+    assert (st2["parts"].to_pandas()["delta_depth"] == 0).all()
+
+
+def test_cli_bucket_stats_flag(fixture_small, tmp_path, ray_session, capsys):
+    """--bucket-stats prints the metadata-only skew audit summary."""
+    import json
+
+    from etl_reconciliate_ray.run import main
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    lake = str(tmp_path / "lake_cli_stats")
+    main([
+        "--fixture", fixture_dir, "--lake", lake,
+        "--num-buckets", "8", "--bucket-stats",
+    ])
+    lines = [l for l in capsys.readouterr().out.splitlines() if "bucket_stats" in l]
+    assert lines, "audit summary printed"
+    s = json.loads(lines[0])["bucket_stats"]
+    assert s["parts"] > 0 and s["total_chain_rows"] > 0 and s["skew"] >= 1.0
