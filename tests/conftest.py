@@ -25,6 +25,27 @@ def ray_session():
     ray.shutdown()
 
 
+@pytest.fixture(autouse=True)
+def _hang_guard():
+    """Per-test watchdog: a rare Ray Data scheduling stall (observed
+    once: an execution idling on a 1-fragment parquet read for 20+ min
+    with all workers parked) must FAIL the test visibly rather than
+    hang the `pytest -x -q` correctness gate forever. 900 s is ~7× the
+    slowest test on a degraded host window."""
+    import signal
+
+    def on_alarm(signum, frame):
+        raise TimeoutError("test exceeded the 900s hang guard")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(900)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 @pytest.fixture(scope="session")
 def fixture_small(tmp_path_factory):
     """Small deterministic CDC fixture shared across tests."""

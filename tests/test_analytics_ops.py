@@ -1196,50 +1196,3 @@ def test_incremental_dedup_matches_planted_sources(ray_session):
     ).sum()
     assert len(own) >= max(1, int(0.95 * n_sources))
     assert (out["jaccard"] >= 0.8).all()
-
-
-def test_loader_splits_disjoint_and_complete(ray_session):
-    """streaming_split shards must be disjoint and cover every row when
-    consumed concurrently (the trainer-worker contract)."""
-    import threading
-
-    import ray.data as rd
-
-    from etl_reconciliate_ray.stages.mlio import loader_splits
-
-    ds = rd.range(2000, override_num_blocks=8)
-    splits = loader_splits(ds, 3)
-    chunks = []
-
-    def consume(it):
-        rows = []
-        for b in it.iter_batches(batch_format="pyarrow"):
-            rows.extend(b["id"].to_pylist())
-        chunks.append(rows)
-
-    ts = [threading.Thread(target=consume, args=(s,)) for s in splits]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
-    all_rows = [r for rows in chunks for r in rows]
-    assert len(all_rows) == 2000
-    assert sorted(all_rows) == list(range(2000))
-
-
-def test_seeded_shuffle_deterministic_and_permutes(ray_session):
-    """Same (seed, layout) -> identical order; different seed -> a
-    different permutation of the same rows."""
-    import ray.data as rd
-
-    from etl_reconciliate_ray.stages.mlio import seeded_shuffle
-
-    def order(seed):
-        ds = rd.range(500, override_num_blocks=4)
-        return [r["id"] for r in seeded_shuffle(ds, seed=seed).take_all()]
-
-    a, b, c = order(7), order(7), order(8)
-    assert a == b
-    assert a != c
-    assert sorted(a) == list(range(500)) and sorted(c) == list(range(500))
-    assert a != list(range(500))  # actually shuffled
