@@ -1836,6 +1836,21 @@ def q_fuzzy_part_names(sf_dir: str):
     return fuzzy_self_join(ds, "p_name", k=2, q=2)
 
 
+FUZZY_CANON = ["red widget", "blue bolt", "small ring", "hot gear"]
+
+
+def q_fuzzy_lookup_parts(sf_dir: str):
+    """Fuzzy dimension lookup (stages/fuzzy.fuzzy_lookup): every
+    distinct part name assigned to its nearest canonical name by exact
+    Levenshtein (ties to the smaller canonical) — routing dirty keys
+    onto a reference vocabulary, the reconcile-adjacent cousin of the
+    self-join."""
+    from ..stages.fuzzy import fuzzy_lookup
+
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+    return fuzzy_lookup(ds, "p_name", FUZZY_CANON)
+
+
 def q_resample_locf_events(sf_dir: str):
     """Daily resample + LOCF gap-fill per user (stages/timeseries):
     map-side (key, day) partials, one key-hash shuffle, per-key
@@ -2928,6 +2943,7 @@ QUERIES = {
     "dedup_plan_docs": q_dedup_plan_docs,
     "weighted_avg_lineitem": q_weighted_avg_lineitem,
     "incremental_dedup_docs": q_incremental_dedup_docs,
+    "fuzzy_lookup_parts": q_fuzzy_lookup_parts,
     "resample_locf_events": q_resample_locf_events,
     "fuzzy_part_names": q_fuzzy_part_names,
     "custdist_orders": q_custdist_orders,
@@ -3276,6 +3292,17 @@ ORACLE_SQL = {
         "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n "
         "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey) "
         "GROUP BY c_count"
+    ),
+    "fuzzy_lookup_parts": (
+        "WITH n AS (SELECT DISTINCT p_name AS value FROM part "
+        "WHERE p_name IS NOT NULL), "
+        "c(canon) AS (VALUES ('red widget'), ('blue bolt'), "
+        "('small ring'), ('hot gear')), "
+        "d AS (SELECT value, canon, "
+        "CAST(levenshtein(value, canon) AS BIGINT) AS dist, "
+        "ROW_NUMBER() OVER (PARTITION BY value "
+        "ORDER BY levenshtein(value, canon), canon) AS rn FROM n CROSS JOIN c) "
+        "SELECT value, canon, dist FROM d WHERE rn = 1"
     ),
     "fuzzy_part_names": (
         "WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL) "

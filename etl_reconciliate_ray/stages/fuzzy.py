@@ -193,3 +193,52 @@ def fuzzy_self_join(ds, col: str, k: int = 2, q: int = 2):
     return verified.groupby(["name_a", "name_b"]).map_groups(
         first_row, batch_format="pandas"
     )
+
+
+def fuzzy_lookup(ds, col: str, canon: list[str]):
+    """Nearest-canonical assignment: each DISTINCT value of ``col`` is
+    mapped to the closest entry of the small ``canon`` list by exact
+    Levenshtein distance (ties to the lexicographically smallest
+    canonical) — the fuzzy dimension-lookup a reconcile pipeline uses
+    to route dirty keys onto a reference vocabulary.
+
+    Scale shape: distinct-first (the quadratic side is |values| ×
+    |canon|, never rows × canon), the canonical list rides into every
+    task as a closure constant (it is small by definition), and the
+    per-batch DP is exact (band = full length, so no cutoff). Returns
+    (value, canon, dist)."""
+    import pyarrow.compute as pc
+
+    canon_sorted = sorted(set(canon))
+    if not canon_sorted:
+        raise ValueError("fuzzy_lookup: canon list is empty")
+
+    names_ds = (
+        ds.select_columns([col])
+        .map_batches(
+            lambda t: pa.table({col: pc.unique(pc.drop_null(t[col]))}),
+            batch_format="pyarrow",
+        )
+        .groupby(col)
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        vals = t[col].to_pylist()
+        best_c, best_d = [], []
+        for v in vals:
+            bc, bd = None, None
+            for c in canon_sorted:
+                k = max(len(v), len(c))
+                d = _edit_distance_banded(v, c, k)
+                if bd is None or d < bd:  # ties keep the earlier (sorted) canon
+                    bc, bd = c, d
+            best_c.append(bc)
+            best_d.append(bd)
+        return pa.table({
+            "value": pa.array(vals, pa.string()),
+            "canon": pa.array(best_c, pa.string()),
+            "dist": pa.array(best_d, pa.int64()),
+        })
+
+    return names_ds.map_batches(assign, batch_format="pyarrow")
