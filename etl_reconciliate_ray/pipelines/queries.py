@@ -1647,6 +1647,69 @@ def q_stats_lineitem(sf_dir: str):
     return st.map_batches(finish, batch_format="pandas")
 
 
+def q_events_by_hour(sf_dir: str):
+    """Diurnal load profile: event count + value sum by hour-of-day —
+    the date-PART extraction family (EXTRACT(hour)), complementing the
+    date_trunc calendar aggregations. Arrow's ``pc.hour`` kernel
+    map-side; only 24 partial rows shuffle per block."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.fill_null(t["value"], 0.0), 100.0)), pa.int64()
+        )
+        return pa.table({
+            "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+            "cents": cents,
+        })
+
+    return preagg_groupby(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["hour"],
+        sums={"sum_value_cents": "cents"},
+        count_alias="n",
+    )
+
+
+def q_geomean_lineitem(sf_dir: str):
+    """Grouped geometric mean (exp of the mean log): the
+    multiplicative-scale average for skewed positive metrics. Log
+    transform map-side, one partial-sum shuffle, e6-integer contract
+    (float-sum order differs between engines by ulps; e6 rounding of
+    the exp absorbs it)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t["l_extendedprice"]),
+                    pc.greater(t["l_extendedprice"], 0.0))
+        )
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "lnp": pc.ln(pc.cast(t["l_extendedprice"], pa.float64())),
+        })
+
+    agg = preagg_groupby(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["l_returnflag"],
+        sums={"sum_ln": "lnp"},
+        count_alias="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_ln"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = np.exp(s / n)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "geomean_e6": pa.array(np.round(g * 1e6).astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_weighted_avg_lineitem(sf_dir: str):
     """Grouped weighted average (Σw·x / Σw) with the EXACT-integer
     contract: numerator and denominator are emitted as separate scaled
@@ -2944,6 +3007,8 @@ QUERIES = {
     "weighted_avg_lineitem": q_weighted_avg_lineitem,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "fuzzy_lookup_parts": q_fuzzy_lookup_parts,
+    "events_by_hour": q_events_by_hour,
+    "geomean_lineitem": q_geomean_lineitem,
     "resample_locf_events": q_resample_locf_events,
     "fuzzy_part_names": q_fuzzy_part_names,
     "custdist_orders": q_custdist_orders,
@@ -3292,6 +3357,19 @@ ORACLE_SQL = {
         "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n "
         "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey) "
         "GROUP BY c_count"
+    ),
+    "events_by_hour": (
+        "SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+        "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_cents, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1"
+    ),
+    "geomean_lineitem": (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(ROUND(EXP(AVG(LN(l_extendedprice))) * 1000000) AS BIGINT) "
+        "AS geomean_e6 FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0 "
+        "GROUP BY l_returnflag"
     ),
     "fuzzy_lookup_parts": (
         "WITH n AS (SELECT DISTINCT p_name AS value FROM part "
