@@ -1647,6 +1647,38 @@ def q_stats_lineitem(sf_dir: str):
     return st.map_batches(finish, batch_format="pandas")
 
 
+def q_entropy_users(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (0 for single-type users). Two-level
+    aggregate: map-side (user, type) partial counts, one shuffle, then
+    the per-user entropy over its ≤|alphabet| rows; e6-integer
+    contract absorbs float-sum order."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def ok(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["event_type"]))
+        )
+
+    counts = preagg_groupby(
+        ds.map_batches(ok, batch_format="pyarrow"),
+        keys=["user_id", "event_type"],
+        count_alias="n",
+    )
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(dtype=np.float64)
+        p = n / n.sum()
+        h = float(-(p * np.log(p)).sum())
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [int(n.sum())],
+            "entropy_e6": [int(round(h * 1e6))],
+        })
+
+    return counts.groupby("user_id").map_groups(entropy, batch_format="pandas")
+
+
 def q_events_by_hour(sf_dir: str):
     """Diurnal load profile: event count + value sum by hour-of-day —
     the date-PART extraction family (EXTRACT(hour)), complementing the
@@ -3008,6 +3040,7 @@ QUERIES = {
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "fuzzy_lookup_parts": q_fuzzy_lookup_parts,
     "events_by_hour": q_events_by_hour,
+    "entropy_users": q_entropy_users,
     "geomean_lineitem": q_geomean_lineitem,
     "resample_locf_events": q_resample_locf_events,
     "fuzzy_part_names": q_fuzzy_part_names,
@@ -3357,6 +3390,16 @@ ORACLE_SQL = {
         "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n "
         "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey) "
         "GROUP BY c_count"
+    ),
+    "entropy_users": (
+        "WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events "
+        "WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+        "GROUP BY user_id, event_type) "
+        "SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events, "
+        "CAST(ROUND(-SUM((n * 1.0 / tot) * LN(n * 1.0 / tot)) * 1000000) "
+        "AS BIGINT) AS entropy_e6 FROM ("
+        "SELECT user_id, n, SUM(n) OVER (PARTITION BY user_id) AS tot FROM c) "
+        "GROUP BY user_id"
     ),
     "events_by_hour": (
         "SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
