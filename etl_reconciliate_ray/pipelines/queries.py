@@ -1647,6 +1647,83 @@ def q_stats_lineitem(sf_dir: str):
     return st.map_batches(finish, batch_format="pandas")
 
 
+def q_mom_revenue(sf_dir: str):
+    """Month-over-month revenue delta: the calendar aggregate (already
+    aggregate-sized — one row per month) LAG-diffed in a single
+    map_groups over the whole tiny result. The windowing runs on the
+    AGGREGATE, never the fact table, so the single-partition step is
+    O(months)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_orderdate"]))
+        month = pc.cast(
+            pc.floor_temporal(t["o_orderdate"], unit="month"), pa.timestamp("us")
+        )
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({"month": month, "cents": cents})
+
+    agg = preagg_groupby(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["month"],
+        sums={"revenue_c": "cents"},
+        count_alias="n",
+    )
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("month", kind="stable").reset_index(drop=True)
+        prev = df["revenue_c"].shift(1)
+        return pd.DataFrame({
+            "month": df["month"].astype("datetime64[us]"),
+            "revenue_c": df["revenue_c"].astype("int64"),
+            # float64 with NaN for the first month: the SQL LAG NULL
+            # arrives as NaN-float through fetchdf, so both sides share
+            # one dtype (a nullable-int column breaks integer hashing)
+            "delta_c": (df["revenue_c"] - prev).astype("float64"),
+        })
+
+    def one_group(t: pa.Table) -> pa.Table:
+        t = t.append_column("__g", pa.array(np.zeros(t.num_rows, np.int8)))
+        return t
+
+    return (
+        agg.map_batches(one_group, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(
+            lambda df: diff(df.drop(columns=["__g"])), batch_format="pandas"
+        )
+    )
+
+
+def q_topk_orders_with_ties(sf_dir: str):
+    """Top-k WITH TIES by value threshold: every order whose price is
+    among the 10 largest DISTINCT prices (SQL's dense top-k). The
+    threshold is found by two-level distinct-value top-k partials
+    (O(batches × k) rows to the driver), broadcast into a map-side
+    filter — no global sort of the fact table."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def top_values(t: pa.Table) -> pa.Table:
+        v = np.unique(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        v = v[~np.isnan(v)]
+        return pa.table({"v": pa.array(np.sort(v)[-10:][::-1])})
+
+    tops = ds.map_batches(top_values, batch_format="pyarrow").take_all()
+    vals = sorted({float(r["v"]) for r in tops}, reverse=True)[:10]
+    thr = vals[-1]
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_totalprice"], pa.scalar(thr)))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+            ),
+        })
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def q_entropy_users(sf_dir: str):
     """Per-user Shannon entropy of the event-type distribution — the
     behavioral-diversity feature (0 for single-type users). Two-level
@@ -3041,6 +3118,8 @@ QUERIES = {
     "fuzzy_lookup_parts": q_fuzzy_lookup_parts,
     "events_by_hour": q_events_by_hour,
     "entropy_users": q_entropy_users,
+    "mom_revenue": q_mom_revenue,
+    "topk_orders_with_ties": q_topk_orders_with_ties,
     "geomean_lineitem": q_geomean_lineitem,
     "resample_locf_events": q_resample_locf_events,
     "fuzzy_part_names": q_fuzzy_part_names,
@@ -3390,6 +3469,19 @@ ORACLE_SQL = {
         "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n "
         "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey) "
         "GROUP BY c_count"
+    ),
+    "mom_revenue": (
+        "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) "
+        "AS month, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_c FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1) "
+        "SELECT month, revenue_c, CAST(revenue_c - LAG(revenue_c) OVER ("
+        "ORDER BY month) AS BIGINT) AS delta_c FROM m"
+    ),
+    "topk_orders_with_ties": (
+        "SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        "AS price_cents FROM orders WHERE o_totalprice >= ("
+        "SELECT MIN(v) FROM (SELECT DISTINCT o_totalprice AS v FROM orders "
+        "WHERE o_totalprice IS NOT NULL ORDER BY v DESC LIMIT 10))"
     ),
     "entropy_users": (
         "WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events "
