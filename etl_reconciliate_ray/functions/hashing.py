@@ -43,6 +43,11 @@ HASH_IMPL = f"xxh-polars-{_pl.__version__}" if _pl is not None else "poly64-spli
 
 _HASH_SEED = 42
 
+#: Sentinel string NULL keys are mapped to for routing/joining — the same
+#: value ``resolve_chain_tables`` fills into null repo/path before its key
+#: join, so routing and merge agree on where null-keyed rows live.
+NULL_SENTINEL = "\x00N"
+
 _POLY_P = np.uint64(1099511628211)  # FNV-64 prime as the polynomial base
 _LEN_MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -145,9 +150,19 @@ def bucket_of(
     """
     if isinstance(repo, pa.ChunkedArray):
         repo = repo.combine_chunks()
+    # Nulls must route deterministically: fill the VALUE array with the
+    # engine's null sentinel (same "\x00N" resolve_chain_tables uses)
+    # BEFORE dictionary encoding. Filling at the index level (old code:
+    # fill_null(indices, 0)) made a null repo hash like whatever string
+    # happened to be first in that batch's dictionary — batch-dependent
+    # routing — and crashed on all-null batches (empty dictionary).
+    if pa.types.is_null(repo.type):
+        repo = pa.array([NULL_SENTINEL] * len(repo), type=pa.string())
+    elif repo.null_count:
+        repo = pc.fill_null(repo, NULL_SENTINEL)
     denc = pc.dictionary_encode(repo)
     dict_hash = hash64(denc.dictionary)
-    idx = pc.fill_null(denc.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     # NOTE: the formula must depend only on (repo, path, salt config,
     # num_buckets) — never on batch composition — or the same key could
     # land in different buckets on different sides of a cogroup.

@@ -1710,6 +1710,15 @@ def q_topk_orders_with_ties(sf_dir: str):
 
     tops = ds.map_batches(top_values, batch_format="pyarrow").take_all()
     vals = sorted({float(r["v"]) for r in tops}, reverse=True)[:10]
+    if not vals:  # empty table / all-NULL prices: empty result, like the SQL
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "price_cents": pa.array([], pa.int64()),
+            })
+        )
     thr = vals[-1]
 
     def flt(t: pa.Table) -> pa.Table:

@@ -502,8 +502,18 @@ def reconcile_incremental(
             by_part[int(r["part"])].append([r["repo"], r["status"], int(r["n"])])
         for p in dirty:
             state["parts"][str(p)] = {"fp": fps[p], "partials": by_part[p]}
-        # drop state for parts that no longer exist on either side
-        state["parts"] = {k: v for k, v in state["parts"].items() if int(k) in set(parts)}
+    # Drop state AND the detail spill files of parts that vanished from
+    # the lake+snapshot universe — otherwise read_parquet(spill) would
+    # re-surface ghost detail rows for them. Runs unconditionally (a
+    # part can vanish without any surviving part turning dirty).
+    live = set(parts)
+    ghosts = [k for k in state["parts"] if int(k) not in live]
+    for k in ghosts:
+        del state["parts"][k]
+        ghost_file = os.path.join(spill, f"detail-part{int(k):05d}.parquet")
+        if os.path.exists(ghost_file):
+            os.remove(ghost_file)
+    if dirty or ghosts:
         publish_state()
 
     rows = [

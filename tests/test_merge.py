@@ -188,3 +188,33 @@ def test_resolve_chain_fuzz_vs_pandas_lww():
             )
         }
         assert got == want, f"trial {trial}"
+
+
+def test_bucket_of_null_repo_routes_batch_independently():
+    """Regression (ADVICE r2): a NULL repo key must land in the same
+    bucket regardless of which other repos share its batch, and an
+    all-null repo batch must not crash. Routing may depend only on
+    (repo, path, salt config, num_buckets)."""
+    import pyarrow.compute as pc
+
+    from etl_reconciliate_ray.functions.hashing import bucket_of
+
+    path = pa.array(["p"])
+    # same (NULL, 'p') key in two batches with different dictionaries
+    b1 = bucket_of(pa.array([None, "alpha"]), pa.array(["p", "x"]), 64)
+    b2 = bucket_of(pa.array(["zeta", None]), pa.array(["x", "p"]), 64)
+    assert b1[0].as_py() == b2[1].as_py()
+    # matches a solo null batch too
+    b3 = bucket_of(pa.array([None], type=pa.string()), path, 64)
+    assert b3[0].as_py() == b1[0].as_py()
+    # all-null (null-typed) batch — produced by null-typed all-delete
+    # epochs — must not crash and must route like a string-typed null
+    b4 = bucket_of(pa.nulls(2), pa.array(["p", "q"]), 64)
+    assert b4[0].as_py() == b1[0].as_py()
+    # non-null routing unchanged by the null fill (salted + unsalted)
+    full = bucket_of(pa.array(["alpha", None]), pa.array(["x", "p"]), 64,
+                     salt_for_repo={"alpha": 4})
+    solo = bucket_of(pa.array(["alpha"]), pa.array(["x"]), 64,
+                     salt_for_repo={"alpha": 4})
+    assert full[0].as_py() == solo[0].as_py()
+    assert pc.min(bucket_of(pa.nulls(5), pa.array(list("abcde")), 8)).as_py() is not None
