@@ -3953,7 +3953,64 @@ ORACLE_SQL = {
     ),
     # rows-only (non-SQL-expressible or float-boundary-fragile):
     # minhash_clusters, simhash_docs, ngram_jaccard_pairs, ann_lsh,
-    # ann_ivf, langid_docs, media_features, fingerprint_docs,
+    # ann_ivf, media_features, fingerprint_docs,
     # embdup_pairs_ivf (recall-traded approximations; each carries a
     # falsifiable recall/property unit test instead)
 }
+
+
+def _langid_oracle_sql() -> str:
+    """The LangId heuristic (functions/text.py langid) as ANSI SQL:
+    score per language = how many of its stopwords appear among the
+    \\w+ tokens of the lowercased text; highest score wins with ties
+    broken by sorted language order; all-zero scores -> 'und'. The
+    driver documents are pure ASCII, so RE2's ASCII \\w matches
+    Python's unicode \\w tokenization."""
+    from ..functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)  # de, en, es, fr — the engine's tie order
+    scores = ", ".join(
+        "("
+        + " + ".join(
+            f"CAST(list_contains(t, '{w}') AS INT)" for w in sorted(STOPWORDS[lang])
+        )
+        + f") AS s_{lang}"
+        for lang in langs
+    )
+    # first language (in tie order) whose score equals the positive max
+    case = "CASE WHEN GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ") = 0 THEN 'und' "
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1 :]
+        if rest:
+            cond = " AND ".join(f"s_{lang} >= s_{r}" for r in rest)
+            case += f"WHEN {cond} THEN '{lang}' "
+        else:
+            case += f"ELSE '{lang}' END"
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t "
+        "FROM documents), s AS (SELECT doc_id, " + scores + " FROM toks) "
+        "SELECT doc_id, " + case + " AS pred_lang FROM s"
+    )
+
+
+ORACLE_SQL["langid_docs"] = _langid_oracle_sql()
+
+# EWMA recursion e_i = 0.3*v_i + 0.7*e_{i-1} per user, ordered by
+# (ts, event_id) — expressed exactly via a recursive CTE stepping one
+# row-number per iteration (depth = max events/user; bounded at driver
+# scale). IEEE float ops match pandas' adjust=False ewm bit-for-bit
+# (same recursion, commutative add), so the e6 contract hash-matches.
+ORACLE_SQL["ewma_events"] = (
+    "WITH RECURSIVE ordered AS ("
+    "SELECT event_id, user_id, value, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+    "FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL"
+    "), rec AS ("
+    "SELECT event_id, user_id, rn, CAST(value AS DOUBLE) AS e "
+    "FROM ordered WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.event_id, o.user_id, o.rn, 0.3 * o.value + 0.7 * r.e "
+    "FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1"
+    ") SELECT event_id, CAST(user_id AS BIGINT) AS user_id, "
+    "CAST(ROUND(e * 1e6) AS BIGINT) AS ewma_e6 FROM rec"
+)
