@@ -16,12 +16,14 @@ Ray is initialised by the driver — NOTHING here calls ray.init().
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sources.catalog import read_table, read_table_pandas
+from ..sources.catalog import read_table, read_table_pandas, table_path
 from ..stages.agg import preagg_groupby
 from ..stages.dedup import exact_dedup, lsh_candidate_pairs, minhash_clusters, SimHashStage
 from ..stages.joins import broadcast_anti_join, broadcast_join, hash_join
@@ -220,6 +222,71 @@ def q_cdc_lww_events(sf_dir: str):
     return latest.map_batches(
         lambda df: df[["user_id", "event_id", "event_type", "value"]], batch_format="pandas"
     )
+
+
+def q_schema_evolution_replay(sf_dir: str):
+    """Additive-column schema evolution end-to-end through the REAL
+    binlog-tail replay (north rule; graft-added vs the reference —
+    SURVEY.md §1.1): epoch 0 (even event_ids) carries the base payload
+    schema, epoch 1 (odd event_ids) ADDS ``size_bytes`` mid-stream.
+    The union-schema scan (_binlog_scan_schema) must null-fill the
+    pre-evolution rows and LWW must keep each winner's own payload —
+    an epoch-0 winner surfaces size_bytes = NULL even though later
+    files carry the column. The two epoch files are derived
+    deterministically from the ``events`` table (driver-side build is
+    bounded: this is a correctness-surface query, not a bench path —
+    the replay itself is the distributed engine)."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.replay import ReplayConfig, lake_dataset, replay_stream
+
+    ev = _pq.read_table(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    ev = ev.filter(
+        pc.and_(pc.is_valid(ev["user_id"]), pc.is_valid(ev["event_type"]))
+    )
+    eid = ev["event_id"].to_numpy(zero_copy_only=False)
+    uid = ev["user_id"].to_numpy(zero_copy_only=False)
+    base = pa.table({
+        "seq": pa.array(eid, pa.int64()),
+        "op": pa.array(["I"] * len(eid)),
+        "repo": pc.cast(pa.array(uid % 7), pa.string()),
+        "path": pc.cast(pa.array(eid % 211), pa.string()),
+        "content": ev["event_type"],
+    })
+    odd = (eid % 2) == 1
+    work = tempfile.mkdtemp(prefix="etl_rec_schema_evo_")
+    binlog = os.path.join(work, "binlog")
+    os.makedirs(binlog, exist_ok=True)
+    _pq.write_table(base.filter(pa.array(~odd)), os.path.join(binlog, "epoch=00000.parquet"))
+    _pq.write_table(
+        base.filter(pa.array(odd)).append_column(
+            "size_bytes", pa.array(uid[odd], pa.int64())
+        ),
+        os.path.join(binlog, "epoch=00001.parquet"),
+    )
+    cfg = ReplayConfig(lake_root=os.path.join(work, "lake"), num_buckets=8)
+    replay_stream(binlog, cfg)
+
+    def project(t: pa.Table) -> pa.Table:
+        sz = t["size_bytes"] if "size_bytes" in t.column_names else pa.nulls(
+            t.num_rows, pa.int64()
+        )
+        return pa.table({
+            "repo": t["repo"],
+            "path": t["path"],
+            "content": t["content"],
+            "content_sha256": t["content_sha256"],
+            # -1 sentinel keeps the column int64 on both sides (a
+            # nullable-int column degrades to float through pandas)
+            "size_bytes": pc.fill_null(pc.cast(sz, pa.int64()), -1),
+            "evolved": pc.is_valid(sz),
+        })
+
+    return lake_dataset(cfg.lake_root).map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- sort/limit
@@ -3189,6 +3256,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "anomaly_events": q_anomaly_events,
     "ann_pq": q_ann_pq,
+    "schema_evolution_replay": q_schema_evolution_replay,
 }
 
 ORACLE_SQL = {
@@ -3994,6 +4062,25 @@ def _langid_oracle_sql() -> str:
 
 
 ORACLE_SQL["langid_docs"] = _langid_oracle_sql()
+
+# The replayed lake state after the two evolving epochs == LWW winner
+# per (repo, path) over the derived event stream; epoch-0 winners (even
+# event_id) carry no size_bytes (-1 sentinel keeps int64 on both sides).
+ORACLE_SQL["schema_evolution_replay"] = (
+    "WITH ev AS ("
+    "SELECT event_id AS seq, CAST(user_id % 7 AS VARCHAR) AS repo, "
+    "CAST(event_id % 211 AS VARCHAR) AS path, event_type AS content, "
+    "CASE WHEN event_id % 2 = 1 THEN user_id END AS size_bytes "
+    "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL"
+    "), w AS ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path "
+    "ORDER BY seq % 2 DESC, seq DESC) AS rn "  # epoch first: LWW is (epoch, seq)
+    "FROM ev) "
+    "SELECT repo, path, content, sha256(content) AS content_sha256, "
+    "COALESCE(size_bytes, -1) AS size_bytes, "
+    "size_bytes IS NOT NULL AS evolved "
+    "FROM w WHERE rn = 1"
+)
 
 # EWMA recursion e_i = 0.3*v_i + 0.7*e_{i-1} per user, ordered by
 # (ts, event_id) — expressed exactly via a recursive CTE stepping one
