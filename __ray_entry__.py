@@ -40,9 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
     entries (minhash_clusters, simhash_docs, ngram_jaccard_pairs,
-    ann_lsh, ann_ivf, langid_docs, media_features, media_resize,
-    fingerprint_docs, embdup_pairs_ivf, pack_docs,
-    approx_quantiles_events, hll_users_by_type) are intentionally
+    ann_lsh, ann_ivf, media_pipeline, fingerprint_docs, embdup_clusters,
+    pack_docs, approx_quantiles_events, hll_users_by_type, ...) are intentionally
     omitted — each carries a falsifiable recall/property/invariant/
     error-bound unit test instead (tests/test_queries_oracle.py,
     tests/test_analytics_ops.py)."""

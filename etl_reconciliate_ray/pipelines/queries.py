@@ -1690,6 +1690,87 @@ def q_intersect_users(sf_dir: str):
     return intersect_distinct(cust, _event_user_keys(sf_dir), ["c_custkey"])
 
 
+def q_setops_users(sf_dir: str):
+    """The relational set-op family — UNION / INTERSECT / EXCEPT
+    DISTINCT — as ONE tagged result (registry consolidation: three
+    near-duplicate entries parametrized by the op tag; each engine
+    path — union-distinct combiner, presence-flag intersect, anti-leg
+    except — still runs)."""
+    def tag(ds, op: str, col: str):
+        return ds.map_batches(
+            lambda t, op=op, col=col: pa.table({
+                "op": pa.array([op] * t.num_rows),
+                "user_id": pc.cast(t[col], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
+    return tag(q_union_users(sf_dir), "union", "user_id").union(
+        tag(q_intersect_users(sf_dir), "intersect", "c_custkey"),
+        tag(q_except_users(sf_dir), "except", "c_custkey"),
+    )
+
+
+def q_grouping_sets_lineitem(sf_dir: str):
+    """ROLLUP and CUBE over the same keys in ONE tagged result
+    (registry consolidation of rollup_lineitem/cube_lineitem — both
+    grouping-sets cascades over stages/agg; the tag keeps the two
+    level-lattices distinguishable)."""
+    def tag(ds, op: str):
+        return ds.map_batches(
+            lambda t, op=op: t.append_column("op", pa.array([op] * t.num_rows)),
+            batch_format="pyarrow",
+        )
+
+    return tag(q_rollup_lineitem(sf_dir), "rollup").union(
+        tag(q_cube_lineitem(sf_dir), "cube")
+    )
+
+
+def q_asof_events(sf_dir: str):
+    """Backward AND forward as-of join in ONE tagged result (registry
+    consolidation of asof_join_events/asof_forward_events — the same
+    one-shuffle bucket-cogroup plan, direction parametrized;
+    stages/joins.asof_join)."""
+    def tag(ds, direction: str, id_col: str, val_col: str):
+        return ds.map_batches(
+            lambda df, d=direction, i=id_col, v=val_col: pd.DataFrame({
+                "direction": d,
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "matched_event_id": df[i],
+                "matched_value_cents": df[v],
+            }),
+            batch_format="pandas",
+        )
+
+    return tag(
+        q_asof_join_events(sf_dir), "backward", "purchase_event_id", "purchase_value_cents"
+    ).union(
+        tag(q_asof_forward_events(sf_dir), "forward", "next_purchase_id", "next_value_cents")
+    )
+
+
+def q_media_pipeline(sf_dir: str):
+    """Composed multimodal pipeline: decode → resize → feature-extract
+    over the opaque binary media table (registry consolidation of
+    media_resize/media_features — the composition exercises BOTH
+    actor-pool stages plus the schema handoff between them). Rows-only:
+    the pixel kernels are the documented deterministic fakes."""
+    from ..stages.multimodal import media_features, media_resize
+
+    resized = media_resize(_media_table(sf_dir))
+
+    def as_media(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": t["media_id"],
+            "media_type": pa.array(["image"] * t.num_rows),
+            "payload": t["payload"],
+        })
+
+    return media_features(resized.map_batches(as_media, batch_format="pyarrow"))
+
+
 def q_stats_lineitem(sf_dir: str):
     """Grouped variance / correlation via mergeable centered moments
     (stages/stats.py, Chan et al. 1983) — single pass, one partial-row
@@ -3130,13 +3211,67 @@ def q_embdup_pairs_ivf(sf_dir: str):
 
 
 QUERIES = {
+    # ORDER MATTERS for driver correctness coverage: the driver checks
+    # the FIRST 50 keys each round. Round 3 leads with the keys that
+    # lacked a driver-green row in CORRECTNESS_r02.json (plus two
+    # round-1 sentinels and this round's new/consolidated entries);
+    # the keys past slot 50 carry r02 driver evidence or rotate in
+    # next round. The in-repo pytest oracle covers ALL entries.
+    "reconcile_detail": q_reconcile_detail,
+    "cdc_lww_events": q_cdc_lww_events,
+    "schema_evolution_replay": q_schema_evolution_replay,
+    "langid_docs": q_langid_docs,
+    "ewma_events": q_ewma_events,
+    "setops_users": q_setops_users,
+    "grouping_sets_lineitem": q_grouping_sets_lineitem,
+    "asof_events": q_asof_events,
+    "media_pipeline": q_media_pipeline,
+    "money_dual_eq": q_money_dual_eq,
+    "money_rollup": q_money_rollup,
+    "nested_order_lines": q_nested_order_lines,
+    "unnest_roundtrip": q_unnest_roundtrip,
+    "scd2_user_state": q_scd2_user_state,
+    "revenue_by_nation": q_revenue_by_nation,
+    "bm25_docs": q_bm25_docs,
+    "fuzzy_part_names": q_fuzzy_part_names,
+    "fuzzy_lookup_parts": q_fuzzy_lookup_parts,
+    "stats_lineitem": q_stats_lineitem,
+    "moments_events": q_moments_events,
+    "regr_lineitem": q_regr_lineitem,
+    "ntile_events": q_ntile_events,
+    "cume_dist_orders": q_cume_dist_orders,
+    "rank_orders_per_priority": q_rank_orders_per_priority,
+    "topk_orders_per_priority": q_topk_orders_per_priority,
+    "topk_orders_with_ties": q_topk_orders_with_ties,
+    "mom_revenue": q_mom_revenue,
+    "events_by_hour": q_events_by_hour,
+    "entropy_users": q_entropy_users,
+    "geomean_lineitem": q_geomean_lineitem,
+    "weighted_avg_lineitem": q_weighted_avg_lineitem,
+    "resample_locf_events": q_resample_locf_events,
+    "custdist_orders": q_custdist_orders,
+    "postings_terms": q_postings_terms,
+    "minmax_norm_events": q_minmax_norm_events,
+    "cum_distinct_events": q_cum_distinct_events,
+    "stratified_sample_events": q_stratified_sample_events,
+    "left_join_customer_events": q_left_join_customer_events,
+    "quarantine_docs": q_quarantine_docs,
+    "nations_per_region": q_nations_per_region,
+    "split_docs": q_split_docs,
+    "event_value_quantiles": q_event_value_quantiles,
+    "normalize_text": q_normalize_text,
+    "sample_orders": q_sample_orders,
+    "term_stats": q_term_stats,
+    "tfidf_terms": q_tfidf_terms,
+    "melt_lineitem": q_melt_lineitem,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "decontam_docs": q_decontam_docs,
+    "heavy_hitters_events": q_heavy_hitters_events,
     "filter_project": q_filter_project,
     "groupby_sum": q_groupby_sum,
     "join_customer_nation": q_join_customer_nation,
     "join_orders_lineitem": q_join_orders_lineitem,
-    "reconcile_detail": q_reconcile_detail,
     "reconcile_counts": q_reconcile_counts,
-    "cdc_lww_events": q_cdc_lww_events,
     "topk_orders": q_topk_orders,
     "dedup_exact_docs": q_dedup_exact_docs,
     "minhash_clusters": q_minhash_clusters,
@@ -3147,18 +3282,14 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "token_stats": q_token_stats,
     "quality_docs": q_quality_docs,
-    "langid_docs": q_langid_docs,
     "sha256_docs": q_sha256_docs,
     "window_events": q_window_events,
     "distinct_event_types": q_distinct_event_types,
     "anti_join_customers": q_anti_join_customers,
     "payload_meta": q_payload_meta,
-    "media_features": q_media_features,
-    "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "hopping_window_events": q_hopping_window_events,
     "session_window_events": q_session_window_events,
-    "asof_join_events": q_asof_join_events,
     "reconcile_rollup": q_reconcile_rollup,
     "interval_join_events": q_interval_join_events,
     "pivot_user_events": q_pivot_user_events,
@@ -3169,63 +3300,21 @@ QUERIES = {
     "sliding_count_events": q_sliding_count_events,
     "first_last_orders": q_first_last_orders,
     "full_outer_activity": q_full_outer_activity,
-    "asof_forward_events": q_asof_forward_events,
     "weighted_sample_docs": q_weighted_sample_docs,
     "histogram_values": q_histogram_values,
     "ratio_to_report": q_ratio_to_report,
-    "union_users": q_union_users,
     "redact_docs": q_redact_docs,
     "mode_event_type": q_mode_event_type,
     "best_doc_per_source": q_best_doc_per_source,
     "cross_region_nation": q_cross_region_nation,
-    "except_users": q_except_users,
-    "intersect_users": q_intersect_users,
-    "stats_lineitem": q_stats_lineitem,
-    "distinct_users_by_type": q_distinct_users_by_type,
     "hll_users_by_type": q_hll_users_by_type,
-    "melt_lineitem": q_melt_lineitem,
-    "term_stats": q_term_stats,
-    "bm25_docs": q_bm25_docs,
-    "tfidf_terms": q_tfidf_terms,
-    "regr_lineitem": q_regr_lineitem,
     "dedup_plan_docs": q_dedup_plan_docs,
-    "weighted_avg_lineitem": q_weighted_avg_lineitem,
     "incremental_dedup_docs": q_incremental_dedup_docs,
-    "fuzzy_lookup_parts": q_fuzzy_lookup_parts,
-    "events_by_hour": q_events_by_hour,
-    "entropy_users": q_entropy_users,
-    "mom_revenue": q_mom_revenue,
-    "topk_orders_with_ties": q_topk_orders_with_ties,
-    "geomean_lineitem": q_geomean_lineitem,
-    "resample_locf_events": q_resample_locf_events,
-    "fuzzy_part_names": q_fuzzy_part_names,
-    "custdist_orders": q_custdist_orders,
-    "moments_events": q_moments_events,
-    "ewma_events": q_ewma_events,
     "pagerank_docs": q_pagerank_docs,
-    "postings_terms": q_postings_terms,
-    "minmax_norm_events": q_minmax_norm_events,
-    "cum_distinct_events": q_cum_distinct_events,
-    "rank_orders_per_priority": q_rank_orders_per_priority,
-    "stratified_sample_events": q_stratified_sample_events,
-    "left_join_customer_events": q_left_join_customer_events,
-    "quarantine_docs": q_quarantine_docs,
-    "nations_per_region": q_nations_per_region,
-    "revenue_by_nation": q_revenue_by_nation,
-    "split_docs": q_split_docs,
     "pack_docs": q_pack_docs,
-    "topk_orders_per_priority": q_topk_orders_per_priority,
-    "event_value_quantiles": q_event_value_quantiles,
     "approx_quantiles_events": q_approx_quantiles_events,
-    "nested_order_lines": q_nested_order_lines,
-    "unnest_roundtrip": q_unnest_roundtrip,
-    "normalize_text": q_normalize_text,
-    "money_dual_eq": q_money_dual_eq,
-    "money_rollup": q_money_rollup,
-    "sample_orders": q_sample_orders,
     "fingerprint_docs": q_fingerprint_docs,
     "embdup_pairs": q_embdup_pairs,
-    "embdup_pairs_ivf": q_embdup_pairs_ivf,
     "embdup_clusters": q_embdup_clusters,
     "compression_ratio_docs": q_compression_ratio_docs,
     "bpe_token_counts": q_bpe_token_counts,
@@ -3233,30 +3322,21 @@ QUERIES = {
     "mad_events": q_mad_events,
     "user_journeys": q_user_journeys,
     "lexical_diversity_docs": q_lexical_diversity_docs,
-    "rollup_lineitem": q_rollup_lineitem,
-    "cube_lineitem": q_cube_lineitem,
-    "ntile_events": q_ntile_events,
     "salted_join_events": q_salted_join_events,
-    "cume_dist_orders": q_cume_dist_orders,
     "chunk_docs": q_chunk_docs,
     "bigram_counts": q_bigram_counts,
     "semi_join_lineitem": q_semi_join_lineitem,
     "top_terms_per_doc": q_top_terms_per_doc,
     "repetition_docs": q_repetition_docs,
-    "decontam_docs": q_decontam_docs,
-    "heavy_hitters_events": q_heavy_hitters_events,
     "orders_above_cust_avg": q_orders_above_cust_avg,
-    "monthly_revenue": q_monthly_revenue,
     "json_extract_props": q_json_extract_props,
     "bloom_semi_orders": q_bloom_semi_orders,
-    "scd2_user_state": q_scd2_user_state,
     "event_transitions": q_event_transitions,
     "fk_integrity": q_fk_integrity,
     "funnel_events": q_funnel_events,
     "cohort_retention": q_cohort_retention,
     "anomaly_events": q_anomaly_events,
     "ann_pq": q_ann_pq,
-    "schema_evolution_replay": q_schema_evolution_replay,
 }
 
 ORACLE_SQL = {
@@ -3351,28 +3431,6 @@ ORACLE_SQL = {
         "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents "
         "FROM s GROUP BY user_id, sid"
     ),
-    "asof_join_events": (
-        "WITH p AS (SELECT user_id, ts, event_id, value FROM ("
-        "SELECT user_id, ts, event_id, value, "
-        "ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn "
-        "FROM events WHERE event_type = 'purchase') WHERE rn = 1), "
-        "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
-        "SELECT c.event_id, c.user_id, "
-        "COALESCE(p.event_id, -1) AS purchase_event_id, "
-        "COALESCE(CAST(ROUND(p.value * 100) AS BIGINT), -1) AS purchase_value_cents "
-        "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
-    ),
-    "asof_forward_events": (
-        "WITH p AS (SELECT user_id, ts, event_id, value FROM ("
-        "SELECT user_id, ts, event_id, value, "
-        "ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn "
-        "FROM events WHERE event_type = 'purchase') WHERE rn = 1), "
-        "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
-        "SELECT c.event_id, c.user_id, "
-        "COALESCE(p.event_id, -1) AS next_purchase_id, "
-        "COALESCE(CAST(ROUND(p.value * 100) AS BIGINT), -1) AS next_value_cents "
-        "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts"
-    ),
     "weighted_sample_docs": (
         "SELECT doc_id, n_chars FROM documents "
         "WHERE (doc_id * 2654435761) % 4294967296 % 1000 < LEAST(999, n_chars // 2)"
@@ -3433,9 +3491,6 @@ ORACLE_SQL = {
         "FROM events GROUP BY 1) "
         "SELECT event_type, n, CAST(SUM(n) OVER () AS BIGINT) AS total, "
         "CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_ppm FROM c"
-    ),
-    "union_users": (
-        "SELECT user_id FROM events UNION SELECT o_custkey AS user_id FROM orders"
     ),
     "redact_docs": (
         "WITH r1 AS (SELECT doc_id, "
@@ -3762,12 +3817,6 @@ ORACLE_SQL = {
         "CAST(ROUND(CORR(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS corr_e6 "
         "FROM lineitem GROUP BY l_returnflag"
     ),
-    "except_users": (
-        "SELECT c_custkey FROM customer EXCEPT SELECT user_id FROM events"
-    ),
-    "intersect_users": (
-        "SELECT c_custkey FROM customer INTERSECT SELECT user_id FROM events"
-    ),
     "frame_sample": (
         "SELECT doc_id AS media_id, "
         "CAST(CEIL(((doc_id % 5) * 700 + 100) / 1000.0) AS BIGINT) AS n_frames "
@@ -3850,13 +3899,6 @@ ORACLE_SQL = {
         # the raw table's max pairwise cosine is ~0.51 — no float-boundary
         # fragility between numpy and DuckDB
     ),
-    "rollup_lineitem": (
-        "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
-        "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
-        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
-        "CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
-    ),
     "salted_join_events": (
         "SELECT e.user_id, e.event_id, c.c_mktsegment FROM events e "
         "JOIN customer c ON e.user_id = c.c_custkey"
@@ -3900,13 +3942,6 @@ ORACLE_SQL = {
         "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
         "FROM documents) WHERE term <> '' GROUP BY term, doc_id)) WHERE rn <= 3"
     ),
-    "cube_lineitem": (
-        "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
-        "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
-        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
-        "CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
-    ),
     "repetition_docs": (
         "WITH wc AS (SELECT doc_id, w, COUNT(*) AS c FROM "
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
@@ -3937,11 +3972,6 @@ ORACLE_SQL = {
         "FROM orders o JOIN (SELECT o_custkey AS ck, AVG(o_totalprice) AS av "
         "FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.ck "
         "WHERE o.o_totalprice > 1.2 * a.av"
-    ),
-    "monthly_revenue": (
-        "SELECT date_trunc('month', o_orderdate) AS month, "
-        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1"
     ),
     "json_extract_props": (
         "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
@@ -4062,6 +4092,46 @@ def _langid_oracle_sql() -> str:
 
 
 ORACLE_SQL["langid_docs"] = _langid_oracle_sql()
+
+ORACLE_SQL["setops_users"] = (
+    "SELECT 'union' AS op, user_id FROM "
+    "(SELECT user_id FROM events UNION SELECT o_custkey AS user_id FROM orders) "
+    "UNION ALL SELECT 'intersect' AS op, c_custkey AS user_id FROM "
+    "(SELECT c_custkey FROM customer INTERSECT SELECT user_id FROM events) "
+    "UNION ALL SELECT 'except' AS op, c_custkey AS user_id FROM "
+    "(SELECT c_custkey FROM customer EXCEPT SELECT user_id FROM events)"
+)
+
+ORACLE_SQL["grouping_sets_lineitem"] = (
+    "SELECT 'rollup' AS op, COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+    "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+    "UNION ALL "
+    "SELECT 'cube' AS op, COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+    "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+)
+
+ORACLE_SQL["asof_events"] = (
+    "WITH p AS (SELECT user_id, ts, event_id, value FROM ("
+    "SELECT user_id, ts, event_id, value, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn "
+    "FROM events WHERE event_type = 'purchase') WHERE rn = 1), "
+    "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
+    "SELECT 'backward' AS direction, c.event_id, c.user_id, "
+    "COALESCE(p.event_id, -1) AS matched_event_id, "
+    "COALESCE(CAST(ROUND(p.value * 100) AS BIGINT), -1) AS matched_value_cents "
+    "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts "
+    "UNION ALL "
+    "SELECT 'forward' AS direction, c.event_id, c.user_id, "
+    "COALESCE(p.event_id, -1) AS matched_event_id, "
+    "COALESCE(CAST(ROUND(p.value * 100) AS BIGINT), -1) AS matched_value_cents "
+    "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts"
+)
 
 # The replayed lake state after the two evolving epochs == LWW winner
 # per (repo, path) over the derived event stream; epoch-0 winners (even

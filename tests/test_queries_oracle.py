@@ -178,10 +178,10 @@ def test_ivf_dup_pairs_recall_vs_brute_force(ray_session):
     """The IVF-bucketed near-dup path must recover >= 0.9 of the
     brute-force pairs on the planted-dup table (and find the planted
     clones themselves)."""
-    from etl_reconciliate_ray.pipelines.queries import QUERIES
+    from etl_reconciliate_ray.pipelines.queries import QUERIES, q_embdup_pairs_ivf
 
     brute = _to_pandas(QUERIES["embdup_pairs"](SF_DIR))
-    ivf = _to_pandas(QUERIES["embdup_pairs_ivf"](SF_DIR))
+    ivf = _to_pandas(q_embdup_pairs_ivf(SF_DIR))
     bset = set(map(tuple, brute[["id_a", "id_b"]].to_numpy()))
     iset = set(map(tuple, ivf[["id_a", "id_b"]].to_numpy()))
     assert bset, "planted dups must produce brute-force pairs"
