@@ -103,21 +103,31 @@ def hll_count_distinct(
     keys = list(keys)
     m = 1 << p
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        # dropna=False: NULL group keys form their own group (GROUP BY
-        # semantics); NULL values are excluded from the sketch (SQL
-        # COUNT(DISTINCT) ignores NULLs — an all-NULL key estimates 0)
-        for kv, g in df.groupby(keys, sort=False, observed=True, dropna=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            vals = g[col].dropna()
-            reg = (
-                _hll_partial_registers(pa.array(vals), p)
-                if len(vals)
-                else np.zeros(m, np.uint8)
-            )
-            rows.append({**dict(zip(keys, kv)), "__reg": reg.tobytes()})
-        return pd.DataFrame(rows, columns=keys + ["__reg"])
+    def partial(t: pa.Table) -> pa.Table:
+        # NULL group keys form their own group (GROUP BY semantics);
+        # NULL values are excluded from the sketch (SQL COUNT(DISTINCT)
+        # ignores NULLs — an all-NULL key estimates 0). ALL groups'
+        # registers fill in ONE vectorized pass: one hash64 over the
+        # whole column, then np.maximum.at into a (G × 2^p) register
+        # plane addressed by group_code*m + bucket.
+        from ..functions.grouping import group_codes
+
+        codes, first, G = group_codes(t, keys)
+        vals = t[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        valid = pa.compute.is_valid(vals).to_numpy(zero_copy_only=False)
+        plane = np.zeros(G * m, np.uint8)
+        if valid.any():
+            h = hash64(vals)  # uint64, whole column at once
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            w = h << np.uint64(p)
+            rho = np.where(w == 0, 64 - p + 1, 63 - _floor_log2_u64(w) + 1).astype(np.uint8)
+            vi = np.flatnonzero(valid)
+            np.maximum.at(plane, codes[vi] * m + idx[vi], rho[vi])
+        rep = t.select(keys).take(pa.array(first))
+        regs = pa.array([plane[g * m : (g + 1) * m].tobytes() for g in range(G)], pa.binary())
+        return pa.table({**{k: rep[k] for k in keys}, "__reg": regs})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(m, np.uint8)
@@ -128,7 +138,7 @@ def hll_count_distinct(
         return pd.DataFrame(out)
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(keys)
         .map_groups(merge, batch_format="pandas")
     )

@@ -3,9 +3,11 @@ applied to any keyed, ordered table).
 
 Two-level reduce (no full-row shuffle of already-dominated rows):
 1. per-batch partial: keep only each key's max-(order) row inside the
-   batch (vectorized pandas sort + drop_duplicates),
+   batch (winner-INDEX selection over zero-copy Arrow — dictionary
+   codes + order ranks lexsorted, one ``take`` of the winners; the
+   payload columns are never sorted or copied per row),
 2. bucket the survivors by key hash, one shuffle, per-bucket final
-   reduce with the same vectorized kernel.
+   reduce with the same kernel.
 
 This is the same dedup-by-recency semantics as the lake merge
 (stages/merge.lww_reduce) exposed as a standalone operator over
@@ -17,14 +19,57 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
 
 
-def _keep_last(df: pd.DataFrame, key_cols: list[str], order_cols: list[str]) -> pd.DataFrame:
-    df = df.sort_values(order_cols, kind="stable")
-    return df.drop_duplicates(subset=key_cols, keep="last")
+def _key_codes(tbl: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Integer group codes for the (possibly composite) key columns.
+    Nulls are filled per-column with a NUL-byte sentinel BEFORE the
+    join so (NULL, 'a') and (NULL, 'b') stay distinct keys (the same
+    contract as merge.lww_reduce / hashing.key_strings)."""
+    if len(key_cols) == 1:
+        k = tbl[key_cols[0]]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if not (pa.types.is_string(k.type) or pa.types.is_large_string(k.type)):
+            k = pc.cast(k, pa.large_string())
+        k = pc.fill_null(k, "\x00NULL\x00")
+        return pc.dictionary_encode(k).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    cols = [
+        pc.fill_null(pc.cast(tbl[c], pa.large_string()), "\x00NULL\x00")
+        for c in key_cols
+    ]
+    joined = pc.binary_join_element_wise(*cols, pa.scalar("\x01", pa.large_string()))
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    return pc.dictionary_encode(joined).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _winner_take(tbl: pa.Table, key_cols: list[str], order_cols: list[str]) -> pa.Table:
+    """One row per key: the max-(order_cols) row, ties resolved to the
+    later table position (== stable sort + keep-last). Order columns of
+    ANY type are reduced to min-tiebreak ranks (equal values share a
+    rank, so ties fall through to position); nulls rank last, matching
+    pandas sort_values' default na_position='last'."""
+    if tbl.num_rows == 0:
+        return tbl
+    codes = _key_codes(tbl, key_cols)
+    ranks = []
+    for c in reversed(order_cols):  # least-significant first for lexsort
+        col = tbl[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ranks.append(
+            pc.rank(col, sort_keys="ascending", null_placement="at_end",
+                    tiebreaker="min").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    perm = np.lexsort((*ranks, codes))
+    g = codes[perm]
+    winner_idx = perm[np.flatnonzero(np.append(g[1:] != g[:-1], True))]
+    return tbl.take(pa.array(winner_idx))  # the ONE payload gather
 
 
 def lww_latest(
@@ -38,22 +83,23 @@ def lww_latest(
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = _keep_last(df, key_cols, order_cols)
+    def partial(t: pa.Table) -> pa.Table:
+        out = _winner_take(t, key_cols, order_cols)
         k = out[key_cols[0]]
-        if pd.api.types.is_integer_dtype(k):
-            bucket = (k.to_numpy(dtype=np.int64) % num_buckets).astype(np.int32)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if pa.types.is_integer(k.type):
+            kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            bucket = (kv % num_buckets).astype(np.int32)
         else:
-            bucket = (hash64(k.to_numpy(dtype=object)) % np.uint64(num_buckets)).astype(np.int32)
-        out = out.copy()
-        out["__bucket__"] = bucket
-        return out
+            bucket = (hash64(k) % np.uint64(num_buckets)).astype(np.int32)
+        return out.append_column("__bucket__", pa.array(bucket))
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return _keep_last(df, key_cols, order_cols).drop(columns="__bucket__")
+    def final(t: pa.Table) -> pa.Table:
+        return _winner_take(t, key_cols, order_cols).drop_columns(["__bucket__"])
 
     return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
         .groupby("__bucket__")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(final, batch_format="pyarrow")
     )

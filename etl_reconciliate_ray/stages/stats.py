@@ -14,11 +14,12 @@ key — and partials are merged pairwise with Chan's parallel update
     mean = mean_a + δ·n_b/n
     M2   = M2_a + M2_b + δ²·n_a·n_b/n          (same form for Cxy)
 
-Scale shape: per-batch partials are computed with pandas C-speed
-``groupby.transform`` (no per-row Python); only one row per
-(key, batch) crosses the wire; the global merge folds a handful of
-partial rows per key inside ``map_groups``. Exchange volume is
-O(keys × batches), independent of row count."""
+Scale shape: per-batch partials run over zero-copy Arrow — dense
+group codes (functions/grouping.group_codes) + ``np.bincount``
+reductions, no pandas round trip and no per-row Python on the full
+stream; only one row per (key, batch) crosses the wire; the global
+merge folds a handful of partial rows per key inside ``map_groups``.
+Exchange volume is O(keys × batches), independent of row count."""
 
 from __future__ import annotations
 
@@ -26,6 +27,28 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.grouping import group_codes
+
+
+def _col_f64(t: pa.Table, name: str) -> np.ndarray:
+    """Column as float64 ndarray, nulls -> NaN (the pandas view)."""
+    return (
+        pc.cast(t[name], pa.float64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64, copy=False)
+    )
+
+
+def _grp_mean(codes, valid, x, G):
+    """Per-group count and mean over valid rows; mean NaN where n==0
+    (pandas ``g[x].mean()`` of an all-null group)."""
+    n = np.bincount(codes[valid], minlength=G).astype(np.int64)
+    s = np.bincount(codes[valid], weights=x[valid], minlength=G)
+    mean = np.divide(s, n, out=np.full(G, np.nan), where=n > 0)
+    return n, mean
 
 
 def _chan_fold(g: pd.DataFrame, with_y: bool) -> dict:
@@ -61,34 +84,30 @@ def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None):
     keys = list(keys)
     with_y = y is not None
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # dropna=False: rows with a NULL group key form their own group
-        # (SQL GROUP BY emits a NULL group; silently dropping them
-        # would lose data from per-slice drift stats)
-        g = df.groupby(keys, sort=False, observed=True, dropna=False)
-        mx = g[x].transform("mean")
-        dx = df[x] - mx
-        work = pd.DataFrame({"__dx2": dx * dx})
-        for k in keys:
-            work[k] = df[k]
+    def partial(t: pa.Table) -> pa.Table:
+        # NULL group keys form their own group (SQL GROUP BY emits a
+        # NULL group; silently dropping them would lose data from
+        # per-slice drift stats) — group_codes guarantees this
+        codes, first, G = group_codes(t, keys)
+        xs = _col_f64(t, x)
+        vx = ~np.isnan(xs)
+        n, mx = _grp_mean(codes, vx, xs, G)
+        dx = xs - mx[codes]
+        rep = t.select(keys).take(pa.array(first))
+        cols = {k: rep[k] for k in keys}
+        cols["n"] = pa.array(n)
+        cols["mean_x"] = pa.array(mx)
+        cols["m2_x"] = pa.array(np.bincount(codes[vx], weights=(dx * dx)[vx], minlength=G))
         if with_y:
-            my = g[y].transform("mean")
-            dy = df[y] - my
-            work["__dy2"] = dy * dy
-            work["__dxy"] = dx * dy
-            work["__my"] = my
-        work["__mx"] = mx
-        w = work.groupby(keys, sort=False, observed=True, dropna=False)
-        out = pd.DataFrame({
-            "n": g[x].count().astype("int64"),
-            "mean_x": g[x].mean(),
-            "m2_x": w["__dx2"].sum(),
-        })
-        if with_y:
-            out["mean_y"] = g[y].mean()
-            out["m2_y"] = w["__dy2"].sum()
-            out["cxy"] = w["__dxy"].sum()
-        return out.reset_index()
+            ys = _col_f64(t, y)
+            vy = ~np.isnan(ys)
+            _, my = _grp_mean(codes, vy, ys, G)
+            dy = ys - my[codes]
+            vxy = vx & vy
+            cols["mean_y"] = pa.array(my)
+            cols["m2_y"] = pa.array(np.bincount(codes[vy], weights=(dy * dy)[vy], minlength=G))
+            cols["cxy"] = pa.array(np.bincount(codes[vxy], weights=(dx * dy)[vxy], minlength=G))
+        return pa.table(cols)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         acc = _chan_fold(g, with_y)
@@ -110,7 +129,7 @@ def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None):
         return pd.DataFrame(row)
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(keys)
         .map_groups(merge, batch_format="pandas")
     )
@@ -163,23 +182,22 @@ def grouped_higher_moments(ds, keys: Sequence[str], x: str):
     rounding makes the comparison exact)."""
     keys = list(keys)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False, observed=True, dropna=False)
-        d = df[x] - g[x].transform("mean")
-        work = pd.DataFrame({
-            "__d2": d * d, "__d3": d * d * d, "__d4": (d * d) * (d * d)
-        })
-        for k in keys:
-            work[k] = df[k]
-        w = work.groupby(keys, sort=False, observed=True, dropna=False)
-        out = pd.DataFrame({
-            "n": g[x].count().astype("int64"),
-            "mean_x": g[x].mean(),
-            "m2_x": w["__d2"].sum(),
-            "m3_x": w["__d3"].sum(),
-            "m4_x": w["__d4"].sum(),
-        })
-        return out.reset_index()
+    def partial(t: pa.Table) -> pa.Table:
+        codes, first, G = group_codes(t, keys)
+        xs = _col_f64(t, x)
+        vx = ~np.isnan(xs)
+        n, mx = _grp_mean(codes, vx, xs, G)
+        d = xs - mx[codes]
+        d2 = d * d
+        cv, dv2 = codes[vx], d2[vx]
+        rep = t.select(keys).take(pa.array(first))
+        cols = {k: rep[k] for k in keys}
+        cols["n"] = pa.array(n)
+        cols["mean_x"] = pa.array(mx)
+        cols["m2_x"] = pa.array(np.bincount(cv, weights=dv2, minlength=G))
+        cols["m3_x"] = pa.array(np.bincount(cv, weights=(d * d2)[vx], minlength=G))
+        cols["m4_x"] = pa.array(np.bincount(cv, weights=dv2 * dv2, minlength=G))
+        return pa.table(cols)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         n, _, m2, m3, m4 = _pebay_fold(g)
@@ -200,7 +218,7 @@ def grouped_higher_moments(ds, keys: Sequence[str], x: str):
         return pd.DataFrame(row).astype({"skew_e6": "Int64", "kurt_e6": "Int64"})
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(keys)
         .map_groups(merge, batch_format="pandas")
     )

@@ -61,19 +61,39 @@ def resample_locf(
             id_col: t[id_col],
         })
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
         # one row per (key, day): event count + the batch-local last
         # non-null value with its order key, so partials merge by
-        # taking the (ts, id)-max across batches
-        df = df.sort_values([key, "day", ts_col, id_col], kind="stable")
-        n = df.groupby([key, "day"], sort=False).size().rename("n").reset_index()
-        nn = df[df["cents"].notna()]
-        last = (
-            nn.groupby([key, "day"], sort=False)
-            .tail(1)[[key, "day", ts_col, id_col, "cents"]]
-            .rename(columns={ts_col: "lts", id_col: "lid", "cents": "lcents"})
-        )
-        return n.merge(last, on=[key, "day"], how="left")
+        # taking the (ts, id)-max across batches. Zero-copy Arrow:
+        # dense group codes + bincount for n, winner-index lexsort for
+        # the last non-null value, Arrow null-index take to left-join
+        # the winner columns back onto the group grid.
+        from ..functions.grouping import group_codes
+
+        codes, first, G = group_codes(t, [key, "day"])
+        n = np.bincount(codes, minlength=G).astype(np.int64)
+        valid = pc.is_valid(t["cents"]).to_numpy(zero_copy_only=False)
+        vi = np.flatnonzero(valid)
+        win = np.full(G, -1, np.int64)
+        if len(vi):
+            ts = t[ts_col].to_numpy(zero_copy_only=False)[vi]
+            ids = t[id_col].to_numpy(zero_copy_only=False)[vi]
+            perm = np.lexsort((ids, ts, codes[vi]))
+            sc = codes[vi][perm]
+            w = vi[perm[np.flatnonzero(np.append(sc[1:] != sc[:-1], True))]]
+            win[codes[w]] = w
+        # null winner index -> null lts/lid/lcents (the how="left" leg)
+        win_idx = pa.array(np.where(win >= 0, win, 0), mask=win < 0)
+        last = t.select([ts_col, id_col, "cents"]).take(win_idx)
+        rep = t.select([key, "day"]).take(pa.array(first))
+        return pa.table({
+            key: rep[key],
+            "day": rep["day"],
+            "n": pa.array(n),
+            "lts": last[ts_col],
+            "lid": last[id_col],
+            "lcents": last["cents"],
+        })
 
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
         kv = df[key].iloc[0]
@@ -98,7 +118,7 @@ def resample_locf(
 
     return (
         ds.map_batches(derive, batch_format="pyarrow")
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
     )
