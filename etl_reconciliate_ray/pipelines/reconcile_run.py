@@ -138,7 +138,7 @@ def _make_cogroup_fn(spill: str, cols: list[str]):
     import pyarrow.parquet as pq
 
     from ..stages.merge import _pqfile, read_chain
-    from ..stages.reconcile import reconcile_group_pdf
+    from ..stages.reconcile import reconcile_pair_pdf
 
     def cogroup_part(batch: pa.Table) -> pd.DataFrame:
         out = []
@@ -151,18 +151,15 @@ def _make_cogroup_fn(spill: str, cols: list[str]):
                 for f, rg in _json.loads(rec["snap"])
             ]
             right = pd.concat(snaps, ignore_index=True) if snaps else pd.DataFrame(columns=cols)
-            left = left.assign(side="L")
-            right = right.assign(side="R")
-            both = pd.concat([left, right], ignore_index=True)
             fname = os.path.join(spill, f"detail-part{part:05d}.parquet")
-            if len(both) == 0:
+            if len(left) == 0 and len(right) == 0:
                 # a recomputed part may have become empty: drop its
                 # stale detail spill instead of leaving ghost rows
                 if os.path.exists(fname):
                     os.remove(fname)
                 continue
-            det = reconcile_group_pdf(
-                both, ["repo", "path"], "content_sha256", attr_cols=["commit"]
+            det = reconcile_pair_pdf(
+                left, right, ["repo", "path"], "content_sha256", attr_cols=["commit"]
             )
             pq.write_table(pa.Table.from_pandas(det, preserve_index=False), fname + ".tmp")
             os.replace(fname + ".tmp", fname)

@@ -69,6 +69,23 @@ def reconcile_group_pdf(
     keep = key_cols + [value_col] + [c for c in attr_cols]
     left = df.loc[df["side"] == "L", keep]
     right = df.loc[df["side"] == "R", keep]
+    return reconcile_pair_pdf(left, right, key_cols, value_col, attr_cols)
+
+
+def reconcile_pair_pdf(
+    left: pd.DataFrame,
+    right: pd.DataFrame,
+    key_cols: Sequence[str],
+    value_col: str = "content_sha256",
+    attr_cols: Sequence[str] = (),
+) -> pd.DataFrame:
+    """Core of ``reconcile_group_pdf`` taking the two sides directly —
+    callers that already hold left/right separately (the bucket cogroup
+    tasks) skip the tag-concat-split round trip."""
+    key_cols = list(key_cols)
+    keep = key_cols + [value_col] + [c for c in attr_cols]
+    left = left[keep]
+    right = right[keep]
     m = left.merge(right, on=key_cols, how="outer", suffixes=("_l", "_r"), indicator=True)
     # deterministic right-row order inside each key group -> stable ordinals
     sort_cols = key_cols + [f"{value_col}_r"] + [f"{c}_r" for c in attr_cols]
