@@ -74,3 +74,81 @@ def write_report(detail_ds, rollup_ds, counts_df, out_dir: str, meta: dict | Non
         json.dump(summary, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "summary.json"))  # atomic publish
     return summary
+
+
+# Reference sheet layout (ExcelReportService.java:30-38,108-146): the
+# LOTES sheet is the per-batch rollup, the DETALLE sheet the per-row
+# detail, each with a header row and the status column LAST.
+_SHEET_LOTES = "lotes"
+_SHEET_DETALLE = "detalle"
+_RENDER_MAX_ROWS = 1_000_000
+
+
+def render_report(out_dir: str, fmt: str = "csv", max_rows: int = _RENDER_MAX_ROWS) -> dict:
+    """Human-parity render of a written report (K1 presentation gap):
+    the two parquet tables re-emitted as the reference's two sheets
+    (``ExcelReportService.java:53-163`` LOTES/DETALLE), status column
+    moved last to mirror the sheet layout.
+
+    ``fmt="csv"`` writes ``report_lotes.csv`` / ``report_detalle.csv``
+    (always available); ``fmt="xlsx"`` writes one two-sheet workbook if
+    ``openpyxl``/``xlsxwriter`` is importable and raises a clear
+    ``RuntimeError`` otherwise (neither ships in this container).
+
+    This is a DRIVER-SIDE presentation artifact for a human comparing
+    against the reference's Excel output — it refuses beyond
+    ``max_rows`` (a 100 TB detail table is not a spreadsheet; read the
+    partitioned parquet instead). Cell coloring (:122-124,143-145) is
+    presentation-only and intentionally out of scope."""
+    import pandas as pd
+
+    def _load(sub: str) -> pd.DataFrame:
+        root = os.path.join(out_dir, sub)
+        if not os.path.exists(os.path.join(root, "_DONE")):
+            raise FileNotFoundError(f"report table {sub!r} not written (no _DONE) in {out_dir}")
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(root, format="parquet", partitioning="hive",
+                            ignore_prefixes=["_", "."])
+        n = dset.count_rows()
+        if n > max_rows:
+            raise ValueError(
+                f"{sub} has {n} rows > max_rows={max_rows}; the render is a "
+                "small-scale presentation artifact — read the parquet report instead"
+            )
+        df = dset.to_table().to_pandas()
+        if "status" in df.columns:  # status last, like the reference sheets
+            df = df[[c for c in df.columns if c != "status"] + ["status"]]
+        return df
+
+    sheets = {_SHEET_LOTES: _load("rollup"), _SHEET_DETALLE: _load("detail")}
+    written: dict[str, str] = {}
+    if fmt == "csv":
+        for name, df in sheets.items():
+            path = os.path.join(out_dir, f"report_{name}.csv")
+            df.to_csv(path + ".tmp", index=False)
+            os.replace(path + ".tmp", path)
+            written[name] = path
+    elif fmt == "xlsx":
+        try:
+            import openpyxl  # noqa: F401  (either engine satisfies pandas)
+        except ImportError:
+            try:
+                import xlsxwriter  # noqa: F401
+            except ImportError as exc:
+                raise RuntimeError(
+                    "fmt='xlsx' needs openpyxl or xlsxwriter (not in this "
+                    "container); use fmt='csv'"
+                ) from exc
+        path = os.path.join(out_dir, "report.xlsx")
+        with pd.ExcelWriter(path) as xw:
+            for name, df in sheets.items():
+                df.to_excel(xw, sheet_name=name, index=False)
+        written = {name: path for name in sheets}
+    else:
+        raise ValueError(f"unknown fmt {fmt!r} (csv|xlsx)")
+    return {
+        "files": written,
+        "rows": {name: int(len(df)) for name, df in sheets.items()},
+        "columns": {name: list(df.columns) for name, df in sheets.items()},
+    }

@@ -178,6 +178,47 @@ def test_report_sink_partitioned_and_resumable(fixture_small, tmp_path):
     summary2 = write_report(detail, rollup, counts, out)
     assert summary2["status_counts"] == want
 
+    # human-parity render (reference ExcelReportService.java:53-163):
+    # two "sheets" (lotes=rollup, detalle=detail) with full column
+    # parity against the parquet tables and status rendered LAST
+    import pandas as pd
+
+    from etl_reconciliate_ray.pipelines.report import render_report
+
+    import pytest as _pytest
+
+    ren = render_report(out, fmt="csv")
+    assert set(ren["files"]) == {"lotes", "detalle"}
+    det_pdf = detail.to_pandas()
+    rol_pdf = rollup.to_pandas()
+    lotes = pd.read_csv(ren["files"]["lotes"])
+    detalle = pd.read_csv(ren["files"]["detalle"])
+    assert set(lotes.columns) == set(rol_pdf.columns)
+    assert set(detalle.columns) == set(det_pdf.columns)
+    assert list(detalle.columns)[-1] == "status"
+    assert len(lotes) == len(rol_pdf) and len(detalle) == len(det_pdf)
+    # per-status row parity with the partitioned parquet
+    assert detalle["status"].value_counts().to_dict() == want
+    # xlsx path: works when an engine exists, clear refusal otherwise
+    try:
+        import openpyxl  # noqa: F401
+        has_engine = True
+    except ImportError:
+        try:
+            import xlsxwriter  # noqa: F401
+            has_engine = True
+        except ImportError:
+            has_engine = False
+    if has_engine:
+        ren_x = render_report(out, fmt="xlsx")
+        assert set(ren_x["files"]) == {"lotes", "detalle"}
+    else:
+        with _pytest.raises(RuntimeError):
+            render_report(out, fmt="xlsx")
+    # scale guard refuses oversized renders
+    with _pytest.raises(ValueError):
+        render_report(out, fmt="csv", max_rows=1)
+
 
 def test_incremental_reconcile_tracks_full(fixture_small, tmp_path):
     """reconcile_incremental must produce EXACTLY what the full
