@@ -381,6 +381,13 @@ def run_nodes() -> dict:
     scaling_events = str(max(400_000, int(600_000_000 * sf)))
     configs = [1, 2]
     runs: dict[int, list[dict]] = {1: [], 2: []}
+    if (os.cpu_count() or 0) < 32:
+        raise SystemExit(
+            "--nodes needs >= 32 host CPUs (two disjoint 16-core pinned "
+            f"node sets); this host has {os.cpu_count()}"
+        )
+    # NOTE: tears down ANY local Ray cluster between measurements —
+    # the protocol owns the whole host while it runs
     _ray_stop()
     pairs = int(os.environ.get("GRAFT_NODE_PAIRS", "3"))
     for nodes in configs * pairs:  # interleaved pairs; pair 1 warms pages

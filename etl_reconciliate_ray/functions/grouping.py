@@ -25,6 +25,7 @@ def group_codes(tbl: pa.Table, cols: list[str]) -> tuple[np.ndarray, np.ndarray,
     composite key ``cols``. ``first_idx[g]`` is the first row of group
     ``g``; gather representatives with ``tbl.select(cols).take(...)``."""
     combined: np.ndarray | None = None
+    first_idx = np.empty(0, np.int64)
     for c in cols:
         col = tbl[c]
         if isinstance(col, pa.ChunkedArray):
@@ -37,8 +38,14 @@ def group_codes(tbl: pa.Table, cols: list[str]) -> tuple[np.ndarray, np.ndarray,
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
+        # compact to dense codes after EVERY column: the mixed-radix
+        # value is then bounded by G_prev*(k+1) <= num_rows^2, which
+        # cannot overflow int64 for any Arrow-addressable batch (a
+        # single multiply across many high-cardinality columns could)
         combined = idx if combined is None else combined * (k + 1) + idx
+        _, first_idx, combined = np.unique(
+            combined, return_index=True, return_inverse=True
+        )
     if combined is None or len(combined) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64), 0
-    _, first_idx, codes = np.unique(combined, return_index=True, return_inverse=True)
-    return codes.astype(np.int64), first_idx.astype(np.int64), len(first_idx)
+    return combined.astype(np.int64), first_idx.astype(np.int64), len(first_idx)

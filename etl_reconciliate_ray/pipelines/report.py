@@ -141,9 +141,11 @@ def render_report(out_dir: str, fmt: str = "csv", max_rows: int = _RENDER_MAX_RO
                     "container); use fmt='csv'"
                 ) from exc
         path = os.path.join(out_dir, "report.xlsx")
-        with pd.ExcelWriter(path) as xw:
+        tmp = path + ".tmp"
+        with pd.ExcelWriter(tmp) as xw:
             for name, df in sheets.items():
                 df.to_excel(xw, sheet_name=name, index=False)
+        os.replace(tmp, path)  # atomic publish, like every other writer here
         written = {name: path for name in sheets}
     else:
         raise ValueError(f"unknown fmt {fmt!r} (csv|xlsx)")

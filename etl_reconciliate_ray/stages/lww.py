@@ -22,30 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.grouping import group_codes
 from ..functions.hashing import hash64
-
-
-def _key_codes(tbl: pa.Table, key_cols: list[str]) -> np.ndarray:
-    """Integer group codes for the (possibly composite) key columns.
-    Nulls are filled per-column with a NUL-byte sentinel BEFORE the
-    join so (NULL, 'a') and (NULL, 'b') stay distinct keys (the same
-    contract as merge.lww_reduce / hashing.key_strings)."""
-    if len(key_cols) == 1:
-        k = tbl[key_cols[0]]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        if not (pa.types.is_string(k.type) or pa.types.is_large_string(k.type)):
-            k = pc.cast(k, pa.large_string())
-        k = pc.fill_null(k, "\x00NULL\x00")
-        return pc.dictionary_encode(k).indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    cols = [
-        pc.fill_null(pc.cast(tbl[c], pa.large_string()), "\x00NULL\x00")
-        for c in key_cols
-    ]
-    joined = pc.binary_join_element_wise(*cols, pa.scalar("\x01", pa.large_string()))
-    if isinstance(joined, pa.ChunkedArray):
-        joined = joined.combine_chunks()
-    return pc.dictionary_encode(joined).indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def _winner_take(tbl: pa.Table, key_cols: list[str], order_cols: list[str]) -> pa.Table:
@@ -56,7 +34,10 @@ def _winner_take(tbl: pa.Table, key_cols: list[str], order_cols: list[str]) -> p
     pandas sort_values' default na_position='last'."""
     if tbl.num_rows == 0:
         return tbl
-    codes = _key_codes(tbl, key_cols)
+    # collision-free composite codes (per-column dictionary encode with
+    # null-as-own-code — no string-join separator ambiguity, and
+    # (NULL, 'a') != (NULL, 'b') as in merge.lww_reduce)
+    codes, _, _ = group_codes(tbl, key_cols)
     ranks = []
     for c in reversed(order_cols):  # least-significant first for lexsort
         col = tbl[c]
