@@ -28,7 +28,7 @@ HEADLINE_QUERIES = [
     "reconcile_counts",
     "dedup_exact_docs",
     "knn_cosine",
-    "window_events",
+    "time_windows_events",
     "sha256_docs",
 ]
 

@@ -1774,25 +1774,147 @@ def q_media_pipeline(sf_dir: str):
     return media_features(resized.map_batches(as_media, batch_format="pyarrow"))
 
 
-def q_stats_lineitem(sf_dir: str):
-    """Grouped variance / correlation via mergeable centered moments
-    (stages/stats.py, Chan et al. 1983) — single pass, one partial-row
-    shuffle. Outputs are scaled ints (cents / e2 / e6) per the module
-    numeric convention."""
+def q_rank_fns_orders(sf_dir: str):
+    """RANK / DENSE_RANK / CUME_DIST / PERCENT_RANK per priority over
+    floor(price) in ONE window pass (registry consolidation of
+    rank_orders_per_priority + cume_dist_orders — same partition key,
+    same tie-bearing order column, one bucket shuffle instead of two).
+    All four outputs depend only on order VALUES, so they are
+    deterministic and oracle-exact; dollars are FLOORed because Arrow
+    rounds half-to-even while SQL rounds half-away."""
+    from ..stages.windowfns import window_functions
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "tp": pc.cast(pc.floor(t["o_totalprice"]), pa.int64()),
+        })
+
+    return window_functions(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        key="o_orderpriority",
+        order_by=["tp"],
+        rank="rnk",
+        dense_rank="drnk",
+        cume_dist="cd",
+        percent_rank="pr",
+        keep=["o_orderkey", "o_orderpriority"],
+    )
+
+
+def q_time_windows_events(sf_dir: str):
+    """Tumbling AND hopping window aggregation as ONE tagged result
+    (registry consolidation of window_events + hopping_window_events —
+    both map-side window assignment with only (key, window, partial)
+    rows shuffling; the tag keeps the two window shapes
+    distinguishable)."""
+    def tag(ds, kind: str):
+        return ds.map_batches(
+            lambda t, k=kind: t.append_column("kind", pa.array([k] * t.num_rows)),
+            batch_format="pyarrow",
+        )
+
+    return tag(q_window_events(sf_dir), "tumbling").union(
+        tag(q_hopping_window_events(sf_dir), "hopping")
+    )
+
+
+def q_ann_variants(sf_dir: str):
+    """The three approximate-nearest-neighbor variants — LSH
+    hyperplane buckets, IVF coarse quantization, PQ ADC+re-rank — as
+    ONE tagged result (registry consolidation; each path keeps its own
+    recall-vs-exact unit test). Rows-only: recall-traded
+    approximations have no ANSI-SQL oracle; knn_cosine is the
+    oracle-checked exact baseline.
+
+    The three legs run SEQUENTIALLY and concat their O(queries × k)
+    results driver-side: a lazy three-way union would co-schedule ~5
+    actor-pool operators whose min-1 reservations deadlock the
+    streaming executor on small CPU budgets (observed at num_cpus=4),
+    and each leg's output is tiny by construction."""
+    legs = [
+        ("lsh", q_ann_lsh), ("ivf", q_ann_ivf), ("pq", q_ann_pq),
+    ]
+    return pd.concat(
+        [fn(sf_dir).to_pandas().assign(method=m) for m, fn in legs],
+        ignore_index=True,
+    )
+
+
+def q_samples_tagged(sf_dir: str):
+    """The three deterministic sampling mechanisms — systematic
+    key-residue (orders), stratified top-N per stratum by keyed digest
+    (events), weighted Bernoulli by Knuth hash threshold (documents) —
+    as ONE tagged (method, id) result (registry consolidation; every
+    mechanism is reproducible at any parallelism level and in SQL)."""
+    def tag(ds, method: str, col: str):
+        return ds.map_batches(
+            lambda t, m=method, c=col: pa.table({
+                "method": pa.array([m] * t.num_rows),
+                "id": pc.cast(t[c], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
+    return tag(q_sample_orders(sf_dir), "systematic", "o_orderkey").union(
+        tag(q_stratified_sample_events(sf_dir), "stratified", "event_id"),
+        tag(q_weighted_sample_docs(sf_dir), "weighted", "doc_id"),
+    )
+
+
+def q_grouped_means_lineitem(sf_dir: str):
+    """Geometric mean and exact-integer weighted average per return
+    flag in one result (registry consolidation of geomean_lineitem +
+    weighted_avg_lineitem). Both legs are map-side partial sums with
+    one tiny shuffle each; the merge joins two AGGREGATE-sized tables
+    (O(groups) rows) driver-side, never the fact table."""
+    geo = q_geomean_lineitem(sf_dir).to_pandas().rename(columns={"n": "n_geo"})
+    wav = q_weighted_avg_lineitem(sf_dir).to_pandas().rename(columns={"n": "n_w"})
+    out = geo.merge(wav, on="l_returnflag", how="inner")
+    return out[["l_returnflag", "n_geo", "geomean_e6", "n_w", "sum_wx_e4", "sum_w_e2"]]
+
+
+def q_stats_regr_lineitem(sf_dir: str):
+    """Grouped variance / correlation / least-squares trend in ONE
+    mergeable-moments pass (stages/stats.py, Chan et al. 1983; slope =
+    Cxy/M2x matches SQL REGR_SLOPE) — registry consolidation of the
+    former stats_lineitem + regr_lineitem, which ran the SAME sketch
+    twice. Rows with either side null are excluded map-side (SQL's
+    pairwise REGR semantics). Outputs are scaled ints (cents / e2 /
+    e6) per the module numeric convention; zero-variance groups emit
+    NULL slope/intercept exactly like REGR_SLOPE."""
     from ..stages.stats import grouped_stats
 
     ds = read_table(
         sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"]
     )
-    st = grouped_stats(ds, keys=["l_returnflag"], x="l_extendedprice", y="l_quantity")
+
+    def both_valid(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.is_valid(t["l_quantity"]), pc.is_valid(t["l_extendedprice"]))
+        )
+
+    st = grouped_stats(
+        ds.map_batches(both_valid, batch_format="pyarrow"),
+        keys=["l_returnflag"], x="l_quantity", y="l_extendedprice",
+    )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        slope = pd.array(np.round(df["slope_xy"] * 1e6), dtype="Int64")
+        icept = pd.array(np.round(df["icept_xy"] * 100), dtype="Int64")
         return pd.DataFrame({
             "l_returnflag": df["l_returnflag"],
             "n": df["n"].astype("int64"),
-            "mean_price_cents": np.round(df["mean_x"] * 100).astype("int64"),
-            "std_price_e2": np.round(np.sqrt(df["var_x"]) * 100).astype("int64"),
+            "mean_price_cents": np.round(df["mean_y"] * 100).astype("int64"),
+            "std_price_e2": np.round(np.sqrt(df["var_y"]) * 100).astype("int64"),
             "corr_e6": np.round(df["corr_xy"] * 1e6).astype("int64"),
+            "slope_e6": slope,
+            "icept_cents": icept,
         })
 
     return st.map_batches(finish, batch_format="pandas")
@@ -2006,44 +2128,6 @@ def q_weighted_avg_lineitem(sf_dir: str):
         sums={"sum_wx_e4": "wx_e4", "sum_w_e2": "w_e2"},
         count_alias="n",
     )
-
-
-def q_regr_lineitem(sf_dir: str):
-    """Grouped least-squares trend (REGR_SLOPE/INTERCEPT): price as a
-    linear function of quantity per return flag — the drift-trend
-    monitor. Same mergeable-moments sketch as stats_lineitem (slope =
-    Cxy/M2x is scale-free between sample and population forms); rows
-    with either side null are excluded map-side to match SQL's pairwise
-    REGR semantics."""
-    from ..stages.stats import grouped_stats
-
-    ds = read_table(
-        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
-    )
-
-    def both_valid(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.and_(pc.is_valid(t["l_quantity"]), pc.is_valid(t["l_extendedprice"]))
-        )
-
-    st = grouped_stats(
-        ds.map_batches(both_valid, batch_format="pyarrow"),
-        keys=["l_returnflag"], x="l_quantity", y="l_extendedprice",
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        # zero-variance / single-row groups have no defined slope —
-        # emit NULL exactly like SQL's REGR_SLOPE, not a NaN-cast crash
-        slope = pd.array(np.round(df["slope_xy"] * 1e6), dtype="Int64")
-        icept = pd.array(np.round(df["icept_xy"] * 100), dtype="Int64")
-        return pd.DataFrame({
-            "l_returnflag": df["l_returnflag"],
-            "n": df["n"].astype("int64"),
-            "slope_e6": slope,
-            "icept_cents": icept,
-        })
-
-    return st.map_batches(finish, batch_format="pandas")
 
 
 def q_distinct_users_by_type(sf_dir: str):
@@ -2406,34 +2490,6 @@ def q_chunk_docs(sf_dir: str):
     return ds.map_batches(make_chunker(120, 100), batch_format="pandas", batch_size=2048)
 
 
-def q_cume_dist_orders(sf_dir: str):
-    """CUME_DIST + PERCENT_RANK per priority over floor(price) — the
-    tie-bearing order column exercises peer-group semantics; both
-    outputs depend only on order VALUES so they are deterministic and
-    oracle-exact (same int inputs → identical IEEE divisions)."""
-    from ..stages.windowfns import window_functions
-
-    ds = read_table(
-        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
-    )
-
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderkey": t["o_orderkey"],
-            "o_orderpriority": t["o_orderpriority"],
-            "tp": pc.cast(pc.floor(t["o_totalprice"]), pa.int64()),
-        })
-
-    return window_functions(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        key="o_orderpriority",
-        order_by=["tp"],
-        cume_dist="cd",
-        percent_rank="pr",
-        keep=["o_orderkey", "o_orderpriority"],
-    )
-
-
 def q_semi_join_lineitem(sf_dir: str):
     """Partitioned BIG-BIG semi join (stages/joins.hash_semi_join):
     lineitem rows of high-value orders — right side distinct-collapsed
@@ -2718,35 +2774,6 @@ def q_bloom_semi_orders(sf_dir: str):
     ords = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     pref = bloom_prefilter(ords, bloom, on="o_custkey")
     return broadcast_semi_join(pref, sel, on="o_custkey")
-
-
-def q_rank_orders_per_priority(sf_dir: str):
-    """RANK / DENSE_RANK with real ties (orders ranked per priority by
-    whole-dollar totalprice): tie-runs are detected on the order VALUES,
-    so the result is deterministic regardless of shuffle/sort stability.
-    Dollars are FLOORed, not rounded: cent-grid prices hit the .5
-    boundary constantly and Arrow rounds half-to-even while SQL rounds
-    half-away — floor is the same IEEE op on both sides."""
-    from ..stages.windowfns import window_functions
-
-    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
-
-    def derive(t: pa.Table) -> pa.Table:
-        tp = pc.cast(pc.floor(t["o_totalprice"]), pa.int64())
-        return pa.table({
-            "o_orderkey": t["o_orderkey"],
-            "o_orderpriority": t["o_orderpriority"],
-            "tp": tp,
-        })
-
-    return window_functions(
-        ds.map_batches(derive, batch_format="pyarrow"),
-        key="o_orderpriority",
-        order_by=["tp"],
-        rank="rnk",
-        dense_rank="drnk",
-        keep=["o_orderkey", "o_orderpriority"],
-    )
 
 
 def q_stratified_sample_events(sf_dir: str):
@@ -3197,6 +3224,12 @@ QUERIES = {
     "setops_users": q_setops_users,
     "grouping_sets_lineitem": q_grouping_sets_lineitem,
     "asof_events": q_asof_events,
+    "rank_fns_orders": q_rank_fns_orders,
+    "time_windows_events": q_time_windows_events,
+    "ann_variants": q_ann_variants,
+    "samples_tagged": q_samples_tagged,
+    "grouped_means_lineitem": q_grouped_means_lineitem,
+    "stats_regr_lineitem": q_stats_regr_lineitem,
     "media_pipeline": q_media_pipeline,
     "money_dual_eq": q_money_dual_eq,
     "money_rollup": q_money_rollup,
@@ -3207,32 +3240,24 @@ QUERIES = {
     "bm25_docs": q_bm25_docs,
     "fuzzy_part_names": q_fuzzy_part_names,
     "fuzzy_lookup_parts": q_fuzzy_lookup_parts,
-    "stats_lineitem": q_stats_lineitem,
     "moments_events": q_moments_events,
-    "regr_lineitem": q_regr_lineitem,
     "ntile_events": q_ntile_events,
-    "cume_dist_orders": q_cume_dist_orders,
-    "rank_orders_per_priority": q_rank_orders_per_priority,
     "topk_orders_per_priority": q_topk_orders_per_priority,
     "topk_orders_with_ties": q_topk_orders_with_ties,
     "mom_revenue": q_mom_revenue,
     "events_by_hour": q_events_by_hour,
     "entropy_users": q_entropy_users,
-    "geomean_lineitem": q_geomean_lineitem,
-    "weighted_avg_lineitem": q_weighted_avg_lineitem,
     "resample_locf_events": q_resample_locf_events,
     "custdist_orders": q_custdist_orders,
     "postings_terms": q_postings_terms,
     "minmax_norm_events": q_minmax_norm_events,
     "cum_distinct_events": q_cum_distinct_events,
-    "stratified_sample_events": q_stratified_sample_events,
     "left_join_customer_events": q_left_join_customer_events,
     "quarantine_docs": q_quarantine_docs,
     "nations_per_region": q_nations_per_region,
     "split_docs": q_split_docs,
     "event_value_quantiles": q_event_value_quantiles,
     "normalize_text": q_normalize_text,
-    "sample_orders": q_sample_orders,
     "term_stats": q_term_stats,
     "tfidf_terms": q_tfidf_terms,
     "melt_lineitem": q_melt_lineitem,
@@ -3250,17 +3275,13 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
     "token_stats": q_token_stats,
     "quality_docs": q_quality_docs,
     "sha256_docs": q_sha256_docs,
-    "window_events": q_window_events,
     "distinct_event_types": q_distinct_event_types,
     "anti_join_customers": q_anti_join_customers,
     "payload_meta": q_payload_meta,
     "frame_sample": q_frame_sample,
-    "hopping_window_events": q_hopping_window_events,
     "session_window_events": q_session_window_events,
     "reconcile_rollup": q_reconcile_rollup,
     "interval_join_events": q_interval_join_events,
@@ -3272,7 +3293,6 @@ QUERIES = {
     "sliding_count_events": q_sliding_count_events,
     "first_last_orders": q_first_last_orders,
     "full_outer_activity": q_full_outer_activity,
-    "weighted_sample_docs": q_weighted_sample_docs,
     "histogram_values": q_histogram_values,
     "ratio_to_report": q_ratio_to_report,
     "redact_docs": q_redact_docs,
@@ -3308,7 +3328,6 @@ QUERIES = {
     "funnel_events": q_funnel_events,
     "cohort_retention": q_cohort_retention,
     "anomaly_events": q_anomaly_events,
-    "ann_pq": q_ann_pq,
 }
 
 ORACLE_SQL = {
@@ -3372,26 +3391,12 @@ ORACLE_SQL = {
         "length(regexp_split_to_array(trim(text), '\\s+')), 6) END AS stop_ratio FROM documents"
     ),
     "sha256_docs": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
-    "window_events": (
-        "SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n, "
-        "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents "
-        "FROM events GROUP BY event_type, date_trunc('hour', ts)"
-    ),
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
     "anti_join_customers": (
         "SELECT c_custkey FROM customer WHERE NOT EXISTS "
         "(SELECT 1 FROM events WHERE user_id = c_custkey)"
     ),
     "payload_meta": "SELECT doc_id, strlen(text) AS payload_bytes FROM documents",
-    "hopping_window_events": (
-        "WITH w AS ("
-        "SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events "
-        "UNION ALL "
-        "SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events) "
-        "SELECT event_type, ws AS window_start, COUNT(*) AS n, "
-        "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents "
-        "FROM w GROUP BY event_type, ws"
-    ),
     "session_window_events": (
         "WITH x AS (SELECT user_id, ts, event_id, value, "
         "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
@@ -3402,10 +3407,6 @@ ORACLE_SQL = {
         "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, "
         "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents "
         "FROM s GROUP BY user_id, sid"
-    ),
-    "weighted_sample_docs": (
-        "SELECT doc_id, n_chars FROM documents "
-        "WHERE (doc_id * 2654435761) % 4294967296 % 1000 < LEAST(999, n_chars // 2)"
     ),
     "reconcile_rollup": _RECONCILE_ORACLE_CTE + (
         "SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows, "
@@ -3534,21 +3535,6 @@ ORACLE_SQL = {
         "WHEN n_chars > 400 THEN 'oversize' ELSE 'clean' END AS reason, "
         "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1 ORDER BY 1"
     ),
-    "rank_orders_per_priority": (
-        "SELECT o_orderkey, o_orderpriority, "
-        "CAST(RANK() OVER w AS BIGINT) AS rnk, "
-        "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk "
-        "FROM (SELECT o_orderkey, o_orderpriority, "
-        "CAST(FLOOR(o_totalprice) AS BIGINT) AS tp FROM orders) "
-        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY tp)"
-    ),
-    "stratified_sample_events": (
-        "SELECT event_id, event_type FROM ("
-        "SELECT event_id, event_type, ROW_NUMBER() OVER ("
-        "PARTITION BY event_type "
-        "ORDER BY sha256(event_type || '|' || CAST(event_id AS VARCHAR)), event_id) AS rn "
-        "FROM events) WHERE rn <= 20"
-    ),
     "left_join_customer_events": (
         "SELECT c_custkey, CAST(COALESCE(n, 0) AS BIGINT) AS n_events "
         "FROM customer LEFT JOIN ("
@@ -3603,13 +3589,6 @@ ORACLE_SQL = {
         "AS sum_value_cents, CAST(COUNT(*) AS BIGINT) AS n "
         "FROM events WHERE ts IS NOT NULL GROUP BY 1"
     ),
-    "geomean_lineitem": (
-        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(ROUND(EXP(AVG(LN(l_extendedprice))) * 1000000) AS BIGINT) "
-        "AS geomean_e6 FROM lineitem "
-        "WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0 "
-        "GROUP BY l_returnflag"
-    ),
     "fuzzy_lookup_parts": (
         "WITH n AS (SELECT DISTINCT p_name AS value FROM part "
         "WHERE p_name IS NOT NULL), "
@@ -3627,23 +3606,6 @@ ORACLE_SQL = {
         "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
         "FROM n a JOIN n b ON a.p_name < b.p_name "
         "WHERE levenshtein(a.p_name, b.p_name) <= 2"
-    ),
-    "weighted_avg_lineitem": (
-        "SELECT l_returnflag, "
-        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * "
-        "CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_wx_e4, "
-        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_w_e2, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
-        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL "
-        "GROUP BY l_returnflag"
-    ),
-    "regr_lineitem": (
-        "SELECT l_returnflag, "
-        "CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n, "
-        "CAST(ROUND(REGR_SLOPE(l_extendedprice, l_quantity) * 1000000) AS BIGINT) "
-        "AS slope_e6, "
-        "CAST(ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity) * 100) AS BIGINT) "
-        "AS icept_cents FROM lineitem GROUP BY l_returnflag"
     ),
     "tfidf_terms": (
         "WITH tf AS (SELECT doc_id, term, COUNT(*) AS c FROM ("
@@ -3782,13 +3744,6 @@ ORACLE_SQL = {
         "JOIN nation ON c_nationkey = n_nationkey "
         "WHERE l_returnflag = 'R' GROUP BY n_name"
     ),
-    "stats_lineitem": (
-        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(ROUND(AVG(l_extendedprice) * 100) AS BIGINT) AS mean_price_cents, "
-        "CAST(ROUND(STDDEV_SAMP(l_extendedprice) * 100) AS BIGINT) AS std_price_e2, "
-        "CAST(ROUND(CORR(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS corr_e6 "
-        "FROM lineitem GROUP BY l_returnflag"
-    ),
     "frame_sample": (
         "SELECT doc_id AS media_id, "
         "CAST(CEIL(((doc_id % 5) * 700 + 100) / 1000.0) AS BIGINT) AS n_frames "
@@ -3857,9 +3812,6 @@ ORACLE_SQL = {
         "WHEN led = wire THEN 'MATCHED_CMP' ELSE 'VALUE_DIFF' END AS status, "
         "CAST(wire * 10000 AS BIGINT) AS wire_e4 FROM m) GROUP BY status"
     ),
-    "sample_orders": (
-        "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 20 = 3"
-    ),
     "embdup_pairs": (
         "WITH planted AS (SELECT vec_id + 1000000 AS vec_id, "
         "list_transform(embedding, x -> x * 2.0) AS embedding "
@@ -3890,13 +3842,6 @@ ORACLE_SQL = {
         "x -> x <> '') AS w FROM documents), "
         "UNNEST(generate_series(1, len(w)-1)) AS t(i)) "
         "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
-    ),
-    "cume_dist_orders": (
-        "SELECT o_orderkey, o_orderpriority, "
-        "CUME_DIST() OVER w AS cd, PERCENT_RANK() OVER w AS pr "
-        "FROM (SELECT o_orderkey, o_orderpriority, "
-        "CAST(FLOOR(o_totalprice) AS BIGINT) AS tp FROM orders) "
-        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY tp)"
     ),
     "semi_join_lineitem": (
         "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN "
@@ -4103,6 +4048,66 @@ ORACLE_SQL["asof_events"] = (
     "COALESCE(p.event_id, -1) AS matched_event_id, "
     "COALESCE(CAST(ROUND(p.value * 100) AS BIGINT), -1) AS matched_value_cents "
     "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts"
+)
+
+ORACLE_SQL["rank_fns_orders"] = (
+    "SELECT o_orderkey, o_orderpriority, "
+    "CAST(RANK() OVER w AS BIGINT) AS rnk, "
+    "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk, "
+    "CUME_DIST() OVER w AS cd, PERCENT_RANK() OVER w AS pr "
+    "FROM (SELECT o_orderkey, o_orderpriority, "
+    "CAST(FLOOR(o_totalprice) AS BIGINT) AS tp FROM orders) "
+    "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY tp)"
+)
+
+ORACLE_SQL["time_windows_events"] = (
+    "SELECT 'tumbling' AS kind, event_type, date_trunc('hour', ts) AS window_start, "
+    "COUNT(*) AS n, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents "
+    "FROM events GROUP BY event_type, date_trunc('hour', ts) "
+    "UNION ALL "
+    "SELECT 'hopping' AS kind, event_type, ws AS window_start, COUNT(*) AS n, "
+    "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents FROM "
+    "(SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) AS ws "
+    "FROM events UNION ALL SELECT event_type, value, "
+    "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events) "
+    "GROUP BY event_type, ws"
+)
+
+ORACLE_SQL["samples_tagged"] = (
+    "SELECT 'systematic' AS method, o_orderkey AS id FROM orders "
+    "WHERE o_orderkey % 20 = 3 "
+    "UNION ALL SELECT 'stratified' AS method, event_id AS id FROM "
+    "(SELECT event_id, ROW_NUMBER() OVER (PARTITION BY event_type "
+    "ORDER BY sha256(event_type || '|' || CAST(event_id AS VARCHAR)), event_id) AS rn "
+    "FROM events) WHERE rn <= 20 "
+    "UNION ALL SELECT 'weighted' AS method, doc_id AS id FROM documents "
+    "WHERE (doc_id * 2654435761) % 4294967296 % 1000 < LEAST(999, n_chars // 2)"
+)
+
+ORACLE_SQL["grouped_means_lineitem"] = (
+    "WITH g AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_geo, "
+    "CAST(ROUND(EXP(AVG(LN(l_extendedprice))) * 1000000) AS BIGINT) AS geomean_e6 "
+    "FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0 "
+    "GROUP BY l_returnflag), "
+    "w AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_w, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_wx_e4, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_w_e2 "
+    "FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL "
+    "GROUP BY l_returnflag) "
+    "SELECT g.l_returnflag, g.n_geo, g.geomean_e6, w.n_w, w.sum_wx_e4, w.sum_w_e2 "
+    "FROM g JOIN w ON g.l_returnflag = w.l_returnflag"
+)
+
+ORACLE_SQL["stats_regr_lineitem"] = (
+    "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(ROUND(AVG(l_extendedprice) * 100) AS BIGINT) AS mean_price_cents, "
+    "CAST(ROUND(STDDEV_SAMP(l_extendedprice) * 100) AS BIGINT) AS std_price_e2, "
+    "CAST(ROUND(CORR(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS corr_e6, "
+    "CAST(ROUND(REGR_SLOPE(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS slope_e6, "
+    "CAST(ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity) * 100) AS BIGINT) AS icept_cents "
+    "FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL "
+    "GROUP BY l_returnflag"
 )
 
 # The replayed lake state after the two evolving epochs == LWW winner
