@@ -3211,26 +3211,24 @@ def q_embdup_pairs_ivf(sf_dir: str):
 
 QUERIES = {
     # ORDER MATTERS for driver correctness coverage: the driver checks
-    # the FIRST 50 keys each round. Round 3 leads with the keys that
-    # lacked a driver-green row in CORRECTNESS_r02.json (plus two
-    # round-1 sentinels and this round's new/consolidated entries);
-    # the keys past slot 50 carry r02 driver evidence or rotate in
-    # next round. The in-repo pytest oracle covers ALL entries.
+    # the FIRST 50 keys each round. Round-3 window = the two round-1
+    # sentinels + 48 oracle-backed keys that have never had a driver
+    # hash-match row (incl. langid/ewma, rows-only in r02, now
+    # oracle-backed); the remaining never-checked oracle keys rotate
+    # into round 4's window. The in-repo pytest oracle covers ALL
+    # entries every run.
     "reconcile_detail": q_reconcile_detail,
     "cdc_lww_events": q_cdc_lww_events,
     "schema_evolution_replay": q_schema_evolution_replay,
-    "langid_docs": q_langid_docs,
     "ewma_events": q_ewma_events,
     "setops_users": q_setops_users,
     "grouping_sets_lineitem": q_grouping_sets_lineitem,
     "asof_events": q_asof_events,
     "rank_fns_orders": q_rank_fns_orders,
     "time_windows_events": q_time_windows_events,
-    "ann_variants": q_ann_variants,
     "samples_tagged": q_samples_tagged,
     "grouped_means_lineitem": q_grouped_means_lineitem,
     "stats_regr_lineitem": q_stats_regr_lineitem,
-    "media_pipeline": q_media_pipeline,
     "money_dual_eq": q_money_dual_eq,
     "money_rollup": q_money_rollup,
     "nested_order_lines": q_nested_order_lines,
@@ -3264,6 +3262,14 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "decontam_docs": q_decontam_docs,
     "heavy_hitters_events": q_heavy_hitters_events,
+    "embdup_pairs": q_embdup_pairs,
+    "bpe_token_counts": q_bpe_token_counts,
+    "profile_lineitem": q_profile_lineitem,
+    "mad_events": q_mad_events,
+    "langid_docs": q_langid_docs,
+    "user_journeys": q_user_journeys,
+    "ann_variants": q_ann_variants,
+    "media_pipeline": q_media_pipeline,
     "filter_project": q_filter_project,
     "groupby_sum": q_groupby_sum,
     "join_customer_nation": q_join_customer_nation,
@@ -3306,13 +3312,8 @@ QUERIES = {
     "pack_docs": q_pack_docs,
     "approx_quantiles_events": q_approx_quantiles_events,
     "fingerprint_docs": q_fingerprint_docs,
-    "embdup_pairs": q_embdup_pairs,
     "embdup_clusters": q_embdup_clusters,
     "compression_ratio_docs": q_compression_ratio_docs,
-    "bpe_token_counts": q_bpe_token_counts,
-    "profile_lineitem": q_profile_lineitem,
-    "mad_events": q_mad_events,
-    "user_journeys": q_user_journeys,
     "lexical_diversity_docs": q_lexical_diversity_docs,
     "salted_join_events": q_salted_join_events,
     "chunk_docs": q_chunk_docs,
