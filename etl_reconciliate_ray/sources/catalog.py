@@ -69,10 +69,24 @@ def _post_prune(ds, columns, filter):
     return ds
 
 
+def _orc_connector(path: str, columns=None, filter=None):
+    from .filefmt import _orc_connector as conn
+
+    return conn(path, columns=columns, filter=filter)
+
+
+def _feather_connector(path: str, columns=None, filter=None):
+    from .filefmt import _feather_connector as conn
+
+    return conn(path, columns=columns, filter=filter)
+
+
 CONNECTORS: dict[str, Callable] = {
     "parquet": _parquet_connector,
     "csv": _csv_connector,
     "json": _json_connector,
+    "orc": _orc_connector,       # stripe-parallel, columns pruned at reader
+    "feather": _feather_connector,  # Arrow IPC, zero-copy batch stream
 }
 
 

@@ -476,7 +476,54 @@ def test_connector_registry_csv_json_custom(ray_session, tmp_path):
     assert read_source("ignored", "mem", columns=["x"]).to_pandas()["x"].tolist() == [9, 8, 7, 6]
 
     with pytest.raises(ValueError, match="no connector"):
-        read_source("p", "avro")
+        read_source("p", "protobuf")
+
+
+def test_orc_and_feather_connectors(ray_session, tmp_path):
+    """The ORC and Feather/Arrow-IPC connectors must stream the same
+    rows as the parquet baseline under the uniform (columns, filter)
+    contract — ORC across MULTIPLE stripes (the file-internal
+    parallelism unit), IPC in both file and stream framing."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.ipc as ipc
+    from pyarrow import orc
+
+    from etl_reconciliate_ray.sources.catalog import read_source
+
+    n = 5000
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "v": pa.array([f"s{i%7}" for i in range(n)]),
+        "x": pa.array([i * 1.5 for i in range(n)]),
+    })
+    orc_p = str(tmp_path / "t.orc")
+    orc.write_table(t, orc_p, stripe_size=4096)  # force many stripes
+    assert orc.ORCFile(orc_p).nstripes > 1
+
+    got = (
+        read_source(orc_p, "orc", columns=["k", "v"], filter=(pads.field("k") >= n - 3))
+        .to_pandas().sort_values("k")
+    )
+    assert list(got.columns) == ["k", "v"]
+    assert got["k"].tolist() == [n - 3, n - 2, n - 1]
+    assert read_source(orc_p, "orc").count() == n
+
+    fea_p = str(tmp_path / "t.feather")
+    with ipc.new_file(fea_p, t.schema) as w:
+        for b in t.to_batches(max_chunksize=512):
+            w.write_batch(b)
+    got = read_source(fea_p, "feather", columns=["k"]).to_pandas()
+    assert sorted(got["k"].tolist()) == list(range(n))
+
+    # stream-framed IPC (no footer) must also read
+    stream_p = str(tmp_path / "t2.arrow")
+    with ipc.new_stream(stream_p, t.schema) as w:
+        w.write_table(t)
+    got = read_source(
+        stream_p, "feather", columns=["k", "x"], filter=(pads.field("k") < 2)
+    ).to_pandas().sort_values("k")
+    assert got["x"].tolist() == [0.0, 1.5]
 
 
 def test_histogram_quantiles_bounded_error(ray_session):
