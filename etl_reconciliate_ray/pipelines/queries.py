@@ -1905,16 +1905,19 @@ def q_stats_regr_lineitem(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        slope = pd.array(np.round(df["slope_xy"] * 1e6), dtype="Int64")
-        icept = pd.array(np.round(df["icept_xy"] * 100), dtype="Int64")
+        # std/corr/slope/icept are NaN for single-row or zero-variance
+        # groups — emit nullable Int64 NULLs exactly like SQL's
+        # STDDEV_SAMP/CORR/REGR_* (a plain int64 cast would crash);
+        # mean is always finite (a group exists only with >=1 pairwise-
+        # valid row after the map-side filter)
         return pd.DataFrame({
             "l_returnflag": df["l_returnflag"],
             "n": df["n"].astype("int64"),
             "mean_price_cents": np.round(df["mean_y"] * 100).astype("int64"),
-            "std_price_e2": np.round(np.sqrt(df["var_y"]) * 100).astype("int64"),
-            "corr_e6": np.round(df["corr_xy"] * 1e6).astype("int64"),
-            "slope_e6": slope,
-            "icept_cents": icept,
+            "std_price_e2": pd.array(np.round(np.sqrt(df["var_y"]) * 100), dtype="Int64"),
+            "corr_e6": pd.array(np.round(df["corr_xy"] * 1e6), dtype="Int64"),
+            "slope_e6": pd.array(np.round(df["slope_xy"] * 1e6), dtype="Int64"),
+            "icept_cents": pd.array(np.round(df["icept_xy"] * 100), dtype="Int64"),
         })
 
     return st.map_batches(finish, batch_format="pandas")
@@ -3968,10 +3971,13 @@ ORACLE_SQL = {
         "(SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)"
     ),
     # rows-only (non-SQL-expressible or float-boundary-fragile):
-    # minhash_clusters, simhash_docs, ngram_jaccard_pairs, ann_lsh,
-    # ann_ivf, media_features, fingerprint_docs,
-    # embdup_pairs_ivf (recall-traded approximations; each carries a
-    # falsifiable recall/property unit test instead)
+    # minhash_clusters, simhash_docs, ngram_jaccard_pairs,
+    # ann_variants, media_pipeline, hll_users_by_type, dedup_plan_docs,
+    # incremental_dedup_docs, pagerank_docs, pack_docs,
+    # approx_quantiles_events, fingerprint_docs, embdup_clusters,
+    # compression_ratio_docs (recall-traded approximations / set or
+    # iterative semantics; each carries a falsifiable recall/property/
+    # invariant unit test instead)
 }
 
 

@@ -70,15 +70,15 @@ def _post_prune(ds, columns, filter):
 
 
 def _orc_connector(path: str, columns=None, filter=None):
-    from .filefmt import _orc_connector as conn
+    from .filefmt import ORCDatasource, make_datasource_connector
 
-    return conn(path, columns=columns, filter=filter)
+    return make_datasource_connector(ORCDatasource)(path, columns=columns, filter=filter)
 
 
 def _feather_connector(path: str, columns=None, filter=None):
-    from .filefmt import _feather_connector as conn
+    from .filefmt import FeatherDatasource, make_datasource_connector
 
-    return conn(path, columns=columns, filter=filter)
+    return make_datasource_connector(FeatherDatasource)(path, columns=columns, filter=filter)
 
 
 CONNECTORS: dict[str, Callable] = {

@@ -464,7 +464,7 @@ def test_connector_registry_csv_json_custom(ray_session, tmp_path):
     assert list(got.columns) == ["k", "v"] and got["k"].tolist() == [3, 4]
 
     got = read_source(json_p, "json", columns=["k"]).to_pandas()
-    assert got["k"].tolist() == [1, 2, 3, 4]
+    assert sorted(got["k"].tolist()) == [1, 2, 3, 4]  # block order is not guaranteed
 
     def mem_reader(path, columns=None, filter=None):
         import ray.data as rd
@@ -524,6 +524,24 @@ def test_orc_and_feather_connectors(ray_session, tmp_path):
         stream_p, "feather", columns=["k", "x"], filter=(pads.field("k") < 2)
     ).to_pandas().sort_values("k")
     assert got["x"].tolist() == [0.0, 1.5]
+
+    # uniform contract: the filter may reference a column OUTSIDE the
+    # projection (csv/parquet honor this; the reader must not pre-prune)
+    got = read_source(
+        orc_p, "orc", columns=["v"], filter=(pads.field("k") >= n - 2)
+    ).to_pandas()
+    assert len(got) == 2 and list(got.columns) == ["v"]
+    got = read_source(
+        fea_p, "feather", columns=["v"], filter=(pads.field("k") >= n - 2)
+    ).to_pandas()
+    assert len(got) == 2 and list(got.columns) == ["v"]
+
+    # stray non-format files in a directory are skipped by extension
+    d = tmp_path / "orcdir"
+    d.mkdir()
+    orc.write_table(t, str(d / "part0.orc"))
+    (d / "_SUCCESS").write_text("")
+    assert read_source(str(d), "orc", columns=["k"]).count() == n
 
 
 def test_histogram_quantiles_bounded_error(ray_session):
