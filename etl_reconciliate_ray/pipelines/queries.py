@@ -2657,6 +2657,20 @@ def q_repetition_docs(sf_dir: str):
     return ds.map_batches(word_repetition_stats, batch_format="pyarrow")
 
 
+def q_span_dedup_docs(sf_dir: str):
+    """Cross-document repeated-span removal (the paragraph-dedup step
+    of public training-data pipelines, generalized to 20-word
+    windows): every span whose exact content occurs in >1 document is
+    dropped from ALL documents; per doc the kept text plus span/drop
+    counts. Two passes: distributed dup-span discovery (one hash
+    shuffle, only the duplicated tail reaches the driver), broadcast
+    probe + reassembly map-side (stages/textstage.span_dedup)."""
+    from ..stages.textstage import span_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_dedup(ds, width=20)
+
+
 def q_decontam_docs(sf_dir: str):
     """Benchmark decontamination (stages/textstage.DecontamCount): the
     held-out docs (doc_id % 97 == 0 plays the benchmark/test set) are
@@ -3268,8 +3282,9 @@ QUERIES = {
     "embdup_pairs": q_embdup_pairs,
     "bpe_token_counts": q_bpe_token_counts,
     "profile_lineitem": q_profile_lineitem,
-    "mad_events": q_mad_events,
+    "span_dedup_docs": q_span_dedup_docs,
     "langid_docs": q_langid_docs,
+    "mad_events": q_mad_events,
     "user_journeys": q_user_journeys,
     "ann_variants": q_ann_variants,
     "media_pipeline": q_media_pipeline,
@@ -4055,6 +4070,22 @@ ORACLE_SQL["asof_events"] = (
     "COALESCE(p.event_id, -1) AS matched_event_id, "
     "COALESCE(CAST(ROUND(p.value * 100) AS BIGINT), -1) AS matched_value_cents "
     "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts"
+)
+
+ORACLE_SQL["span_dedup_docs"] = (
+    "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, "
+    "generate_subscripts(string_split(text, ' '), 1) AS ord "
+    "FROM documents WHERE text IS NOT NULL), "
+    "seg AS (SELECT doc_id, (ord - 1) // 20 AS seg_idx, "
+    "string_agg(word, ' ' ORDER BY ord) AS seg "
+    "FROM words GROUP BY doc_id, (ord - 1) // 20), "
+    "dup AS (SELECT seg FROM seg GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 1) "
+    "SELECT s.doc_id, "
+    "COALESCE(string_agg(s.seg, ' ' ORDER BY s.seg_idx) "
+    "FILTER (WHERE s.seg NOT IN (SELECT seg FROM dup)), '') AS text, "
+    "CAST(COUNT(*) AS BIGINT) AS n_spans, "
+    "CAST(COUNT(*) FILTER (WHERE s.seg IN (SELECT seg FROM dup)) AS BIGINT) AS n_dropped "
+    "FROM seg s GROUP BY s.doc_id"
 )
 
 ORACLE_SQL["rank_fns_orders"] = (

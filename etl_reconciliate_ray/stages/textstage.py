@@ -193,6 +193,102 @@ class DecontamCount:
         )
 
 
+def dup_span_hashes(ds, width: int = 20, text_col: str = "text",
+                    doc_id_col: str = "doc_id"):
+    """Spans (non-overlapping ``width``-word segments) that appear in
+    MORE THAN ONE document, as a driver-side set of sha256 hex digests.
+
+    Scale shape: each doc emits its per-doc-distinct span hashes map-
+    side (a (hash, doc) pair exists at most once globally since a doc
+    is one row), ONE hash shuffle counts docs per span, and only the
+    spans with count > 1 — the duplicated tail, a tiny fraction of the
+    corpus — reach the driver for broadcast. At 100 TB, keep the dup
+    set sharded and probe it with a partition join or a Bloom front
+    (functions/bloom.py) instead of one broadcast set — same contract."""
+    import hashlib
+
+    def spans(batch: pd.DataFrame) -> pd.DataFrame:
+        hs, ids = [], []
+        for did, txt in zip(batch[doc_id_col], batch[text_col]):
+            if txt is None or (isinstance(txt, float) and txt != txt):
+                continue
+            ws = txt.split(" ")
+            seen = set()
+            for i in range(0, len(ws), width):
+                seen.add(hashlib.sha256(" ".join(ws[i:i + width]).encode()).hexdigest())
+            hs.extend(sorted(seen))
+            ids.extend([did] * len(seen))
+        return pd.DataFrame({"h": hs, "doc": pd.array(ids, dtype="int64")})
+
+    from .agg import preagg_groupby
+
+    counts = preagg_groupby(
+        ds.map_batches(spans, batch_format="pandas"), keys=["h"], count_alias="n"
+    )
+    dup = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    return frozenset(dup["h"])
+
+
+class SpanDedup:
+    """Repeated-span removal (the paragraph-dedup step of public
+    training-data pipelines — e.g. Dolma's duplicate-paragraph filter
+    generalized to fixed word windows): drop every ``width``-word span
+    whose exact content occurs in more than one document, keep the
+    rest in order. The dup-hash set ships ONCE per actor via
+    ``ray.put`` + ``__init__``, never per batch."""
+
+    def __init__(self, dup_ref, width: int = 20):
+        import ray
+
+        self.dups = ray.get(dup_ref) if not isinstance(dup_ref, frozenset) else dup_ref
+        self.width = width
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        w = self.width
+        ids, texts, n_spans, n_dropped = [], [], [], []
+        for did, txt in zip(batch["doc_id"], batch["text"]):
+            if txt is None or (isinstance(txt, float) and txt != txt):
+                continue  # NULL text: no spans (SQL string_split(NULL))
+            ws = txt.split(" ")
+            kept, total, dropped = [], 0, 0
+            for i in range(0, len(ws), w):
+                seg = " ".join(ws[i:i + w])
+                total += 1
+                if hashlib.sha256(seg.encode()).hexdigest() in self.dups:
+                    dropped += 1
+                else:
+                    kept.append(seg)
+            ids.append(did)
+            texts.append(" ".join(kept))
+            n_spans.append(total)
+            n_dropped.append(dropped)
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "text": texts,
+            "n_spans": pd.array(n_spans, dtype="int64"),
+            "n_dropped": pd.array(n_dropped, dtype="int64"),
+        })
+
+
+def span_dedup(ds, width: int = 20, text_col: str = "text", doc_id_col: str = "doc_id"):
+    """Two-pass cross-document repeated-span removal over a corpus
+    Dataset: distributed dup-span discovery (one hash shuffle), then a
+    broadcast-probe map pass (see ``dup_span_hashes`` / ``SpanDedup``
+    for the scale contract). Exact up to sha256 collision — the same
+    integrity assumption as the engine's content digests."""
+    import ray
+
+    dup_ref = ray.put(dup_span_hashes(ds, width, text_col, doc_id_col))
+    return ds.map_batches(
+        SpanDedup, fn_constructor_args=(dup_ref, width),
+        batch_format="pandas", concurrency=(1, 8),
+    )
+
+
 def bigram_counts(ds, top_n: int = 20, text_col: str = "text", doc_id_col: str = "doc_id"):
     """Corpus bigram collocations: the ``top_n`` most frequent adjacent
     lowercase word pairs — the counting backbone of collocation / PMI

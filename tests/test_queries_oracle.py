@@ -682,3 +682,34 @@ def test_pq_encode_compresses_and_is_deterministic(ray_session):
     assert a.equals(b)
     # codes must discriminate: not all vectors share one code word
     assert a["pq_code"].nunique() > len(a) // 2
+
+
+def test_span_dedup_planted_structure(ray_session):
+    """Planted semantics for cross-document span dedup: a 20-word span
+    shared by two docs is removed from BOTH; unique spans survive; a
+    span repeated only WITHIN one doc is NOT removed (the criterion is
+    distinct-doc count > 1)."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.textstage import span_dedup
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+    self_rep = " ".join(f"r{i}" for i in range(20))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            shared + " " + uniq_a,
+            shared + " " + uniq_b,
+            self_rep + " " + self_rep,  # repeated within ONE doc only
+        ],
+    })
+    out = (
+        span_dedup(rd.from_pandas(df, override_num_blocks=3), width=20)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "text"] == uniq_a and out.loc[1, "n_dropped"] == 1
+    assert out.loc[2, "text"] == uniq_b and out.loc[2, "n_dropped"] == 1
+    assert out.loc[3, "text"] == self_rep + " " + self_rep
+    assert out.loc[3, "n_dropped"] == 0 and out.loc[3, "n_spans"] == 2
