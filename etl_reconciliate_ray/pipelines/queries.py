@@ -512,32 +512,6 @@ def q_sha256_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------- windows
-def q_window_events(sf_dir: str):
-    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
-    agg = tumbling_window_agg(
-        ds, ts_col="ts", keys=["event_type"], width="hour",
-        sums={"sum_value_f": "value"}, count_alias="n",
-    )
-    return agg.map_batches(
-        lambda t: _cents(t, "sum_value_f", "sum_value_cents", 100), batch_format="pyarrow"
-    )
-
-
-def q_hopping_window_events(sf_dir: str):
-    """Overlapping hopping windows (width 60m, hop 30m): each event in
-    2 windows; replication happens map-side, only partials shuffle."""
-    from ..stages.windows import hopping_window_agg
-
-    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
-    agg = hopping_window_agg(
-        ds, ts_col="ts", keys=["event_type"], width_minutes=60, hop_minutes=30,
-        sums={"sum_value_f": "value"}, count_alias="n",
-    )
-    return agg.map_batches(
-        lambda t: _cents(t, "sum_value_f", "sum_value_cents", 100), batch_format="pyarrow"
-    )
-
-
 def q_session_window_events(sf_dir: str):
     """Gap-based session windows per user (30-minute gap): one shuffle
     on the key, vectorized sessionization per bucket."""
@@ -1808,19 +1782,43 @@ def q_rank_fns_orders(sf_dir: str):
 
 
 def q_time_windows_events(sf_dir: str):
-    """Tumbling AND hopping window aggregation as ONE tagged result
-    (registry consolidation of window_events + hopping_window_events —
-    both map-side window assignment with only (key, window, partial)
-    rows shuffling; the tag keeps the two window shapes
-    distinguishable)."""
-    def tag(ds, kind: str):
-        return ds.map_batches(
-            lambda t, k=kind: t.append_column("kind", pa.array([k] * t.num_rows)),
-            batch_format="pyarrow",
+    """Tumbling (1 h) AND hopping (60 m width / 30 m hop) window
+    aggregation as ONE tagged result from ONE scan (registry
+    consolidation of window_events + hopping_window_events): a single
+    map pass assigns every event its tumbling window plus both hopping
+    windows (3 tagged rows per event, all map-side), then ONE
+    (kind, key, window) partial-sum shuffle. Halves the fact-table
+    scans and merges two shuffles vs running the legs separately."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    HOP = 30 * 60 * 1_000_000  # 30 min in us
+
+    def assign(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us"))
+        half = pc.cast(pc.floor_temporal(t["ts"], multiple=30, unit="minute"),
+                       pa.timestamp("us"))
+        prev = pc.cast(pc.subtract(pc.cast(half, pa.int64()), HOP), pa.timestamp("us"))
+        n = t.num_rows
+
+        def leg(kind: str, ws) -> pa.Table:
+            return pa.table({
+                "kind": pa.array([kind] * n),
+                "event_type": t["event_type"],
+                "window_start": ws,
+                "value": t["value"],
+            })
+
+        return pa.concat_tables(
+            [leg("tumbling", hour), leg("hopping", half), leg("hopping", prev)]
         )
 
-    return tag(q_window_events(sf_dir), "tumbling").union(
-        tag(q_hopping_window_events(sf_dir), "hopping")
+    agg = preagg_groupby(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        keys=["kind", "event_type", "window_start"],
+        sums={"sum_value_f": "value"},
+        count_alias="n",
+    )
+    return agg.map_batches(
+        lambda t: _cents(t, "sum_value_f", "sum_value_cents", 100), batch_format="pyarrow"
     )
 
 

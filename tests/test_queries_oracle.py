@@ -713,3 +713,52 @@ def test_span_dedup_planted_structure(ray_session):
     assert out.loc[2, "text"] == uniq_b and out.loc[2, "n_dropped"] == 1
     assert out.loc[3, "text"] == self_rep + " " + self_rep
     assert out.loc[3, "n_dropped"] == 0 and out.loc[3, "n_spans"] == 2
+
+
+def test_window_stage_operators_match_fused_query(ray_session):
+    """The public tumbling/hopping stage operators (stages/windows)
+    must agree leg-for-leg with the fused single-scan
+    time_windows_events query — the consolidation changed the plan
+    shape, not the semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_reconciliate_ray.pipelines.queries import QUERIES
+    from etl_reconciliate_ray.sources.catalog import read_table
+    from etl_reconciliate_ray.stages.windows import (
+        hopping_window_agg,
+        tumbling_window_agg,
+    )
+
+    fused = _to_pandas(QUERIES["time_windows_events"](SF_DIR))
+
+    def canon(df, cols):
+        df = df[cols].copy()
+        df["window_start"] = pd.to_datetime(df["window_start"]).astype("datetime64[us]")
+        return df.sort_values(cols, kind="stable").reset_index(drop=True)
+
+    ev = lambda: read_table(SF_DIR, "events", columns=["ts", "event_type", "value"])  # noqa: E731
+    cols = ["event_type", "window_start", "n", "sum_value_cents"]
+
+    def cents(ds):
+        return ds.map_batches(
+            lambda t: t.append_column(
+                "sum_value_cents",
+                pc.cast(pc.round(pc.multiply(t["sum_value_f"], 100.0)), pa.int64()),
+            ).drop_columns(["sum_value_f"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+
+    tum = cents(tumbling_window_agg(
+        ev(), keys=["event_type"], width="hour", sums={"sum_value_f": "value"}
+    ))
+    hop = cents(hopping_window_agg(
+        ev(), keys=["event_type"], width_minutes=60, hop_minutes=30,
+        sums={"sum_value_f": "value"},
+    ))
+    pd.testing.assert_frame_equal(
+        canon(tum, cols), canon(fused[fused["kind"] == "tumbling"], cols)
+    )
+    pd.testing.assert_frame_equal(
+        canon(hop, cols), canon(fused[fused["kind"] == "hopping"], cols)
+    )
