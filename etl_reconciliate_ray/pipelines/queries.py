@@ -32,7 +32,6 @@ from ..stages.multimodal import payload_meta_stage
 from ..stages.reconcile import reconcile_datasets
 from ..stages.similarity import ann_lsh_topk, knn_cosine
 from ..stages.textstage import LangId, QualityScore, TokenStats, sha256_stage
-from ..stages.windows import tumbling_window_agg
 
 
 def _cents(tbl: pa.Table, src: str, dst: str, scale: int) -> pa.Table:
@@ -1800,8 +1799,10 @@ def q_time_windows_events(sf_dir: str):
         n = t.num_rows
 
         def leg(kind: str, ws) -> pa.Table:
+            # explicit string type: an EMPTY batch would otherwise
+            # infer null-typed 'kind' and break schema unification
             return pa.table({
-                "kind": pa.array([kind] * n),
+                "kind": pa.array([kind] * n, pa.string()),
                 "event_type": t["event_type"],
                 "window_start": ws,
                 "value": t["value"],

@@ -205,20 +205,23 @@ def dup_span_hashes(ds, width: int = 20, text_col: str = "text",
     corpus — reach the driver for broadcast. At 100 TB, keep the dup
     set sharded and probe it with a partition join or a Bloom front
     (functions/bloom.py) instead of one broadcast set — same contract."""
-    import hashlib
 
     def spans(batch: pd.DataFrame) -> pd.DataFrame:
-        hs, ids = [], []
-        for did, txt in zip(batch[doc_id_col], batch[text_col]):
+        # only the hash column is emitted: a doc is one row, so each
+        # per-doc-distinct hash is one globally-unique (span, doc)
+        # pair and the downstream count-per-hash == distinct-doc count
+        segs: list[str] = []
+        for txt in batch[text_col]:
             if txt is None or (isinstance(txt, float) and txt != txt):
                 continue
             ws = txt.split(" ")
             seen = set()
             for i in range(0, len(ws), width):
-                seen.add(hashlib.sha256(" ".join(ws[i:i + width]).encode()).hexdigest())
-            hs.extend(sorted(seen))
-            ids.extend([did] * len(seen))
-        return pd.DataFrame({"h": hs, "doc": pd.array(ids, dtype="int64")})
+                seen.add(" ".join(ws[i:i + width]))
+            segs.extend(seen)
+        # one digest call per batch through the module's shared digest
+        # convention (utf-8/surrogatepass, same as content sha256)
+        return pd.DataFrame({"h": sha256_hex_array(pa.array(segs, pa.string())).to_pandas()})
 
     from .agg import preagg_groupby
 
@@ -239,33 +242,38 @@ class SpanDedup:
     rest in order. The dup-hash set ships ONCE per actor via
     ``ray.put`` + ``__init__``, never per batch."""
 
-    def __init__(self, dup_ref, width: int = 20):
+    def __init__(self, dup_ref, width: int = 20,
+                 text_col: str = "text", doc_id_col: str = "doc_id"):
         import ray
 
         self.dups = ray.get(dup_ref) if not isinstance(dup_ref, frozenset) else dup_ref
         self.width = width
+        self.text_col = text_col
+        self.doc_id_col = doc_id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
         w = self.width
-        ids, texts, n_spans, n_dropped = [], [], [], []
-        for did, txt in zip(batch["doc_id"], batch["text"]):
+        # per-row segment lists, digested in ONE shared-helper call
+        # (same utf-8/surrogatepass contract as the discovery pass)
+        row_segs: list[list[str]] = []
+        ids = []
+        for did, txt in zip(batch[self.doc_id_col], batch[self.text_col]):
             if txt is None or (isinstance(txt, float) and txt != txt):
                 continue  # NULL text: no spans (SQL string_split(NULL))
             ws = txt.split(" ")
-            kept, total, dropped = [], 0, 0
-            for i in range(0, len(ws), w):
-                seg = " ".join(ws[i:i + w])
-                total += 1
-                if hashlib.sha256(seg.encode()).hexdigest() in self.dups:
-                    dropped += 1
-                else:
-                    kept.append(seg)
+            row_segs.append([" ".join(ws[i:i + w]) for i in range(0, len(ws), w)])
             ids.append(did)
+        flat = [s for segs in row_segs for s in segs]
+        hexes = sha256_hex_array(pa.array(flat, pa.string())).to_pylist()
+        texts, n_spans, n_dropped = [], [], []
+        pos = 0
+        for segs in row_segs:
+            hs = hexes[pos:pos + len(segs)]
+            pos += len(segs)
+            kept = [s for s, h in zip(segs, hs) if h not in self.dups]
             texts.append(" ".join(kept))
-            n_spans.append(total)
-            n_dropped.append(dropped)
+            n_spans.append(len(segs))
+            n_dropped.append(len(segs) - len(kept))
         return pd.DataFrame({
             "doc_id": pd.array(ids, dtype="int64"),
             "text": texts,
@@ -284,7 +292,7 @@ def span_dedup(ds, width: int = 20, text_col: str = "text", doc_id_col: str = "d
 
     dup_ref = ray.put(dup_span_hashes(ds, width, text_col, doc_id_col))
     return ds.map_batches(
-        SpanDedup, fn_constructor_args=(dup_ref, width),
+        SpanDedup, fn_constructor_args=(dup_ref, width, text_col, doc_id_col),
         batch_format="pandas", concurrency=(1, 8),
     )
 
