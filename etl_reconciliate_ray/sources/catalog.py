@@ -126,3 +126,45 @@ def read_table_pandas(sf_dir: str, name: str, columns: list[str] | None = None):
     import pyarrow.parquet as pq
 
     return pq.read_table(table_path(sf_dir, name), columns=columns).to_pandas()
+
+
+# ---------------------------------------------------------------- sinks
+def _parquet_sink(ds, path: str, **kwargs):
+    ds.write_parquet(path, **kwargs)
+
+
+def _csv_sink(ds, path: str, **kwargs):
+    ds.write_csv(path, **kwargs)
+
+
+def _json_sink(ds, path: str, **kwargs):
+    ds.write_json(path, **kwargs)
+
+
+SINKS: dict[str, Callable] = {
+    "parquet": _parquet_sink,  # the default: partitionable, resumable
+    "csv": _csv_sink,
+    "json": _json_sink,
+}
+
+
+def register_sink(fmt: str, writer: Callable) -> None:
+    """Plug in an output store: ``writer(ds, path, **kwargs)``. The
+    mirror of ``register_connector`` — the reference swaps its report
+    target by providing another writer bean; here a sink is any
+    callable that consumes a Dataset (distributed file writes happen
+    inside Ray Data's write operators, one task per block)."""
+    SINKS[fmt] = writer
+
+
+def write_sink(ds, path: str, fmt: str = "parquet", **kwargs) -> None:
+    """Write a Dataset through any registered sink format. Parquet is
+    the engine's contract format (partition_cols, resumable layouts —
+    see pipelines/report.write_report); csv/json exist for
+    interchange with row-oriented consumers."""
+    try:
+        sink = SINKS[fmt]
+    except KeyError:
+        raise ValueError(f"no sink registered for format {fmt!r}; "
+                         f"known: {sorted(SINKS)}") from None
+    sink(ds, path, **kwargs)

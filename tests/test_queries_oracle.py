@@ -762,3 +762,31 @@ def test_window_stage_operators_match_fused_query(ray_session):
     pd.testing.assert_frame_equal(
         canon(hop, cols), canon(fused[fused["kind"] == "hopping"], cols)
     )
+
+
+def test_sink_registry_roundtrip(ray_session, tmp_path):
+    """S5 sink surface: every built-in sink writes a Dataset that
+    reads back row-identical; a custom-registered sink is
+    indistinguishable from a built-in."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.sources.catalog import (
+        read_source,
+        register_sink,
+        write_sink,
+    )
+
+    df = pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    for fmt in ["parquet", "csv", "json"]:
+        out = str(tmp_path / fmt)
+        write_sink(rd.from_pandas(df, override_num_blocks=2), out, fmt)
+        back = read_source(out, fmt).to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back, df, check_dtype=False)
+
+    seen = {}
+    register_sink("mem", lambda ds, path, **kw: seen.update(rows=ds.count(), path=path))
+    write_sink(rd.from_pandas(df), "ignored", "mem")
+    assert seen == {"rows": 4, "path": "ignored"}
+
+    with pytest.raises(ValueError, match="no sink"):
+        write_sink(rd.from_pandas(df), "p", "orc")
