@@ -3227,14 +3227,63 @@ def q_embdup_pairs_ivf(sf_dir: str):
 
 QUERIES = {
     # ORDER MATTERS for driver correctness coverage: the driver checks
-    # the FIRST 50 keys each round. Round-3 window = the two round-1
-    # sentinels + 48 oracle-backed keys that have never had a driver
-    # hash-match row (incl. langid/ewma, rows-only in r02, now
-    # oracle-backed); the remaining never-checked oracle keys rotate
-    # into round 4's window. The in-repo pytest oracle covers ALL
-    # entries every run.
+    # the FIRST 50 keys each round. Round-4 window = the two round-1
+    # sentinels + ALL 27 keys that have never had a driver row of any
+    # kind (17 oracle-backed + 10 rows-only) + 21 refill keys whose
+    # most recent driver evidence is oldest (fingerprint_docs from r01,
+    # the rest last seen in r02). After this round every registry key
+    # has independent driver evidence at least once. The in-repo pytest
+    # oracle covers ALL entries every run.
     "reconcile_detail": q_reconcile_detail,
     "cdc_lww_events": q_cdc_lww_events,
+    "mad_events": q_mad_events,
+    "user_journeys": q_user_journeys,
+    "ann_variants": q_ann_variants,
+    "media_pipeline": q_media_pipeline,
+    "hll_users_by_type": q_hll_users_by_type,
+    "dedup_plan_docs": q_dedup_plan_docs,
+    "incremental_dedup_docs": q_incremental_dedup_docs,
+    "pagerank_docs": q_pagerank_docs,
+    "pack_docs": q_pack_docs,
+    "approx_quantiles_events": q_approx_quantiles_events,
+    "embdup_clusters": q_embdup_clusters,
+    "compression_ratio_docs": q_compression_ratio_docs,
+    "lexical_diversity_docs": q_lexical_diversity_docs,
+    "salted_join_events": q_salted_join_events,
+    "chunk_docs": q_chunk_docs,
+    "bigram_counts": q_bigram_counts,
+    "semi_join_lineitem": q_semi_join_lineitem,
+    "top_terms_per_doc": q_top_terms_per_doc,
+    "repetition_docs": q_repetition_docs,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "json_extract_props": q_json_extract_props,
+    "bloom_semi_orders": q_bloom_semi_orders,
+    "event_transitions": q_event_transitions,
+    "fk_integrity": q_fk_integrity,
+    "funnel_events": q_funnel_events,
+    "cohort_retention": q_cohort_retention,
+    "anomaly_events": q_anomaly_events,
+    "fingerprint_docs": q_fingerprint_docs,
+    "filter_project": q_filter_project,
+    "groupby_sum": q_groupby_sum,
+    "join_customer_nation": q_join_customer_nation,
+    "join_orders_lineitem": q_join_orders_lineitem,
+    "reconcile_counts": q_reconcile_counts,
+    "topk_orders": q_topk_orders,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "minhash_clusters": q_minhash_clusters,
+    "simhash_docs": q_simhash_docs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "knn_cosine": q_knn_cosine,
+    "token_stats": q_token_stats,
+    "quality_docs": q_quality_docs,
+    "sha256_docs": q_sha256_docs,
+    "distinct_event_types": q_distinct_event_types,
+    "anti_join_customers": q_anti_join_customers,
+    "payload_meta": q_payload_meta,
+    "frame_sample": q_frame_sample,
+    "session_window_events": q_session_window_events,
+    "reconcile_rollup": q_reconcile_rollup,
     "schema_evolution_replay": q_schema_evolution_replay,
     "ewma_events": q_ewma_events,
     "setops_users": q_setops_users,
@@ -3283,30 +3332,6 @@ QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "span_dedup_docs": q_span_dedup_docs,
     "langid_docs": q_langid_docs,
-    "mad_events": q_mad_events,
-    "user_journeys": q_user_journeys,
-    "ann_variants": q_ann_variants,
-    "media_pipeline": q_media_pipeline,
-    "filter_project": q_filter_project,
-    "groupby_sum": q_groupby_sum,
-    "join_customer_nation": q_join_customer_nation,
-    "join_orders_lineitem": q_join_orders_lineitem,
-    "reconcile_counts": q_reconcile_counts,
-    "topk_orders": q_topk_orders,
-    "dedup_exact_docs": q_dedup_exact_docs,
-    "minhash_clusters": q_minhash_clusters,
-    "simhash_docs": q_simhash_docs,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "knn_cosine": q_knn_cosine,
-    "token_stats": q_token_stats,
-    "quality_docs": q_quality_docs,
-    "sha256_docs": q_sha256_docs,
-    "distinct_event_types": q_distinct_event_types,
-    "anti_join_customers": q_anti_join_customers,
-    "payload_meta": q_payload_meta,
-    "frame_sample": q_frame_sample,
-    "session_window_events": q_session_window_events,
-    "reconcile_rollup": q_reconcile_rollup,
     "interval_join_events": q_interval_join_events,
     "pivot_user_events": q_pivot_user_events,
     "rolling_user_values": q_rolling_user_values,
@@ -3322,31 +3347,8 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "best_doc_per_source": q_best_doc_per_source,
     "cross_region_nation": q_cross_region_nation,
-    "hll_users_by_type": q_hll_users_by_type,
-    "dedup_plan_docs": q_dedup_plan_docs,
-    "incremental_dedup_docs": q_incremental_dedup_docs,
-    "pagerank_docs": q_pagerank_docs,
-    "pack_docs": q_pack_docs,
-    "approx_quantiles_events": q_approx_quantiles_events,
-    "fingerprint_docs": q_fingerprint_docs,
-    "embdup_clusters": q_embdup_clusters,
-    "compression_ratio_docs": q_compression_ratio_docs,
-    "lexical_diversity_docs": q_lexical_diversity_docs,
-    "salted_join_events": q_salted_join_events,
-    "chunk_docs": q_chunk_docs,
-    "bigram_counts": q_bigram_counts,
-    "semi_join_lineitem": q_semi_join_lineitem,
-    "top_terms_per_doc": q_top_terms_per_doc,
-    "repetition_docs": q_repetition_docs,
-    "orders_above_cust_avg": q_orders_above_cust_avg,
-    "json_extract_props": q_json_extract_props,
-    "bloom_semi_orders": q_bloom_semi_orders,
-    "event_transitions": q_event_transitions,
-    "fk_integrity": q_fk_integrity,
-    "funnel_events": q_funnel_events,
-    "cohort_retention": q_cohort_retention,
-    "anomaly_events": q_anomaly_events,
 }
+
 
 ORACLE_SQL = {
     "filter_project": (
