@@ -193,45 +193,123 @@ class DecontamCount:
         )
 
 
-def dup_span_hashes(ds, width: int = 20, text_col: str = "text",
-                    doc_id_col: str = "doc_id"):
-    """Spans (non-overlapping ``width``-word segments) that appear in
-    MORE THAN ONE document, as a driver-side set of sha256 hex digests.
+def _span_explode(texts: pa.Array | pa.ChunkedArray, width: int):
+    """Non-overlapping ``width``-word segments of each NON-NULL row,
+    Arrow-vectorized (the span contract splits on single spaces with
+    empty tokens kept — ``str.split(" ")`` parity, matching the DuckDB
+    ``string_split(text, ' ')`` oracle): split once, regroup the flat
+    word array into width-sized windows via offset arithmetic, and
+    rebuild segment strings with ONE ``pc.binary_join`` — no per-row
+    Python. Returns ``(segments StringArray, parent row indices,
+    within-row segment ordinals)``. Rows must be non-null (filter
+    upstream); every row yields >= 1 segment ('' -> [''])."""
+    import numpy as np
+    import pyarrow.compute as pc
 
-    Scale shape: each doc emits its per-doc-distinct span hashes map-
-    side (a (hash, doc) pair exists at most once globally since a doc
-    is one row), ONE hash shuffle counts docs per span, and only the
-    spans with count > 1 — the duplicated tail, a tiny fraction of the
-    corpus — reach the driver for broadcast. At 100 TB, keep the dup
-    set sharded and probe it with a partition join or a Bloom front
-    (functions/bloom.py) instead of one broadcast set — same contract."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if len(texts) == 0 or pa.types.is_null(texts.type):
+        # an all-null block arrives as a null-typed column; after the
+        # caller's drop-null/is-valid filter that is always empty
+        empty = np.empty(0, dtype=np.int64)
+        return pa.array([], pa.string()), empty, empty
+    lists = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(lists)
+    off = np.asarray(lists.offsets)
+    n = np.diff(off)  # words per row (>= 1: split of '' is [''])
+    nseg = -(-n // width)
+    parent = np.repeat(np.arange(len(n), dtype=np.int64), nseg)
+    total = int(nseg.sum())
+    ordv = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(nseg) - nseg, nseg
+    )
+    starts = off[:-1][parent] + width * ordv
+    seg_off = np.append(starts, off[-1] if len(off) else 0)
+    seg_list = pa.ListArray.from_arrays(pa.array(seg_off, pa.int32()), flat)
+    return pc.binary_join(seg_list, " "), parent, ordv
 
-    def spans(batch: pd.DataFrame) -> pd.DataFrame:
-        # only the hash column is emitted: a doc is one row, so each
-        # per-doc-distinct hash is one globally-unique (span, doc)
-        # pair and the downstream count-per-hash == distinct-doc count
-        segs: list[str] = []
-        for txt in batch[text_col]:
-            if txt is None or (isinstance(txt, float) and txt != txt):
-                continue
-            ws = txt.split(" ")
-            seen = set()
-            for i in range(0, len(ws), width):
-                seen.add(" ".join(ws[i:i + width]))
-            segs.extend(seen)
-        # one digest call per batch through the module's shared digest
-        # convention (utf-8/surrogatepass, same as content sha256)
-        return pd.DataFrame({"h": sha256_hex_array(pa.array(segs, pa.string())).to_pandas()})
+
+def _dup_span_ds(ds, width: int, text_col: str):
+    """Dataset of span sha256 hexes occurring in >1 DISTINCT document:
+    per-doc-distinct span hashes emitted map-side (a doc is one row, so
+    each (hash, doc) pair exists at most once globally and the count
+    per hash == distinct-doc count), then ONE hash shuffle. Only the
+    duplicated tail survives the filter — it never leaves the cluster
+    here (callers choose broadcast vs sharded probing)."""
+    import pyarrow.compute as pc
 
     from .agg import preagg_groupby
 
+    def spans(batch: pa.Table) -> pa.Table:
+        texts = pc.drop_null(batch[text_col])
+        segs, parent, _ = _span_explode(texts, width)
+        t = pa.table({"h": sha256_hex_array(segs),
+                      "p": pa.array(parent, pa.int64())})
+        red = t.group_by(["h", "p"], use_threads=False).aggregate([])
+        return pa.table({"h": red["h"]})
+
     counts = preagg_groupby(
-        ds.map_batches(spans, batch_format="pandas"), keys=["h"], count_alias="n"
+        ds.map_batches(spans, batch_format="pyarrow"), keys=["h"], count_alias="n"
     )
-    dup = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
-    ).to_pandas()
-    return frozenset(dup["h"])
+    return counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], 1)).select(["h"]),
+        batch_format="pyarrow",
+    )
+
+
+def dup_span_hashes(ds, width: int = 20, text_col: str = "text",
+                    doc_id_col: str = "doc_id"):
+    """Duplicated-span digests collected to a driver-side frozenset —
+    the BROADCAST probe's build step. Only the dup tail reaches the
+    driver; when that tail itself is too big for one node, use
+    ``span_dedup(..., probe="sharded")`` which keeps it distributed."""
+    return frozenset(_dup_span_ds(ds, width, text_col).to_pandas()["h"])
+
+
+def _sorted_member(sorted_keys, probe):
+    """Vectorized membership of ``probe`` in a SORTED key array
+    (np.searchsorted + one gather) — the broadcast probe's kernel."""
+    import numpy as np
+
+    if len(sorted_keys) == 0:
+        return np.zeros(len(probe), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_keys, probe), len(sorted_keys) - 1)
+    return sorted_keys[idx] == probe
+
+
+def _rebuild_from_drops(docs: pa.Table, drop_parent, drop_ord, width: int,
+                        text_col: str, doc_id_col: str) -> pa.Table:
+    """Shared output assembly for both probe paths: re-explode the
+    given non-null-text doc rows, mask the (parent, ordinal) pairs
+    listed in ``drop_parent``/``drop_ord``, and rejoin kept segments in
+    order with one ``pc.binary_join`` (all-dropped docs come back as
+    '', matching the oracle's COALESCE('') leg)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    segs, parent, ordv = _span_explode(docs[text_col], width)
+    nrows = docs.num_rows
+    n_spans = np.bincount(parent, minlength=nrows).astype(np.int64)
+    if len(drop_parent):
+        m = int(ordv.max()) + 1 if len(ordv) else 1
+        drop = np.isin(parent * m + ordv,
+                       np.asarray(drop_parent) * m + np.asarray(drop_ord))
+    else:
+        drop = np.zeros(len(parent), dtype=bool)
+    n_dropped = np.bincount(parent[drop], minlength=nrows).astype(np.int64)
+    kept = segs.filter(pa.array(~drop))
+    kcounts = np.bincount(parent[~drop], minlength=nrows)
+    koff = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(kcounts, out=koff[1:])
+    texts = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(koff, pa.int32()), kept), " "
+    )
+    return pa.table({
+        doc_id_col: docs[doc_id_col],
+        "text": texts,
+        "n_spans": pa.array(n_spans, pa.int64()),
+        "n_dropped": pa.array(n_dropped, pa.int64()),
+    })
 
 
 class SpanDedup:
@@ -239,61 +317,186 @@ class SpanDedup:
     training-data pipelines — e.g. Dolma's duplicate-paragraph filter
     generalized to fixed word windows): drop every ``width``-word span
     whose exact content occurs in more than one document, keep the
-    rest in order. The dup-hash set ships ONCE per actor via
-    ``ray.put`` + ``__init__``, never per batch."""
+    rest in order. BROADCAST probe: the dup-hash set ships ONCE per
+    actor via ``ray.put`` + ``__init__`` as a sorted fixed-width bytes
+    array (16 B/key heap vs ~120 B/key as a str set) and membership is
+    one vectorized searchsorted per batch — no per-row Python."""
 
     def __init__(self, dup_ref, width: int = 20,
                  text_col: str = "text", doc_id_col: str = "doc_id"):
+        import numpy as np
         import ray
 
-        self.dups = ray.get(dup_ref) if not isinstance(dup_ref, frozenset) else dup_ref
+        dups = ray.get(dup_ref) if not isinstance(dup_ref, frozenset) else dup_ref
+        self.dup_sorted = (
+            np.sort(np.asarray(list(dups), dtype="S64"))
+            if dups else np.empty(0, dtype="S64")
+        )
         self.width = width
         self.text_col = text_col
         self.doc_id_col = doc_id_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        w = self.width
-        # per-row segment lists, digested in ONE shared-helper call
-        # (same utf-8/surrogatepass contract as the discovery pass)
-        row_segs: list[list[str]] = []
-        ids = []
-        for did, txt in zip(batch[self.doc_id_col], batch[self.text_col]):
-            if txt is None or (isinstance(txt, float) and txt != txt):
-                continue  # NULL text: no spans (SQL string_split(NULL))
-            ws = txt.split(" ")
-            row_segs.append([" ".join(ws[i:i + w]) for i in range(0, len(ws), w)])
-            ids.append(did)
-        flat = [s for segs in row_segs for s in segs]
-        hexes = sha256_hex_array(pa.array(flat, pa.string())).to_pylist()
-        texts, n_spans, n_dropped = [], [], []
-        pos = 0
-        for segs in row_segs:
-            hs = hexes[pos:pos + len(segs)]
-            pos += len(segs)
-            kept = [s for s, h in zip(segs, hs) if h not in self.dups]
-            texts.append(" ".join(kept))
-            n_spans.append(len(segs))
-            n_dropped.append(len(segs) - len(kept))
-        return pd.DataFrame({
-            "doc_id": pd.array(ids, dtype="int64"),
-            "text": texts,
-            "n_spans": pd.array(n_spans, dtype="int64"),
-            "n_dropped": pd.array(n_dropped, dtype="int64"),
-        })
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # NULL texts yield no output row (string_split(NULL) semantics)
+        docs = batch.filter(pc.is_valid(batch[self.text_col]))
+        segs, parent, ordv = _span_explode(docs[self.text_col], self.width)
+        hb = sha256_hex_array(segs).to_numpy(zero_copy_only=False).astype("S64")
+        drop = _sorted_member(self.dup_sorted, hb)
+        return _rebuild_from_drops(
+            docs, parent[drop], ordv[drop], self.width,
+            self.text_col, self.doc_id_col,
+        )
 
 
-def span_dedup(ds, width: int = 20, text_col: str = "text", doc_id_col: str = "doc_id"):
-    """Two-pass cross-document repeated-span removal over a corpus
-    Dataset: distributed dup-span discovery (one hash shuffle), then a
-    broadcast-probe map pass (see ``dup_span_hashes`` / ``SpanDedup``
-    for the scale contract). Exact up to sha256 collision — the same
-    integrity assumption as the engine's content digests."""
+def _span_dedup_sharded(ds, dup_ds, width: int, text_col: str,
+                        doc_id_col: str, num_buckets: int,
+                        bloom_bits_log2: int):
+    """SHARDED probe — nothing data-scale ever lands on one node:
+
+    1. a FIXED-SIZE Bloom filter over the dup-span hashes is built
+       distributively (one bitmap per block map-side, OR-reduced on the
+       driver: O(blocks x 2^bits/8) bytes, independent of dup-tail
+       size) and broadcast once;
+    2. one corpus scan emits candidate (hash, doc, ordinal) rows for
+       Bloom hits only — false positives pass, misses (the bulk of the
+       corpus) never enter the shuffle;
+    3. a partitioned exact semi-join against the dup-hash Dataset
+       (hash_semi_join — Bloom FPs die here) yields the true drop set;
+    4. a bucket-tag cogroup on hash(doc_id) joins drops back to the
+       corpus and reassembles texts per bucket.
+
+    Costs vs broadcast: one extra full-corpus shuffle (step 4) and a
+    candidate-sized exchange (step 3); buys an O(1)-driver, O(1)-actor
+    memory profile however large the dup tail grows."""
+    import numpy as np
+    import pyarrow.compute as pc
     import ray
 
-    dup_ref = ray.put(dup_span_hashes(ds, width, text_col, doc_id_col))
+    from ..functions.bloom import bloom_contains, build_bloom
+    from ..functions.hashing import hash64
+    from .joins import hash_semi_join
+
+    def part_bloom(t: pa.Table) -> pa.Table:
+        b = build_bloom(t["h"], bits_log2=bloom_bits_log2)
+        return pa.table(
+            {"bits": pa.array([b["bits"].tobytes()], pa.large_binary())}
+        )
+
+    parts = dup_ds.map_batches(part_bloom, batch_format="pyarrow").to_pandas()
+    bits = np.zeros((1 << bloom_bits_log2) // 64, dtype=np.uint64)
+    for raw in parts["bits"]:
+        bits |= np.frombuffer(raw, dtype=np.uint64)
+    bloom_ref = ray.put({"bits": bits, "bits_log2": bloom_bits_log2, "k": 7})
+
+    def emit_candidates(batch: pa.Table) -> pa.Table:
+        # plain task (not an actor pool): ray.get of the Bloom dict is
+        # a zero-copy plasma read of the bitmap, and task pools keep
+        # the downstream lazy union deadlock-free at small CPU budgets
+        bloom = ray.get(bloom_ref)
+        docs = batch.filter(pc.is_valid(batch[text_col]))
+        segs, parent, ordv = _span_explode(docs[text_col], width)
+        h = sha256_hex_array(segs)
+        m = bloom_contains(bloom, h)
+        sel = pa.array(m)
+        return pa.table({
+            "h": h.filter(sel),
+            doc_id_col: docs[doc_id_col].take(pa.array(parent[m])),
+            "__ord": pa.array(ordv[m], pa.int64()),
+        })
+
+    cand = ds.map_batches(emit_candidates, batch_format="pyarrow")
+    drops = hash_semi_join(cand, dup_ds, on="h", num_buckets=num_buckets)
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if side == "d":
+                text = pc.cast(t[text_col], pa.string())
+                ordc = pa.nulls(n, pa.int64())
+            else:
+                text = pa.nulls(n, pa.string())
+                ordc = t["__ord"]
+            b = (hash64(t[doc_id_col]) % np.uint64(num_buckets)).astype(np.int64)
+            return pa.table({
+                doc_id_col: t[doc_id_col], "__text": text, "__ord": ordc,
+                "__side": pa.array([side] * n, pa.string()),
+                "__b": pa.array(b, pa.int64()),
+            })
+        return fn
+
+    tagged = ds.map_batches(tag("d"), batch_format="pyarrow").union(
+        drops.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        docs = g.filter(pc.equal(side, "d"))
+        docs = docs.filter(pc.is_valid(docs["__text"]))
+        dr = g.filter(pc.equal(side, "r"))
+        docs = pa.table({doc_id_col: docs[doc_id_col],
+                         text_col: docs["__text"]})
+        if docs.num_rows == 0:
+            return pa.table({
+                doc_id_col: pa.chunked_array([], g.schema.field(doc_id_col).type),
+                "text": pa.array([], pa.string()),
+                "n_spans": pa.array([], pa.int64()),
+                "n_dropped": pa.array([], pa.int64()),
+            })
+        # map drop doc_ids to the group-local doc row index (each doc
+        # is exactly one row and all its rows share this bucket)
+        ids_idx = pd.Index(docs[doc_id_col].to_pandas())
+        drop_parent = ids_idx.get_indexer(dr[doc_id_col].to_pandas())
+        drop_ord = dr["__ord"].to_numpy(zero_copy_only=False)
+        keep = drop_parent >= 0  # drops for null-text docs have no row
+        return _rebuild_from_drops(
+            docs, drop_parent[keep], drop_ord[keep], width,
+            text_col, doc_id_col,
+        )
+
+    return tagged.groupby("__b").map_groups(rebuild, batch_format="pyarrow")
+
+
+def span_dedup(ds, width: int = 20, text_col: str = "text",
+               doc_id_col: str = "doc_id", probe: str = "auto",
+               broadcast_budget: int = 2_000_000, num_buckets: int = 32,
+               bloom_bits_log2: int = 23):
+    """Two-pass cross-document repeated-span removal over a corpus
+    Dataset: distributed dup-span discovery (one hash shuffle), then a
+    probe pass that removes duplicated spans. Exact up to sha256
+    collision — the same integrity assumption as the engine's content
+    digests.
+
+    ``probe`` picks the scale shape:
+    - ``"broadcast"``: collect the dup tail to a sorted bytes array,
+      ``ray.put`` once, vectorized searchsorted per batch. Right when
+      the dup tail fits one actor's heap (16 B/key).
+    - ``"sharded"``: Bloom front + partitioned exact semi-join + one
+      corpus cogroup (``_span_dedup_sharded``) — nothing data-scale on
+      the driver or in any single actor, for boilerplate-heavy corpora
+      whose dup tail outgrows a broadcast object.
+    - ``"auto"``: materialize the (dup-tail-sized) hash Dataset, count
+      it, and broadcast iff count <= ``broadcast_budget``.
+    Both probes produce byte-identical output (tested)."""
+    import ray
+
+    dup = _dup_span_ds(ds, width, text_col)
+    if probe not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"unknown probe mode: {probe!r}")
+    if probe != "broadcast":
+        dup = dup.materialize()  # O(dup tail), consumed 1-2x below
+    if probe == "sharded" or (probe == "auto"
+                              and dup.count() > broadcast_budget):
+        return _span_dedup_sharded(
+            ds, dup, width, text_col, doc_id_col, num_buckets,
+            bloom_bits_log2,
+        )
+    dup_ref = ray.put(frozenset(dup.to_pandas()["h"]))
     return ds.map_batches(
         SpanDedup, fn_constructor_args=(dup_ref, width, text_col, doc_id_col),
-        batch_format="pandas", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=(1, 8),
     )
 
 

@@ -715,6 +715,43 @@ def test_span_dedup_planted_structure(ray_session):
     assert out.loc[3, "n_dropped"] == 0 and out.loc[3, "n_spans"] == 2
 
 
+def test_span_dedup_sharded_probe_matches_broadcast(ray_session):
+    """The sharded probe (Bloom front + partitioned exact semi-join +
+    doc-bucket cogroup; nothing data-scale on the driver) must produce
+    byte-identical output to the broadcast probe — including when the
+    dup tail exceeds the auto mode's broadcast budget (budget 0 forces
+    the sharded path), with null texts, non-default column names, and
+    string doc ids."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.textstage import span_dedup
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 90)))) for _ in range(60)
+    ]
+    texts[7] = texts[3]                # full-doc duplicate
+    texts[11] = texts[4] + " " + texts[5]  # shares leading spans
+    texts[12] = None                   # null text: no output row
+    df = pd.DataFrame({"k": [f"d{i}" for i in range(60)], "body": texts})
+
+    def run(**kw):
+        return (
+            span_dedup(rd.from_pandas(df, override_num_blocks=5), width=8,
+                       text_col="body", doc_id_col="k", **kw)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+
+    broadcast = run(probe="broadcast")
+    sharded = run(probe="sharded", num_buckets=4)
+    forced = run(probe="auto", broadcast_budget=0, num_buckets=4)
+    assert broadcast.equals(sharded)
+    assert broadcast.equals(forced)
+    assert "d12" not in set(broadcast["k"])
+    assert len(broadcast) == 59 and (broadcast["n_dropped"] > 0).any()
+
+
 def test_window_stage_operators_match_fused_query(ray_session):
     """The public tumbling/hopping stage operators (stages/windows)
     must agree leg-for-leg with the fused single-scan
