@@ -79,13 +79,77 @@ def langid(text: str) -> str:
     return best_lang
 
 
+_SHINGLE_B = np.uint64(1099511628211)  # FNV-1a prime: poly-hash base
+
+
+def char_shingle_hashes_batch(texts, k: int = 5):
+    """k-shingle hashes for a WHOLE batch of documents in one
+    vectorized pass: the batch normalizes through three Arrow kernels
+    (lower, whitespace-collapse, right-pad), the utf-8 byte stream of
+    ALL docs is viewed zero-copy out of the string array's data
+    buffer, and every k-window position gets a polynomial rolling hash
+    (k vectorized multiply-adds, natural mod-2^64 wraparound) finished
+    with an avalanche mix for MinHash-grade uniformity. Windows that
+    would cross a doc boundary are masked out with offset arithmetic.
+
+    Returns ``(hashes, offsets)``: a flat uint64 array (duplicates
+    KEPT — a min over permuted hashes is unchanged by multiplicity)
+    and int64 offsets such that doc ``i``'s shingles are
+    ``hashes[offsets[i]:offsets[i+1]]``. Every doc yields >= 1 shingle
+    (short texts are right-padded to ``k``). Shingles are k-BYTE
+    windows of the normalized utf-8 (== k chars on ASCII text); the
+    whole batch normalizes in three Arrow kernels and the byte stream
+    is read zero-copy out of the string array's data buffer."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from .hashing import _mix64
+
+    arr = texts if isinstance(texts, (_pa.Array, _pa.ChunkedArray)) else _pa.array(
+        texts, _pa.string()
+    )
+    if isinstance(arr, _pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    arr = _pc.utf8_rpad(
+        _pc.utf8_trim_whitespace(
+            _pc.replace_substring_regex(_pc.utf8_lower(arr), r"\s+", " ")
+        ),
+        width=k, padding=" ",
+    )
+    if isinstance(arr, _pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off32 = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    concat = np.frombuffer(arr.buffers()[2], np.uint8)[
+        off32[0] : off32[-1]
+    ].astype(np.uint64)
+    lens = np.diff(off32).astype(np.int64)
+    n = len(concat)
+    h = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        h = h * _SHINGLE_B + concat[j : n - k + 1 + j]
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # window at global position p belongs to doc i iff p+k <= ends[i]
+    nsh = lens - (k - 1)  # >= 1 by the pad
+    valid = np.ones(n - k + 1, dtype=bool)
+    for i in range(1, len(lens)):  # mask the (k-1)-wide seams
+        valid[ends[i - 1] - (k - 1) : starts[i]] = False
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(nsh, out=offsets[1:])
+    return _mix64(h[valid]), offsets
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-char shingle hashes (uint64) of a document."""
-    t = " ".join(text.lower().split())
-    if len(t) < k:
-        t = t.ljust(k)
-    hashes = {zlib.crc32(t[i : i + k].encode()) for i in range(len(t) - k + 1)}
-    return np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+    """Distinct k-char shingle hashes (uint64) of one document — the
+    single-doc view of ``char_shingle_hashes_batch`` (same hash family,
+    so kernel-side Jaccard sets and the banding stage can never
+    drift)."""
+    flat, _ = char_shingle_hashes_batch([text], k)
+    return np.unique(flat)
 
 
 def word_ngrams(text: str, n: int = 3) -> set[str]:
@@ -104,30 +168,92 @@ def jaccard(a: set, b: set) -> float:
 
 class MinHasher:
     """Seeded universal-hash MinHash: ``num_perm`` permutations via
-    (a*x + b) mod p. Build ONCE (per actor) — the (a, b) tables are the
-    stateful part; `signature` is vectorized numpy per document."""
+    multiply-shift ``(a*x) >> 32`` over the 64-bit mixed shingle hashes
+    (Dietzfelbinger et al.'s multiply-shift family — odd ``a``, top 32
+    bits). Two ops per permuted element and 32-bit minima (half the
+    reduce traffic of a 64-bit modular family), which is what makes the
+    whole-batch `signature_matrix` memory-lean. Build ONCE (per actor)
+    — the ``a`` table is the stateful part."""
 
     def __init__(self, num_perm: int = 128, seed: int = 42):
         rng = np.random.default_rng(seed)
         self.num_perm = num_perm
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = (
+            rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64)
+            << np.uint64(1)
+        ) | np.uint64(1)
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """Single-doc view of ``signature_matrix`` (same family, values
+        agree element-for-element)."""
         if len(shingle_hashes) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
+            return np.zeros(self.num_perm, dtype=np.uint32)
         # (P, S) matrix of permuted hashes -> min over shingles
-        prod = (self.a[:, None] * shingle_hashes[None, :] + self.b[:, None]) % _MERSENNE
-        return prod.min(axis=1)
+        prod = self.a[:, None] * shingle_hashes[None, :]
+        return (prod >> np.uint64(32)).astype(np.uint32).min(axis=1)
+
+    def signature_matrix(self, flat_hashes: np.ndarray,
+                         offsets: np.ndarray,
+                         shingle_chunk: int = 512) -> np.ndarray:
+        """Signatures for a WHOLE batch at once: permute shingles in
+        doc-aligned blocks of ~``shingle_chunk`` and take per-doc
+        minima with one ``np.minimum.reduceat`` per block — no per-doc
+        Python. Blocking runs along the SHINGLE axis (all permutations
+        at once) so the (num_perm x chunk) temporaries stay
+        cache-resident instead of streaming the whole batch through
+        DRAM ``num_perm`` times. ``offsets`` as from
+        ``char_shingle_hashes_batch``; every doc must have >= 1
+        shingle (the batch kernel guarantees it). Row ``i`` ==
+        ``signature(flat_hashes[offsets[i]:offsets[i+1]])``."""
+        ndocs = len(offsets) - 1
+        out = np.empty((ndocs, self.num_perm), dtype=np.uint32)
+        if ndocs == 0:
+            return out
+        if len(flat_hashes) > 512 * ndocs:
+            # long/repetitive docs: one vectorized per-doc dedup
+            # (lexsort + neighbor-diff) costs less than permuting the
+            # duplicate shingles num_perm times; short docs skip it
+            parent = np.repeat(np.arange(ndocs), np.diff(offsets))
+            order = np.lexsort((flat_hashes, parent))
+            sh, sp = flat_hashes[order], parent[order]
+            keep = np.ones(len(sh), dtype=bool)
+            keep[1:] = (sh[1:] != sh[:-1]) | (sp[1:] != sp[:-1])
+            flat_hashes = sh[keep]
+            offsets = np.zeros(ndocs + 1, dtype=np.int64)
+            np.cumsum(np.bincount(sp[keep], minlength=ndocs), out=offsets[1:])
+        a = self.a[:, None]
+        i = 0
+        while i < ndocs:
+            j = i + 1
+            while j < ndocs and offsets[j + 1] - offsets[i] <= shingle_chunk:
+                j += 1
+            seg = flat_hashes[offsets[i] : offsets[j]]
+            prod = a * seg[None, :]  # wraps mod 2^64; top 32 bits kept
+            prod >>= np.uint64(32)
+            out[i:j] = np.minimum.reduceat(
+                prod.astype(np.uint32), offsets[i : j] - offsets[i], axis=1
+            ).T
+            i = j
+        return out
 
     def bands(self, sig: np.ndarray, num_bands: int = 16) -> list[int]:
-        """LSH band hashes (one per band) for bucketing."""
+        """LSH band hashes (one per band) for bucketing — single-doc
+        view of ``band_hash_matrix`` (same fold, values agree)."""
+        return self.band_hash_matrix(sig[None, :], num_bands)[0].tolist()
+
+    def band_hash_matrix(self, sigs: np.ndarray, num_bands: int = 16) -> np.ndarray:
+        """Band hashes for a (docs x num_perm) signature matrix:
+        reshape to (docs, bands, rows) and fold each band's rows with a
+        vectorized xor-multiply avalanche (rows passes over the whole
+        matrix). Returns (docs, bands) int64, non-negative."""
+        from .hashing import _mix64
+
         rows = self.num_perm // num_bands
-        out = []
-        for b in range(num_bands):
-            chunk = sig[b * rows : (b + 1) * rows]
-            out.append(zlib.crc32(chunk.tobytes()) & 0x7FFFFFFF)
-        return out
+        cube = sigs.reshape(len(sigs), num_bands, rows)
+        acc = np.zeros((len(sigs), num_bands), dtype=np.uint64)
+        for r in range(rows):
+            acc = _mix64(acc ^ cube[:, :, r])
+        return (acc >> np.uint64(1)).astype(np.int64)  # non-negative
 
 
 def simhash64(text: str) -> int:

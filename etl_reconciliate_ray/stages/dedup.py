@@ -54,17 +54,27 @@ class MinHashBands:
         self.num_bands = num_bands
         self.shingle_k = shingle_k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, bhashes = [], [], []
-        for did, txt in zip(batch["doc_id"], batch["text"]):
-            if txt is None or (isinstance(txt, float) and pd.isna(txt)):
-                continue  # null text: no shingles, never a candidate
-            sig = self.mh.signature(T.char_shingles(txt, self.shingle_k))
-            for b, h in enumerate(self.mh.bands(sig, self.num_bands)):
-                ids.append(did)
-                bands.append(b)
-                bhashes.append(h)
-        return pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": bhashes})
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = batch["text"].combine_chunks()
+        valid = pc.is_valid(texts)  # null text: never a candidate
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
+            texts = batch["text"].combine_chunks()
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        # whole-batch kernels over the zero-copy Arrow string column:
+        # one shingle pass, one chunked permute + reduceat signature
+        # pass, one band fold — no per-doc Python
+        flat, offsets = T.char_shingle_hashes_batch(texts, self.shingle_k)
+        sigs = self.mh.signature_matrix(flat, offsets)
+        bh = self.mh.band_hash_matrix(sigs, self.num_bands)
+        n, nb = bh.shape
+        return pa.table({
+            "doc_id": np.repeat(ids, nb),
+            "band": np.tile(np.arange(nb, dtype=np.int64), n),
+            "band_hash": bh.ravel(),
+        })
 
 
 def _band_rows(ds, mh_kwargs: dict):
@@ -72,7 +82,7 @@ def _band_rows(ds, mh_kwargs: dict):
     concurrency) for the self-join and incremental dedup paths."""
     return ds.map_batches(
         MinHashBands, fn_constructor_kwargs=mh_kwargs,
-        batch_format="pandas", batch_size=2048, concurrency=(1, 8),
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
     )
 
 
