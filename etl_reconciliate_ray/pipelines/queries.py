@@ -16,6 +16,7 @@ Ray is initialised by the driver — NOTHING here calls ray.init().
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -281,7 +282,17 @@ def q_schema_evolution_replay(sf_dir: str):
         with open(os.path.join(work_dir, "_DONE"), "w") as fh:
             fh.write("ok\n")
 
-    cache_key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # Key the cache on the RESOLVED path AND a fingerprint of the
+    # source events file (size + mtime): two sf_dirs sharing a basename
+    # must not collide, and a regenerated fixture at the same path must
+    # invalidate (ADVICE r3) — stale lakes silently corrupt the
+    # correctness surface otherwise.
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{os.path.realpath(src)}|{st.st_size}|{int(st.st_mtime_ns)}".encode()
+    ).hexdigest()[:16]
+    cache_key = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{fp}"
     work = os.path.join(
         tempfile.gettempdir(), f"etl_rec_schema_evo_cache_{cache_key}"
     )

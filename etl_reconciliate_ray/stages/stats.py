@@ -51,27 +51,45 @@ def _grp_mean(codes, valid, x, G):
     return n, mean
 
 
-def _chan_fold(g: pd.DataFrame, with_y: bool) -> dict:
-    n, mx, m2x = 0.0, 0.0, 0.0
-    my, m2y, cxy = 0.0, 0.0, 0.0
-    for row in g.itertuples(index=False):
-        nb, mxb, m2xb = float(row.n), row.mean_x, row.m2_x
+def _fold_triple(g: pd.DataFrame, n_col: str, mean_col: str, m2_col: str) -> tuple:
+    """Chan-merge one (n, mean, M2) moment set across partial rows,
+    using ITS OWN count column — x-, y- and pairwise moments have
+    different valid-row subsets, so each set must fold with its own n
+    (folding y-moments with the x count silently corrupts mean_y/var_y
+    whenever the null patterns differ)."""
+    n, m, m2 = 0.0, 0.0, 0.0
+    for nb, mb, m2b in zip(g[n_col], g[mean_col], g[m2_col]):
+        nb = float(nb)
         if nb == 0:
             continue
         tot = n + nb
-        dx = mxb - mx
-        if with_y:
-            dy = row.mean_y - my
-            cxy = cxy + row.cxy + dx * dy * n * nb / tot
-            m2y = m2y + row.m2_y + dy * dy * n * nb / tot
-            my = my + dy * nb / tot
-        m2x = m2x + m2xb + dx * dx * n * nb / tot
-        mx = mx + dx * nb / tot
+        d = mb - m
+        m2 = m2 + m2b + d * d * n * nb / tot
+        m = m + d * nb / tot
         n = tot
-    out = {"n": int(n), "mean_x": mx, "m2_x": m2x}
-    if with_y:
-        out.update({"mean_y": my, "m2_y": m2y, "cxy": cxy})
-    return out
+    return n, m, m2
+
+
+def _fold_pairwise(g: pd.DataFrame) -> dict:
+    """Chan-merge the pairwise-valid moment set (n_xy; means, M2s and
+    the cross-moment Cxy all centered on the SAME pairwise subset, the
+    only centering under which the Cxy combiner is exact)."""
+    n, mx, my, m2x, m2y, cxy = 0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+    for row in g.itertuples(index=False):
+        nb = float(row.n_xy)
+        if nb == 0:
+            continue
+        tot = n + nb
+        dx = row.mean_x_xy - mx
+        dy = row.mean_y_xy - my
+        cxy = cxy + row.cxy + dx * dy * n * nb / tot
+        m2x = m2x + row.m2x_xy + dx * dx * n * nb / tot
+        m2y = m2y + row.m2y_xy + dy * dy * n * nb / tot
+        mx = mx + dx * nb / tot
+        my = my + dy * nb / tot
+        n = tot
+    return {"n_xy": n, "mean_x_xy": mx, "mean_y_xy": my,
+            "m2x_xy": m2x, "m2y_xy": m2y, "cxy": cxy}
 
 
 def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None):
@@ -99,33 +117,52 @@ def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None):
         cols["mean_x"] = pa.array(mx)
         cols["m2_x"] = pa.array(np.bincount(codes[vx], weights=(dx * dx)[vx], minlength=G))
         if with_y:
+            # three independent moment sets, each centered on ITS OWN
+            # subset's mean: y-stats over valid-y rows (SQL AVG/VAR),
+            # cross-stats over pairwise-valid rows (SQL CORR/REGR_*) —
+            # x-centered deltas reused for y subsets would break the
+            # Chan combiner whenever null patterns differ (ADVICE r3)
             ys = _col_f64(t, y)
             vy = ~np.isnan(ys)
-            _, my = _grp_mean(codes, vy, ys, G)
+            n_y, my = _grp_mean(codes, vy, ys, G)
             dy = ys - my[codes]
-            vxy = vx & vy
+            cols["n_y"] = pa.array(n_y)
             cols["mean_y"] = pa.array(my)
             cols["m2_y"] = pa.array(np.bincount(codes[vy], weights=(dy * dy)[vy], minlength=G))
-            cols["cxy"] = pa.array(np.bincount(codes[vxy], weights=(dx * dy)[vxy], minlength=G))
+            vxy = vx & vy
+            n_xy, mxp = _grp_mean(codes, vxy, xs, G)
+            _, myp = _grp_mean(codes, vxy, ys, G)
+            dxp = xs - mxp[codes]
+            dyp = ys - myp[codes]
+            cols["n_xy"] = pa.array(n_xy)
+            cols["mean_x_xy"] = pa.array(mxp)
+            cols["mean_y_xy"] = pa.array(myp)
+            cols["m2x_xy"] = pa.array(np.bincount(codes[vxy], weights=(dxp * dxp)[vxy], minlength=G))
+            cols["m2y_xy"] = pa.array(np.bincount(codes[vxy], weights=(dyp * dyp)[vxy], minlength=G))
+            cols["cxy"] = pa.array(np.bincount(codes[vxy], weights=(dxp * dyp)[vxy], minlength=G))
         return pa.table(cols)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        acc = _chan_fold(g, with_y)
-        n = acc["n"]
+        n, mean_x, m2_x = _fold_triple(g, "n", "mean_x", "m2_x")
+        n = int(n)
         row = {k: [g.iloc[0][k]] for k in keys}
         row["n"] = [n]
-        row["mean_x"] = [acc["mean_x"]]
-        row["var_x"] = [acc["m2_x"] / (n - 1) if n > 1 else np.nan]
+        row["mean_x"] = [mean_x if n > 0 else np.nan]
+        row["var_x"] = [m2_x / (n - 1) if n > 1 else np.nan]
         if with_y:
-            denom = np.sqrt(acc["m2_x"] * acc["m2_y"])
-            row["corr_xy"] = [acc["cxy"] / denom if denom > 0 else np.nan]
-            # regression artifacts (slope = Cxy/M2x is the same ratio
-            # for sample and population forms, matching SQL REGR_SLOPE)
-            row["mean_y"] = [acc["mean_y"]]
-            row["var_y"] = [acc["m2_y"] / (n - 1) if n > 1 else np.nan]
-            slope = acc["cxy"] / acc["m2_x"] if acc["m2_x"] > 0 else np.nan
+            n_y, mean_y, m2_y = _fold_triple(g, "n_y", "mean_y", "m2_y")
+            n_y = int(n_y)
+            pw = _fold_pairwise(g)
+            denom = np.sqrt(pw["m2x_xy"] * pw["m2y_xy"])
+            row["corr_xy"] = [pw["cxy"] / denom if denom > 0 else np.nan]
+            # regression artifacts over the pairwise subset (slope =
+            # Cxy/M2x is the same ratio for sample and population
+            # forms, matching SQL REGR_SLOPE/REGR_INTERCEPT)
+            row["mean_y"] = [mean_y if n_y > 0 else np.nan]
+            row["var_y"] = [m2_y / (n_y - 1) if n_y > 1 else np.nan]
+            slope = pw["cxy"] / pw["m2x_xy"] if pw["m2x_xy"] > 0 else np.nan
             row["slope_xy"] = [slope]
-            row["icept_xy"] = [acc["mean_y"] - slope * acc["mean_x"]]
+            row["icept_xy"] = [pw["mean_y_xy"] - slope * pw["mean_x_xy"]]
         return pd.DataFrame(row)
 
     return (

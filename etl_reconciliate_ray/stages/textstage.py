@@ -306,7 +306,7 @@ def _rebuild_from_drops(docs: pa.Table, drop_parent, drop_ord, width: int,
     )
     return pa.table({
         doc_id_col: docs[doc_id_col],
-        "text": texts,
+        text_col: texts,
         "n_spans": pa.array(n_spans, pa.int64()),
         "n_dropped": pa.array(n_dropped, pa.int64()),
     })

@@ -263,6 +263,46 @@ def test_grouped_stats_keeps_null_group_keys(ray_session):
     assert null_row["n"] == 2 and null_row["mean_x"] == 15.0
 
 
+def test_grouped_stats_divergent_null_patterns(ray_session):
+    """x and y with DIFFERENT null patterns: mean/var of each column
+    fold over its own valid rows (SQL AVG/VAR), corr/slope/intercept
+    over the pairwise-valid rows (SQL CORR/REGR_*) — each moment set
+    carries its own count through the Chan merge (ADVICE r3)."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.stats import grouped_stats
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 2, n),
+        "x": rng.normal(5.0, 2.0, n),
+        "y": rng.normal(1.0, 1.0, n),
+    })
+    df["y"] += 0.8 * df["x"]
+    df.loc[rng.random(n) < 0.3, "x"] = np.nan   # 30% null x
+    df.loc[rng.random(n) < 0.2, "y"] = np.nan   # 20% null y, overlapping
+    out = (
+        grouped_stats(rd.from_pandas(df).repartition(11), keys=["k"], x="x", y="y")
+        .to_pandas().set_index("k")
+    )
+    for k, g in df.groupby("k"):
+        pw = g.dropna(subset=["x", "y"])
+        assert out.loc[k, "n"] == g["x"].notna().sum()
+        assert out.loc[k, "mean_x"] == pytest.approx(g["x"].mean(), rel=1e-12)
+        assert out.loc[k, "var_x"] == pytest.approx(g["x"].var(ddof=1), rel=1e-9)
+        assert out.loc[k, "mean_y"] == pytest.approx(g["y"].mean(), rel=1e-12)
+        assert out.loc[k, "var_y"] == pytest.approx(g["y"].var(ddof=1), rel=1e-9)
+        assert out.loc[k, "corr_xy"] == pytest.approx(
+            np.corrcoef(pw["x"], pw["y"])[0, 1], rel=1e-9
+        )
+        slope = np.cov(pw["x"], pw["y"], ddof=1)[0, 1] / pw["x"].var(ddof=1)
+        assert out.loc[k, "slope_xy"] == pytest.approx(slope, rel=1e-9)
+        assert out.loc[k, "icept_xy"] == pytest.approx(
+            pw["y"].mean() - slope * pw["x"].mean(), rel=1e-9
+        )
+
+
 def test_misra_gries_approximation_guarantees(ray_session):
     """In the trimming regime (capacity << distinct), MG must still
     report every item with true frequency > n/(capacity+1), and every
