@@ -71,6 +71,15 @@ class ReplayConfig:
     # run a distributed compaction after the last epoch so readers see
     # chain length 1 everywhere (end-of-stream housekeeping).
     post_compact: bool = False
+    # roll the commit log up into its chains snapshot every N sealed
+    # epochs (0 disables). Without a cadence a long --follow stream
+    # appends forever: every CommitLog.open (one per follow poll) and
+    # every in-memory chain resolution pays O(total commits ever) —
+    # the snapshot keeps reopen parse work at O(partitions x chain
+    # length + N x partitions), independent of stream age. Auto
+    # delta->full compaction (delta_threshold) bounds chain length, so
+    # the two knobs together bound the log regardless of epoch count.
+    snapshot_every: int = 64
     # batched-epoch merge strategy:
     # - "direct": NO shuffle, NO object-store round trip — each map
     #   task partial-LWWs its block per (epoch, bucket) and writes the
@@ -379,6 +388,19 @@ def _replay_epoch_descs(
         todo.append((engine_epoch, ep))
 
     out: list[dict] = []
+    fresh_since_snap = 0
+
+    def _maybe_snapshot(n_fresh: int) -> int:
+        # log-growth bound: roll the log into its chains snapshot every
+        # snapshot_every FRESH (non-skipped) epochs — skipped epochs
+        # append nothing, so they never trigger a rewrite
+        nonlocal fresh_since_snap
+        fresh_since_snap += n_fresh
+        if cfg.snapshot_every > 0 and fresh_since_snap >= cfg.snapshot_every:
+            log.write_snapshot()
+            fresh_since_snap = 0
+        return fresh_since_snap
+
     if cfg.pipeline_epochs > 1:
         # bootstrap through the same scaled batch path (the sequential
         # bootstrap's shuffle is a fixed cost that would cap scaling)
@@ -405,6 +427,7 @@ def _replay_epoch_descs(
             chunk = [t for t in window if not log.is_sealed(t[0])]
             if chunk:
                 out.extend(_run_epoch_batch(chunk, cfg, log, writers))
+                _maybe_snapshot(len(chunk))
     else:
         if seed_path is not None:
             out.append(bootstrap(seed_path, cfg, log=log, writers=writers))
@@ -418,9 +441,10 @@ def _replay_epoch_descs(
             ds = rd.read_parquet(
                 ep["file"], schema=_binlog_scan_schema(epoch_files), **kwargs
             )
-            out.append(
-                run_epoch(ds, engine_epoch, cfg, log=log, input_seq=tuple(ep["seq_range"]), writers=writers)
-            )
+            m = run_epoch(ds, engine_epoch, cfg, log=log, input_seq=tuple(ep["seq_range"]), writers=writers)
+            out.append(m)
+            if not m.get("skipped"):
+                _maybe_snapshot(1)
 
     if cfg.post_compact:
         out.append(compact(cfg, log=log, writers=writers))

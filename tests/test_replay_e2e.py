@@ -314,6 +314,86 @@ def test_log_snapshot_bounds_history_and_preserves_state(fixture_small, tmp_path
     assert lake_state_hash(cfg.lake_root) == before
 
 
+def test_log_snapshot_cadence_bounds_parse_work_500_epochs(tmp_path):
+    """A 600-epoch stream with the replay loop's snapshot cadence must
+    keep CommitLog.open's parse work O(partitions), not O(total
+    commits ever) — and the rolled-up log must resolve chains and
+    fences identically to a never-snapshotted control log."""
+    import os
+
+    from etl_reconciliate_ray.state.commitlog import PartEntry
+
+    parts, epochs, cadence = 8, 600, 64
+    roots = {"snap": str(tmp_path / "snap"), "ctl": str(tmp_path / "ctl")}
+    logs = {k: CommitLog.open(r) for k, r in roots.items()}
+    for log in logs.values():
+        log.ensure_layout({"num_buckets": parts, "salt": {}, "hash_impl": "t"})
+    fresh = 0
+    for ep in range(1, epochs + 1):
+        kind = "full" if ep % 8 == 0 else "delta"  # auto-compact analogue
+        for k, log in logs.items():
+            log.commit_parts([
+                PartEntry(epoch=ep, part=p, files=(f"e{ep}_p{p}.parquet",),
+                          rows=1, state_sha256=f"s{ep}", kind=kind)
+                for p in range(parts)
+            ])
+            log.seal_epoch(ep)
+        fresh += 1
+        if fresh >= cadence:  # the _replay_epoch_descs cadence
+            logs["snap"].write_snapshot()
+            fresh = 0
+
+    def lines(root):
+        n = 0
+        for f in ("commitlog.jsonl", "commitlog.snapshot.jsonl"):
+            p = os.path.join(root, f)
+            if os.path.exists(p):
+                n += sum(1 for _ in open(p))
+        return n
+
+    total_commits = epochs * parts  # 4800 records in the control log
+    assert lines(roots["ctl"]) > total_commits
+    # rolled-up: chains (<=8 per part) + <=cadence unsnapshotted epochs
+    # + sealed-set/layout records — far below the full history
+    assert lines(roots["snap"]) < total_commits / 4
+    # reopen (the follow-poll path) resolves identical chains + fences
+    re_snap, re_ctl = CommitLog.open(roots["snap"]), CommitLog.open(roots["ctl"])
+    assert {p: [(e.epoch, e.kind, e.files) for e in c]
+            for p, c in re_snap.part_chains().items()} == \
+           {p: [(e.epoch, e.kind, e.files) for e in c]
+            for p, c in re_ctl.part_chains().items()}
+    assert re_snap.latest_sealed_epoch() == epochs
+    # redelivery of a pre-snapshot epoch is STILL fenced iff it's in a
+    # live chain; sealed epochs are always fenced at the epoch level
+    assert re_snap.is_sealed(3) and re_snap.is_sealed(epochs)
+
+
+def test_snapshot_cadence_replay_converges_and_survives_kill(fixture_small, tmp_path):
+    """End-to-end: replay with a tight snapshot cadence equals the
+    no-cadence replay sha-for-sha, a mid-stream kill resumes correctly
+    across a snapshot boundary, and the tail log stays rolled up."""
+    import os
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    ctl = _cfg(tmp_path, "lake_nosnap", manifest)
+    ctl.snapshot_every = 0
+    replay(fixture_dir, ctl)
+    want = lake_state_hash(ctl.lake_root)
+
+    cfg = _cfg(tmp_path, "lake_cadence", manifest)
+    cfg.snapshot_every = 2
+    replay(fixture_dir, cfg, stop_after_epoch=3)  # kill past a snapshot
+    replay(fixture_dir, cfg)  # restart resumes from the rolled-up log
+    assert lake_state_hash(cfg.lake_root) == want
+    tail = sum(1 for _ in open(os.path.join(cfg.lake_root, "commitlog.jsonl")))
+    full = sum(1 for _ in open(os.path.join(ctl.lake_root, "commitlog.jsonl")))
+    assert tail < full  # history lives in the snapshot, not the tail
+    # a THIRD run is a pure no-op (every epoch fenced via the snapshot)
+    m3 = replay(fixture_dir, cfg)
+    assert all(x.get("skipped") for x in m3)
+    assert lake_state_hash(cfg.lake_root) == want
+
+
 def test_replay_stream_tail_converges_to_batch(fixture_small, tmp_path):
     """Binlog-tail ingestion (no fixture.json): epoch files land
     incrementally in a watched directory; repeated replay_stream calls
