@@ -29,8 +29,36 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _import_pil():
+    """Optional codec probe — called ONCE per actor in ``__init__``
+    (never per batch). Returns PIL's ``Image`` module when the codec is
+    installed, else None (this container ships no media libs)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _resolve_codec(codec: str):
+    """Map the ``codec`` knob to a PIL Image module or None (= fake).
+    ``"auto"`` uses PIL when importable; ``"pil"`` requires it;
+    ``"fake"`` forces the deterministic fake."""
+    if codec == "fake":
+        return None
+    img = _import_pil()
+    if codec == "pil" and img is None:
+        raise ImportError("codec='pil' requested but PIL is not installed")
+    if codec == "auto":
+        return img
+    if codec == "pil":
+        return img
+    raise ValueError(f"unknown codec mode: {codec!r}")
+
+
 def decode_stub(payload: bytes, media_type: str, deterministic_fake: bool = False) -> np.ndarray:
-    """Placeholder for the real decoder (PIL/libjpeg, ffmpeg, ...).
+    """Placeholder decode for environments without codecs.
 
     With ``deterministic_fake=True`` returns a seeded pseudo-decode (a
     small float array derived from the payload hash) so downstream
@@ -46,6 +74,17 @@ def decode_stub(payload: bytes, media_type: str, deterministic_fake: bool = Fals
     return rng.standard_normal(16).astype(np.float32)
 
 
+def decode_image_features(Image, payload: bytes) -> np.ndarray:
+    """REAL image featurization (used whenever PIL is importable):
+    decode -> grayscale -> 4x4 thumbnail -> 16 normalized floats — the
+    same output shape as the fake, so downstream schema/layout is
+    identical in both modes."""
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+    return (np.asarray(img, dtype=np.float32) / 255.0).reshape(16)
+
+
 class MediaFeatures:
     """Actor-pool stage: decode + featurize binary payloads.
 
@@ -54,8 +93,12 @@ class MediaFeatures:
     heap) and the stage is an actor pool so codec init happens once.
     """
 
-    def __init__(self, deterministic_fake: bool = True):
+    def __init__(self, deterministic_fake: bool = True, codec: str = "fake"):
+        # codec resolution happens ONCE per actor — the actor-pool
+        # point: "auto" = PIL when importable (real decode) else the
+        # deterministic fake; "pil" = require it; "fake" = force fake
         self.fake = deterministic_fake
+        self.Image = _resolve_codec(codec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, sizes = [], []
@@ -64,7 +107,10 @@ class MediaFeatures:
             batch["media_type"].to_pylist(),
             batch["payload"].to_pylist(),
         ):
-            arr = decode_stub(payload, mtype, deterministic_fake=self.fake)
+            if self.Image is not None and mtype == "image":
+                arr = decode_image_features(self.Image, payload)
+            else:
+                arr = decode_stub(payload, mtype, deterministic_fake=self.fake)
             feats.append(arr.tolist())
             sizes.append(len(payload))
         return pa.table(
@@ -76,12 +122,15 @@ class MediaFeatures:
         )
 
 
-def media_features(media_ds, concurrency=(1, 4), batch_size: int = 64):
+def media_features(media_ds, concurrency=(1, 4), batch_size: int = 64, codec: str = "fake"):
     """Wire MediaFeatures as an actor pool with wide-payload-safe
-    batch sizing."""
+    batch sizing. ``codec="auto"`` decodes with PIL wherever it is
+    installed (each actor probes once at init) and falls back to the
+    deterministic fake elsewhere — this container has no media libs,
+    so driver queries pin ``"fake"`` for reproducibility."""
     return media_ds.map_batches(
         MediaFeatures,
-        fn_constructor_kwargs={"deterministic_fake": True},
+        fn_constructor_kwargs={"deterministic_fake": True, "codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -109,18 +158,28 @@ class MediaResize:
     ``__init__``); the Ray plumbing — target dims as constructor args,
     small batches, per-row output metadata — is real and tested."""
 
-    def __init__(self, width: int = 224, height: int = 224, deterministic_fake: bool = True):
+    def __init__(self, width: int = 224, height: int = 224,
+                 deterministic_fake: bool = True, codec: str = "fake"):
         self.w, self.h, self.fake = width, height, deterministic_fake
+        self.Image = _resolve_codec(codec)  # once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
         out_payloads, out_w, out_h = [], [], []
         for payload, mtype in zip(
             batch["payload"].to_pylist(), batch["media_type"].to_pylist()
         ):
-            decode_stub(payload, mtype, deterministic_fake=self.fake)
-            # fake re-encode: content-derived bytes sized like a thumbnail
-            digest = hashlib.sha256(payload + f"{self.w}x{self.h}".encode()).digest()
-            out_payloads.append(digest * 4)
+            if self.Image is not None and mtype == "image":
+                img = self.Image.open(io.BytesIO(payload)).resize((self.w, self.h))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out_payloads.append(buf.getvalue())
+            else:
+                decode_stub(payload, mtype, deterministic_fake=self.fake)
+                # fake re-encode: content-derived bytes sized like a thumbnail
+                digest = hashlib.sha256(payload + f"{self.w}x{self.h}".encode()).digest()
+                out_payloads.append(digest * 4)
             out_w.append(self.w)
             out_h.append(self.h)
         return pa.table({

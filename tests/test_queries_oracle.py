@@ -445,6 +445,58 @@ def test_media_resize_and_frame_sampler_plumbing():
     assert f["frame_ts_ms"].to_pylist()[-3:] == [0, 1000, 2000]
 
 
+def test_media_codec_pil_path_when_installed():
+    """REAL codec path (skips where PIL is absent — this container):
+    MediaFeatures/MediaResize with codec="auto" must decode an actual
+    PNG, emit the same 16-float feature shape as the fake, and resize
+    to the target dims."""
+    import io
+
+    import pyarrow as pa
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+
+    from etl_reconciliate_ray.stages.multimodal import MediaFeatures, MediaResize
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (120, 30, 200)).save(buf, format="PNG")
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "media_type": pa.array(["image"]),
+        "payload": pa.array([buf.getvalue()], pa.large_binary()),
+    })
+    out = MediaFeatures(codec="auto")(t)
+    feat = out["feature"].to_pylist()[0]
+    assert len(feat) == 16 and all(0.0 <= v <= 1.0 for v in feat)
+    r = MediaResize(width=4, height=3, codec="auto")(t)
+    rt = Image.open(io.BytesIO(r["payload"].to_pylist()[0]))
+    assert rt.size == (4, 3)
+
+
+def test_media_codec_fake_fallback_without_pil():
+    """codec="auto" without PIL resolves to the deterministic fake
+    (actor init must not crash in codec-less containers), and
+    codec="pil" refuses loudly."""
+    import importlib.util
+
+    import pyarrow as pa
+    import pytest
+
+    from etl_reconciliate_ray.stages.multimodal import MediaFeatures
+
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "media_type": pa.array(["image"]),
+        "payload": pa.array([b"xyz"], pa.large_binary()),
+    })
+    out = MediaFeatures(codec="auto")(t)
+    assert len(out["feature"].to_pylist()[0]) == 16
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(ImportError):
+            MediaFeatures(codec="pil")
+
+
 def test_connector_registry_csv_json_custom(ray_session, tmp_path):
     """S5 connector surface: csv/json built-ins honor the uniform
     (columns, filter) contract; a custom-registered backing store is
