@@ -923,6 +923,118 @@ def bucket_stats(cfg_or_root) -> dict:
     return {"parts": tbl, "summary": summary}
 
 
+def auto_salt_plan(cfg_or_root, skew_threshold: float = 2.0,
+                   max_salt: int = 64) -> dict:
+    """Threshold-triggered salt proposal from MEASURED skew: when
+    ``bucket_stats`` reports max/mean chain rows above
+    ``skew_threshold``, read ONLY the hot buckets' chains (one task per
+    hot part — never the whole lake), find each one's dominant repo,
+    and propose a ``salt_for_repo`` split sized to flatten it
+    (current_salt x ceil(hot_rows / mean_rows), capped). A repo is
+    proposed only when it DOMINATES its bucket (>50% of chain rows) —
+    salting a minority repo cannot fix the bucket.
+
+    Returns {"salt_for_repo": {...}, "hot_parts": [...], "summary":
+    bucket_stats summary}. The plan is advisory: the commit-log layout
+    fence makes salt immutable in place, so applying it is an explicit
+    ``auto_rebucket``/``rebucket`` migration."""
+    import math
+
+    import ray.data as rd
+
+    root = _root_of(cfg_or_root)
+    stats = bucket_stats(root)
+    summary = stats["summary"]
+    mean = float(summary["mean_chain_rows"]) or 0.0
+    out = {"salt_for_repo": {}, "hot_parts": [], "summary": summary}
+    if mean <= 0 or summary["skew"] <= skew_threshold:
+        return out
+    t = stats["parts"]
+    hot = [
+        (int(p), int(r))
+        for p, r in zip(t["part"].to_pylist(), t["chain_rows"].to_pylist())
+        if r > skew_threshold * mean
+    ]
+    out["hot_parts"] = [p for p, _ in hot]
+    log = CommitLog.open(root)
+    cur_salt = (log.layout or {}).get("salt", {})
+    chains = _chains_payload(log, upto_epoch=log.latest_sealed_epoch())
+
+    def repo_counts(batch: pa.Table) -> pa.Table:
+        # one hot part per task: resolve its chain, count rows per repo
+        import pyarrow.compute as pc
+
+        tbls = []
+        for rec in batch.to_pylist():
+            part = int(rec["part"])
+            state = read_chain(json.loads(rec["chain"]), columns=["repo"], part=part)
+            if state is None or state.num_rows == 0:
+                continue
+            red = (
+                pa.table({"repo": state["repo"]})
+                .group_by(["repo"], use_threads=False)
+                .aggregate([([], "count_all")])
+            )
+            tbls.append(pa.table({
+                "part": pa.array([part] * red.num_rows, pa.int64()),
+                "repo": red["repo"],
+                "rows": pc.cast(red["count_all"], pa.int64()),
+            }))
+        return (
+            pa.concat_tables(tbls) if tbls
+            else pa.table({"part": pa.array([], pa.int64()),
+                           "repo": pa.array([], pa.string()),
+                           "rows": pa.array([], pa.int64())})
+        )
+
+    items = [{"part": p, "chain": json.dumps(chains[p])} for p, _ in hot]
+    counts = (
+        rd.from_items(items, override_num_blocks=max(1, len(items)))
+        .map_batches(repo_counts, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    for (part, chain_rows) in hot:
+        mine = counts[counts["part"] == part]
+        if mine.empty:
+            continue
+        top = mine.loc[mine["rows"].idxmax()]
+        if int(top["rows"]) * 2 <= chain_rows:
+            continue  # no dominant repo: salting cannot flatten this part
+        repo = str(top["repo"]) if top["repo"] is not None else None
+        if repo is None:
+            continue
+        factor = max(2, math.ceil(int(top["rows"]) / mean))
+        proposed = min(max_salt, int(cur_salt.get(repo, 1)) * factor)
+        out["salt_for_repo"][repo] = max(
+            proposed, out["salt_for_repo"].get(repo, 0)
+        )
+    return out
+
+
+def auto_rebucket(cfg_or_root, dest_root: str, skew_threshold: float = 2.0,
+                  max_salt: int = 64) -> dict:
+    """One-call skew remediation: measure, plan, and (iff the threshold
+    trips) run the ``rebucket`` migration into ``dest_root`` with the
+    proposed salts MERGED over the lake's current salt config, keeping
+    the bucket count. State is layout-independent — success is
+    ``lake_state_hash(src) == lake_state_hash(dest)`` (the rebucket
+    contract); a below-threshold lake returns ``{"skipped": True}`` and
+    writes nothing."""
+    root = _root_of(cfg_or_root)
+    plan = auto_salt_plan(root, skew_threshold=skew_threshold, max_salt=max_salt)
+    if not plan["salt_for_repo"]:
+        return {"skipped": True, "plan": plan}
+    log = CommitLog.open(root)
+    layout = log.layout or {}
+    merged = {**layout.get("salt", {}), **plan["salt_for_repo"]}
+    m = rebucket(
+        root, dest_root,
+        num_buckets=int(layout.get("num_buckets") or 32),
+        salt_for_repo=merged,
+    )
+    return {"skipped": False, "plan": plan, "salt_for_repo": merged, **m}
+
+
 def vacuum(cfg_or_root, dry_run: bool = False) -> dict:
     """Lake garbage collection: delete data files no commit-log entry
     references any more. ``CommitLog.write_snapshot`` (run after every

@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--bucket-stats", action="store_true",
                    help="print the per-bucket skew audit (chain rows/files/delta "
                         "depth from commit-log metadata; no data read)")
+    p.add_argument("--auto-salt", metavar="DEST_ROOT", default=None,
+                   help="after replay, if bucket skew exceeds --auto-salt-threshold, "
+                        "migrate to DEST_ROOT with measured per-repo salts "
+                        "(state-sha-preserving rebucket; source lake untouched)")
+    p.add_argument("--auto-salt-threshold", type=float, default=2.0,
+                   help="max/mean chain-rows ratio that triggers --auto-salt")
     p.add_argument("--num-cpus", type=int, default=None, help="only used if Ray is not initialised")
     args = p.parse_args(argv)
     if (args.fixture is None) == (args.binlog_dir is None):
@@ -100,6 +106,18 @@ def main(argv: list[str] | None = None) -> dict:
 
         print(json.dumps({"bucket_stats": bucket_stats(cfg)["summary"]},
                          sort_keys=True))
+
+    if args.auto_salt:
+        from .pipelines.replay import auto_rebucket
+
+        m = auto_rebucket(cfg, args.auto_salt,
+                          skew_threshold=args.auto_salt_threshold)
+        print(json.dumps({"auto_salt": {
+            "skipped": m["skipped"],
+            "salt_for_repo": m.get("salt_for_repo")
+                             or m["plan"]["salt_for_repo"],
+            "hot_parts": m["plan"]["hot_parts"],
+        }}, sort_keys=True))
 
     view_rows = None
     if args.view:

@@ -1064,6 +1064,47 @@ def test_crash_mid_compact_orphan_pieces_ignored_then_vacuumed(fixture_small, tm
     assert lake_state_hash(cfg.lake_root) == before
 
 
+def test_auto_salt_splits_hot_bucket_preserving_state(fixture_small, tmp_path):
+    """Threshold-triggered skew remediation: replaying the skewed
+    fixture UNSALTED concentrates the monorepo (50% of rows) in one
+    bucket; auto_salt_plan must finger that repo from measured bucket
+    stats (reading only the hot chains), and auto_rebucket must migrate
+    to a salted layout with identical state sha and lower skew."""
+    from etl_reconciliate_ray.pipelines.replay import (
+        auto_rebucket,
+        auto_salt_plan,
+        bucket_stats,
+    )
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = ReplayConfig(
+        lake_root=str(tmp_path / "lake_hot"),
+        num_buckets=8,
+        salt_for_repo={},  # UNSALTED: the monorepo lands in one bucket
+        writer_concurrency=2,
+        post_compact=True,  # chain rows ~ state rows, not raw deltas
+    )
+    replay(fixture_dir, cfg)
+    before = lake_state_hash(cfg.lake_root)
+    skew0 = bucket_stats(cfg.lake_root)["summary"]["skew"]
+
+    plan = auto_salt_plan(cfg.lake_root, skew_threshold=1.5)
+    assert "org0/monorepo" in plan["salt_for_repo"], plan
+    assert plan["salt_for_repo"]["org0/monorepo"] >= 2
+    assert plan["hot_parts"]
+
+    dest = str(tmp_path / "lake_salted")
+    m = auto_rebucket(cfg.lake_root, dest, skew_threshold=1.5)
+    assert not m["skipped"] and m["parts"] > 0
+    assert lake_state_hash(dest) == before  # layout-independent state
+    skew1 = bucket_stats(dest)["summary"]["skew"]
+    assert skew1 < skew0, (skew0, skew1)
+
+    # below-threshold lake: the trigger must NOT fire
+    calm = auto_rebucket(dest, str(tmp_path / "lake_noop"), skew_threshold=1e9)
+    assert calm["skipped"] and not calm["plan"]["salt_for_repo"]
+
+
 def test_bucket_stats_metadata_only_audit(fixture_small, tmp_path):
     """bucket_stats must report every partition's chain volume from the
     commit log alone, shrink delta depth to zero after compaction, and
@@ -1088,6 +1129,36 @@ def test_bucket_stats_metadata_only_audit(fixture_small, tmp_path):
     st2 = bucket_stats(cfg)
     assert st2["summary"]["max_delta_depth"] == 0
     assert (st2["parts"].to_pandas()["delta_depth"] == 0).all()
+
+
+def test_cli_auto_salt_flag(fixture_small, tmp_path, ray_session, capsys):
+    """--auto-salt migrates a skewed lake to a salted layout with the
+    state sha preserved (the fixture replays UNSALTED via --binlog-dir,
+    so the monorepo concentrates and trips the threshold)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from etl_reconciliate_ray.run import main
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    tail_dir = str(tmp_path / "autosalt_binlog")
+    os.makedirs(tail_dir)
+    for f in sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet")):
+        shutil.copy(f, os.path.join(tail_dir, os.path.basename(f)))
+    lake = str(tmp_path / "lake_cli_autosalt")
+    dest = str(tmp_path / "lake_cli_autosalt_dest")
+    main([
+        "--binlog-dir", tail_dir, "--lake-seed", f"{fixture_dir}/lake_seed.parquet",
+        "--lake", lake, "--num-buckets", "8", "--compact",
+        "--auto-salt", dest, "--auto-salt-threshold", "1.5",
+    ])
+    lines = [l for l in capsys.readouterr().out.splitlines() if "auto_salt" in l]
+    assert lines, "auto_salt summary printed"
+    s = json.loads(lines[0])["auto_salt"]
+    assert not s["skipped"] and "org0/monorepo" in s["salt_for_repo"]
+    assert lake_state_hash(dest) == lake_state_hash(lake)
 
 
 def test_cli_bucket_stats_flag(fixture_small, tmp_path, ray_session, capsys):
