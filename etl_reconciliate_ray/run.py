@@ -53,9 +53,35 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--auto-salt-threshold", type=float, default=2.0,
                    help="max/mean chain-rows ratio that triggers --auto-salt")
     p.add_argument("--num-cpus", type=int, default=None, help="only used if Ray is not initialised")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="serve the reference's REST trigger instead of running "
+                        "once: GET /execute launches this exact job "
+                        "(single-flight, 409 while active), GET /status reports "
+                        "the last run; blocks until interrupted")
     args = p.parse_args(argv)
     if (args.fixture is None) == (args.binlog_dir is None):
         p.error("exactly one of --fixture / --binlog-dir is required")
+
+    if args.serve is not None:
+        import time as _time
+
+        from .trigger import TriggerServer
+
+        # the job body IS this CLI run, minus the serve flag — one code
+        # path for batch and triggered execution (the reference's
+        # JobLauncher launches the same Job the cron would)
+        inner = list(argv) if argv is not None else __import__("sys").argv[1:]
+        i = inner.index("--serve")
+        inner = inner[:i] + inner[i + 2:]
+        srv = TriggerServer(lambda: main(inner), port=args.serve)
+        host, port = srv.start()
+        print(json.dumps({"serving": f"http://{host}:{port}/execute"}), flush=True)
+        try:
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
+        return {"served": True}
 
     import ray
 

@@ -1131,6 +1131,95 @@ def test_bucket_stats_metadata_only_audit(fixture_small, tmp_path):
     assert (st2["parts"].to_pandas()["delta_depth"] == 0).all()
 
 
+def test_trigger_server_single_flight_and_status():
+    """REST trigger parity (ReconciliationController.java:35-52):
+    GET /execute launches the job and answers immediately; a second
+    /execute while one is active answers 409 (single-flight); /status
+    exposes the run's outcome, including failures."""
+    import json
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+
+    from etl_reconciliate_ray.trigger import TriggerServer
+
+    gate = threading.Event()
+
+    def job():
+        gate.wait(timeout=10)
+        return {"rows": 42}
+
+    srv = TriggerServer(job)
+    host, port = srv.start()
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/execute") as r:
+            assert r.status == 202
+            first = json.loads(r.read())
+            assert first["status"] == "JOB_STARTED"
+        try:
+            urllib.request.urlopen(f"{base}/execute")
+            raise AssertionError("second /execute must 409 while running")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+            assert json.loads(e.read())["run_id"] == first["run_id"]
+        gate.set()
+        for _ in range(100):
+            st = json.loads(urllib.request.urlopen(f"{base}/status").read())
+            if st["state"] == "done":
+                break
+            time.sleep(0.05)
+        assert st["state"] == "done" and st["metrics"] == {"rows": 42}
+        assert st["run_id"] == first["run_id"]
+
+        # a crashing job surfaces as failed, and the server accepts a rerun
+        srv._job = lambda: (_ for _ in ()).throw(RuntimeError("boom"))
+        urllib.request.urlopen(f"{base}/execute")
+        for _ in range(100):
+            st = json.loads(urllib.request.urlopen(f"{base}/status").read())
+            if st["state"] == "failed":
+                break
+            time.sleep(0.05)
+        assert st["state"] == "failed" and "boom" in st["error"]
+        with urllib.request.urlopen(f"{base}/execute") as r:
+            assert r.status == 202  # failure released the single-flight lock
+    finally:
+        srv.stop()
+
+
+def test_trigger_executes_real_reconcile_job(fixture_small, tmp_path, ray_session):
+    """The trigger wired to the actual CLI job body: /execute replays
+    the fixture and reconciles, /status carries the same summary the
+    batch CLI prints."""
+    import json
+    import time
+    import urllib.request
+
+    from etl_reconciliate_ray.run import main
+    from etl_reconciliate_ray.trigger import TriggerServer
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    lake = str(tmp_path / "lake_trigger")
+    srv = TriggerServer(lambda: main([
+        "--fixture", fixture_dir, "--lake", lake, "--num-buckets", "8",
+    ]))
+    host, port = srv.start()
+    try:
+        urllib.request.urlopen(f"http://{host}:{port}/execute")
+        st = {}
+        for _ in range(600):
+            st = json.loads(urllib.request.urlopen(f"http://{host}:{port}/status").read())
+            if st["state"] in ("done", "failed"):
+                break
+            time.sleep(0.1)
+        assert st["state"] == "done", st
+        assert st["metrics"]["status_counts"]["MATCHED"] > 0
+        assert lake_state_hash(lake)  # the lake really got built
+    finally:
+        srv.stop()
+
+
 def test_cli_auto_salt_flag(fixture_small, tmp_path, ray_session, capsys):
     """--auto-salt migrates a skewed lake to a salted layout with the
     state sha preserved (the fixture replays UNSALTED via --binlog-dir,
