@@ -112,6 +112,12 @@ def char_shingle_hashes_batch(texts, k: int = 5):
         arr = arr.combine_chunks()
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    if not (_pa.types.is_string(arr.type) or _pa.types.is_large_string(arr.type)):
+        arr = _pc.cast(arr, _pa.string())
+    # nulls hash like empty docs (the pad below gives them one blank
+    # shingle) — a null's zero-length offset slot would otherwise make
+    # nsh negative and corrupt every later doc's offsets silently
+    arr = _pc.fill_null(arr, "")
     arr = _pc.utf8_rpad(
         _pc.utf8_trim_whitespace(
             _pc.replace_substring_regex(_pc.utf8_lower(arr), r"\s+", " ")
@@ -120,7 +126,10 @@ def char_shingle_hashes_batch(texts, k: int = 5):
     )
     if isinstance(arr, _pa.ChunkedArray):
         arr = arr.combine_chunks()
-    off32 = np.frombuffer(arr.buffers()[1], np.int32)[
+    # Arrow string kernels preserve large_string; its offsets are int64
+    # (reading them as int32 would interleave garbage words)
+    odt = np.int64 if _pa.types.is_large_string(arr.type) else np.int32
+    off32 = np.frombuffer(arr.buffers()[1], odt)[
         arr.offset : arr.offset + len(arr) + 1
     ]
     concat = np.frombuffer(arr.buffers()[2], np.uint8)[
@@ -249,7 +258,10 @@ class MinHasher:
         from .hashing import _mix64
 
         rows = self.num_perm // num_bands
-        cube = sigs.reshape(len(sigs), num_bands, rows)
+        # truncate a non-dividing signature tail (num_perm % num_bands
+        # leftover perms), matching the historical slicing semantics —
+        # reshape would raise instead
+        cube = sigs[:, : num_bands * rows].reshape(len(sigs), num_bands, rows)
         acc = np.zeros((len(sigs), num_bands), dtype=np.uint64)
         for r in range(rows):
             acc = _mix64(acc ^ cube[:, :, r])

@@ -388,18 +388,16 @@ def _replay_epoch_descs(
         todo.append((engine_epoch, ep))
 
     out: list[dict] = []
-    fresh_since_snap = 0
 
-    def _maybe_snapshot(n_fresh: int) -> int:
-        # log-growth bound: roll the log into its chains snapshot every
-        # snapshot_every FRESH (non-skipped) epochs — skipped epochs
-        # append nothing, so they never trigger a rewrite
-        nonlocal fresh_since_snap
-        fresh_since_snap += n_fresh
-        if cfg.snapshot_every > 0 and fresh_since_snap >= cfg.snapshot_every:
+    def _maybe_snapshot(_n_fresh: int) -> None:
+        # log-growth bound: roll the log into its chains snapshot once
+        # snapshot_every sealed epochs sit in the TAIL file. Keyed on
+        # the log's DURABLE tail-seal count, not a local counter —
+        # follow mode reopens the log every poll, so an in-process
+        # counter would reset each poll and a slow 1-epoch-per-poll
+        # stream would never snapshot
+        if cfg.snapshot_every > 0 and log.seals_since_snapshot >= cfg.snapshot_every:
             log.write_snapshot()
-            fresh_since_snap = 0
-        return fresh_since_snap
 
     if cfg.pipeline_epochs > 1:
         # bootstrap through the same scaled batch path (the sequential
@@ -931,8 +929,10 @@ def auto_salt_plan(cfg_or_root, skew_threshold: float = 2.0,
     hot part — never the whole lake), find each one's dominant repo,
     and propose a ``salt_for_repo`` split sized to flatten it
     (current_salt x ceil(hot_rows / mean_rows), capped). A repo is
-    proposed only when it DOMINATES its bucket (>50% of chain rows) —
-    salting a minority repo cannot fix the bucket.
+    proposed only when it DOMINATES its bucket (>50% of the bucket's
+    RESOLVED rows — chain rows double-count superseded keys on
+    update-heavy buckets) — salting a minority repo cannot fix the
+    bucket.
 
     Returns {"salt_for_repo": {...}, "hot_parts": [...], "summary":
     bucket_stats summary}. The plan is advisory: the commit-log layout
@@ -979,12 +979,18 @@ def auto_salt_plan(cfg_or_root, skew_threshold: float = 2.0,
                 "part": pa.array([part] * red.num_rows, pa.int64()),
                 "repo": red["repo"],
                 "rows": pc.cast(red["count_all"], pa.int64()),
+                # the part's RESOLVED row total — dominance must compare
+                # resolved-to-resolved; chain rows count superseded keys
+                # per delta layer, so update-heavy hot buckets would
+                # spuriously fail a resolved-vs-chain comparison
+                "part_rows": pa.array([state.num_rows] * red.num_rows, pa.int64()),
             }))
         return (
             pa.concat_tables(tbls) if tbls
             else pa.table({"part": pa.array([], pa.int64()),
                            "repo": pa.array([], pa.string()),
-                           "rows": pa.array([], pa.int64())})
+                           "rows": pa.array([], pa.int64()),
+                           "part_rows": pa.array([], pa.int64())})
         )
 
     items = [{"part": p, "chain": json.dumps(chains[p])} for p, _ in hot]
@@ -998,11 +1004,15 @@ def auto_salt_plan(cfg_or_root, skew_threshold: float = 2.0,
         if mine.empty:
             continue
         top = mine.loc[mine["rows"].idxmax()]
-        if int(top["rows"]) * 2 <= chain_rows:
+        if int(top["rows"]) * 2 <= int(top["part_rows"]):
             continue  # no dominant repo: salting cannot flatten this part
         repo = str(top["repo"]) if top["repo"] is not None else None
         if repo is None:
             continue
+        # factor sized against MEAN CHAIN rows (the only fleet-wide
+        # denominator available without reading every part) — chain >=
+        # resolved, so the split can only be UNDERSIZED, which is safe:
+        # a re-run of auto_rebucket strictly reduces the hot bucket
         factor = max(2, math.ceil(int(top["rows"]) / mean))
         proposed = min(max_salt, int(cur_salt.get(repo, 1)) * factor)
         out["salt_for_repo"][repo] = max(

@@ -18,6 +18,24 @@ import json
 import os
 
 
+def _strip_serve(raw: list[str]) -> list[str]:
+    """The argv the triggered job reruns with: this CLI run minus the
+    serve flag, in both spellings ('--serve PORT' and '--serve=PORT').
+    Argparse prefix-abbreviations of --serve are not supported here."""
+    inner, skip = [], False
+    for tok in raw:
+        if skip:
+            skip = False
+            continue
+        if tok == "--serve":
+            skip = True
+            continue
+        if tok.startswith("--serve="):
+            continue
+        inner.append(tok)
+    return inner
+
+
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(description="CDC replay + reconcile + report")
     p.add_argument("--fixture", default=None, help="fixture dir (lake_seed/binlog/snapshot)")
@@ -69,11 +87,9 @@ def main(argv: list[str] | None = None) -> dict:
 
         # the job body IS this CLI run, minus the serve flag — one code
         # path for batch and triggered execution (the reference's
-        # JobLauncher launches the same Job the cron would)
-        inner = list(argv) if argv is not None else __import__("sys").argv[1:]
-        i = inner.index("--serve")
-        inner = inner[:i] + inner[i + 2:]
-        srv = TriggerServer(lambda: main(inner), port=args.serve)
+        # JobLauncher launches the same Job the cron would).
+        raw = list(argv) if argv is not None else __import__("sys").argv[1:]
+        srv = TriggerServer(lambda: main(_strip_serve(raw)), port=args.serve)
         host, port = srv.start()
         print(json.dumps({"serving": f"http://{host}:{port}/execute"}), flush=True)
         try:

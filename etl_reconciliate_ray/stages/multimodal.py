@@ -108,7 +108,13 @@ class MediaFeatures:
             batch["payload"].to_pylist(),
         ):
             if self.Image is not None and mtype == "image":
-                arr = decode_image_features(self.Image, payload)
+                try:
+                    arr = decode_image_features(self.Image, payload)
+                except Exception:
+                    # corrupt/truncated payload: fall back PER ROW (an
+                    # unhandled decode error would kill the whole
+                    # actor task for one bad image in the corpus)
+                    arr = decode_stub(payload, mtype, deterministic_fake=True)
             else:
                 arr = decode_stub(payload, mtype, deterministic_fake=self.fake)
             feats.append(arr.tolist())
@@ -171,10 +177,17 @@ class MediaResize:
             batch["payload"].to_pylist(), batch["media_type"].to_pylist()
         ):
             if self.Image is not None and mtype == "image":
-                img = self.Image.open(io.BytesIO(payload)).resize((self.w, self.h))
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                out_payloads.append(buf.getvalue())
+                try:
+                    # RGB-convert before the PNG save: P/CMYK-mode
+                    # sources raise OSError on save otherwise
+                    img = self.Image.open(io.BytesIO(payload)).convert("RGB").resize((self.w, self.h))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out_payloads.append(buf.getvalue())
+                except Exception:
+                    # corrupt payload: content-derived fake, per row
+                    digest = hashlib.sha256(payload + f"{self.w}x{self.h}".encode()).digest()
+                    out_payloads.append(digest * 4)
             else:
                 decode_stub(payload, mtype, deterministic_fake=self.fake)
                 # fake re-encode: content-derived bytes sized like a thumbnail

@@ -441,7 +441,7 @@ def _span_dedup_sharded(ds, dup_ds, width: int, text_col: str,
         if docs.num_rows == 0:
             return pa.table({
                 doc_id_col: pa.chunked_array([], g.schema.field(doc_id_col).type),
-                "text": pa.array([], pa.string()),
+                text_col: pa.array([], pa.string()),
                 "n_spans": pa.array([], pa.int64()),
                 "n_dropped": pa.array([], pa.int64()),
             })

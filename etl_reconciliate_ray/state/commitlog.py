@@ -82,6 +82,12 @@ class CommitLog:
     #: and an as-of between two parts' bases would silently omit the
     #: later-based part entirely.
     _floor: int = 0
+    #: EPOCH_COMMIT records currently in the TAIL file (not yet rolled
+    #: into the snapshot) — PERSISTENT across reopens, so a snapshot
+    #: cadence keyed on it survives follow-mode's one-open-per-poll
+    #: lifecycle (an in-process counter would reset every poll and the
+    #: cadence would never fire on slow streams).
+    _tail_seals: int = 0
     # pipelined replay commits epochs from worker threads; the log
     # stays single-writer per PROCESS, serialized by this lock
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
@@ -94,7 +100,7 @@ class CommitLog:
     def snapshot_path(self) -> str:
         return os.path.join(self.root, "commitlog.snapshot.jsonl")
 
-    def _apply_file(self, path: str) -> None:
+    def _apply_file(self, path: str, is_tail: bool = False) -> None:
         with open(path) as fh:
             for line in fh:
                 line = line.strip()
@@ -103,6 +109,8 @@ class CommitLog:
                 rec = json.loads(line)
                 if rec.get("type") == "EPOCH_COMMIT":
                     self._sealed.add(rec["epoch"])
+                    if is_tail:
+                        self._tail_seals += 1
                 elif rec.get("type") == "SNAPSHOT_SEALED":
                     self._sealed.update(rec["sealed"])
                     self._floor = max(self._floor, int(rec.get("floor", 0)))
@@ -130,8 +138,15 @@ class CommitLog:
         if os.path.exists(log.snapshot_path):
             log._apply_file(log.snapshot_path)
         if os.path.exists(log.path):
-            log._apply_file(log.path)
+            log._apply_file(log.path, is_tail=True)
         return log
+
+    @property
+    def seals_since_snapshot(self) -> int:
+        """Sealed epochs still in the tail file — the durable signal a
+        snapshot cadence keys on (survives process restarts and
+        follow-mode's one-open-per-poll lifecycle)."""
+        return self._tail_seals
 
     def write_snapshot(self) -> int:
         """Bound log growth: persist only the CURRENT merge-on-read
@@ -178,6 +193,7 @@ class CommitLog:
             os.replace(self.path + ".tmp", self.path)  # truncate tail
             # prune in-memory history to match the snapshot
             self._entries = {(e.epoch, e.part): e for e in live}
+            self._tail_seals = 0  # everything sealed now lives in the snapshot
             return len(live)
 
     def _append(self, rec: dict) -> None:
@@ -286,6 +302,7 @@ class CommitLog:
                 return
             self._append({"type": "EPOCH_COMMIT", "epoch": epoch})
             self._sealed.add(epoch)
+            self._tail_seals += 1
 
     # -- manifest resolution --------------------------------------------
     def latest_sealed_epoch(self) -> int | None:

@@ -1,0 +1,130 @@
+"""Edge-case regressions for the batch kernels and durable-state
+plumbing fixed in round 4's self-review: null / large_string inputs to
+the shingle kernel, non-dividing MinHash band widths, snapshot-cadence
+durability across CommitLog reopens (follow mode), --serve argv
+stripping, and per-row codec fallbacks on corrupt media payloads.
+No Ray session needed — these are pure kernel / state tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from etl_reconciliate_ray.functions.text import MinHasher, char_shingle_hashes_batch
+
+
+def _doc_slices(h, off):
+    return [h[off[i]:off[i + 1]].tolist() for i in range(len(off) - 1)]
+
+
+def test_shingle_batch_null_hashes_like_empty():
+    """A null text must shingle exactly like an empty doc (one blank
+    padded shingle) and must NOT shift later docs' offset windows —
+    the pre-fix kernel read a null's zero-length offset slot as a
+    negative shingle count and silently corrupted every later doc."""
+    with_null = pa.array(["hello world", None, "abc"], pa.string())
+    with_empty = pa.array(["hello world", "", "abc"], pa.string())
+    h_n, off_n = char_shingle_hashes_batch(with_null, k=5)
+    h_e, off_e = char_shingle_hashes_batch(with_empty, k=5)
+    np.testing.assert_array_equal(off_n, off_e)
+    np.testing.assert_array_equal(h_n, h_e)
+    # offsets are monotone and each doc yields >= 1 shingle
+    assert (np.diff(off_n) >= 1).all() and off_n[-1] == len(h_n)
+    # the doc AFTER the null still matches its solo hashing
+    solo, _ = char_shingle_hashes_batch(["abc"], k=5)
+    assert _doc_slices(h_n, off_n)[2] == solo.tolist()
+
+
+def test_shingle_batch_large_string_offsets():
+    """large_string input (Arrow kernels preserve it; offsets are
+    int64) must hash identically to string input — the pre-fix kernel
+    read int64 offsets as int32 pairs, interleaving garbage."""
+    texts = ["hello world", "the quick brown fox", "", "abc def"]
+    h32, off32 = char_shingle_hashes_batch(pa.array(texts, pa.string()), k=5)
+    h64, off64 = char_shingle_hashes_batch(pa.array(texts, pa.large_string()), k=5)
+    np.testing.assert_array_equal(off32, off64)
+    np.testing.assert_array_equal(h32, h64)
+
+
+def test_band_hash_ignores_non_dividing_tail():
+    """num_perm % num_bands != 0: the trailing permutations fall off
+    the band cube (historical slicing semantics) instead of a reshape
+    ValueError, and the tail columns provably don't affect the hash."""
+    m = MinHasher(num_perm=100)
+    rng = np.random.default_rng(7)
+    sigs = rng.integers(0, 1 << 32, size=(5, 100), dtype=np.uint64).astype(np.uint32)
+    bh = m.band_hash_matrix(sigs, num_bands=16)
+    assert bh.shape == (5, 16)
+    scrambled = sigs.copy()
+    scrambled[:, 96:] += 1  # touch ONLY the non-dividing tail
+    np.testing.assert_array_equal(bh, m.band_hash_matrix(scrambled, num_bands=16))
+
+
+def test_commitlog_snapshot_cadence_survives_reopen(tmp_path):
+    """seals_since_snapshot counts EPOCH_COMMIT records in the tail
+    file, durably: follow mode reopens the log every poll, so an
+    in-process counter would reset each poll and a slow
+    1-epoch-per-poll stream would never hit the snapshot cadence."""
+    from etl_reconciliate_ray.state.commitlog import CommitLog, PartEntry
+
+    root = str(tmp_path / "lake")
+    log = CommitLog.open(root)
+    for ep in (1, 2, 3):
+        log.commit_part(PartEntry(epoch=ep, part=0, kind="delta",
+                                  files=(f"{root}/e{ep}.parquet",),
+                                  rows=1, state_sha256="x"))
+        log.seal_epoch(ep)
+    assert log.seals_since_snapshot == 3
+    # the cadence signal must survive a reopen (one open per poll)
+    log2 = CommitLog.open(root)
+    assert log2.seals_since_snapshot == 3
+    log2.write_snapshot()
+    assert log2.seals_since_snapshot == 0
+    log2.commit_part(PartEntry(epoch=4, part=0, kind="delta",
+                               files=(f"{root}/e4.parquet",),
+                               rows=1, state_sha256="x"))
+    log2.seal_epoch(4)
+    log3 = CommitLog.open(root)
+    assert log3.seals_since_snapshot == 1
+    # snapshotting never loses state: the sealed set is intact
+    assert log3.latest_sealed_epoch() == 4
+
+
+def test_strip_serve_both_spellings():
+    """The triggered job's argv is this CLI run minus the serve flag,
+    in BOTH spellings — '--serve 8080' (two tokens) and
+    '--serve=8080' (one token); everything else passes through."""
+    from etl_reconciliate_ray.run import _strip_serve
+
+    base = ["--fixture", "/x", "--lake", "/y", "--num-buckets", "8"]
+    assert _strip_serve(base + ["--serve", "8080"]) == base
+    assert _strip_serve(["--serve=8080"] + base) == base
+    assert _strip_serve(["--serve", "0", "--serve=1"] + base) == base
+    assert _strip_serve(base) == base
+
+
+def test_media_corrupt_payload_falls_back_per_row():
+    """With a REAL codec resolved, one corrupt image in a batch must
+    degrade to the deterministic fake for THAT ROW only, never kill
+    the actor task (skips where PIL is absent — this container)."""
+    import io
+
+    Image = pytest.importorskip("PIL.Image")
+
+    from etl_reconciliate_ray.stages.multimodal import MediaFeatures, MediaResize
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (10, 20, 30)).save(buf, format="PNG")
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "media_type": pa.array(["image", "image"]),
+        "payload": pa.array([buf.getvalue(), b"corrupt"], pa.large_binary()),
+    })
+    out = MediaFeatures(codec="pil")(t)
+    feats = out["feature"].to_pylist()
+    assert len(feats) == 2 and all(len(f) == 16 for f in feats)
+    # the good row is a real decode (normalized grayscale in [0,1])
+    assert all(0.0 <= v <= 1.0 for v in feats[0])
+    r = MediaResize(width=4, height=3, codec="pil")(t)
+    good = Image.open(io.BytesIO(r["payload"].to_pylist()[0]))
+    assert good.size == (4, 3)
+    assert len(r["payload"].to_pylist()[1]) > 0  # fake bytes, not a crash
