@@ -10,6 +10,10 @@ print ONE JSON line:
 --scaling: run the same job in two fresh processes at 8 and 32 CPUs on
 the same (cached, page-warm) input and print throughput at both plus
 scaling efficiency; also refresh BENCH/BASELINE.md.
+
+--stress: sf1-equivalent memory-cliff probe — ~10x the per-round bench
+events through the full flagship path in one process, exactness
+asserted; records its section in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -170,7 +174,9 @@ def run_bench() -> dict:
         qtimes["cdc_compact"] = round(time.monotonic() - t0, 3)
 
     # -- query suite over the sf dir -----------------------------------
-    if not os.environ.get("GRAFT_REPLAY_ONLY"):
+    # (skipped in --stress mode: the query suite reads $GRAFT_SF_DIR and
+    # doesn't scale with GRAFT_BENCH_EVENTS, so it would only add noise)
+    if not os.environ.get("GRAFT_REPLAY_ONLY") and not os.environ.get("GRAFT_SKIP_QUERIES"):
         for name in HEADLINE_QUERIES:
             t0 = time.monotonic()
             _consume(QUERIES[name](sf_dir))
@@ -429,15 +435,77 @@ def run_nodes() -> dict:
 
 
 _NODES_MARKER = "## Measured 1-node vs 2-node scaling"
+_STRESS_MARKER = "## sf1 stress: one order of magnitude above the per-round bench"
+
+
+def run_stress() -> dict:
+    """sf1-scale stress probe: ~10x the per-round bench events through
+    the FULL flagship path (replay -> reconcile -> incremental ->
+    compact) in one process — the cheapest way to expose hidden memory
+    cliffs (block sizes, group payloads, object-store spill) before a
+    real cluster would. Exactness is still asserted (reconcile_exact),
+    the sf0.1 query suite is skipped (it doesn't scale with events),
+    and the result is recorded in BENCH/BASELINE.md."""
+    os.environ.setdefault("GRAFT_BENCH_EVENTS", "300000000")
+    os.environ["GRAFT_SKIP_QUERIES"] = "1"
+    res = run_bench()
+    res["metric"] = "sf1_stress_flagship_total_sec"
+    res["sf"] = round(int(os.environ["GRAFT_BENCH_EVENTS"]) / 300_000_000, 3)
+    _append_stress_md(res)
+    return res
+
+
+def _append_stress_md(res: dict) -> None:
+    """Append (or replace) the stress section at the END of
+    BENCH/BASELINE.md (after the node-scaling section, which the other
+    writers preserve-or-truncate around)."""
+    path = "BENCH/BASELINE.md"
+    os.makedirs("BENCH", exist_ok=True)
+    text = ""
+    if os.path.exists(path):
+        text = open(path).read()
+        if _STRESS_MARKER in text:
+            text = text[: text.index(_STRESS_MARKER)].rstrip() + "\n"
+    q = res["queries"]
+    lines = ["", _STRESS_MARKER, ""]
+    lines += [
+        f"{res['events']:,} events (sf{res['sf']}-equivalent) + "
+        f"{res['events'] // 15:,} lake keys through the full flagship",
+        f"path at num_cpus={res['num_cpus']}, single process — the",
+        "memory-cliff probe: same block sizing, same direct merge-on-read",
+        "writes, 10x the data of the per-round bench.",
+        "",
+        "| stage | sec |",
+        "|---|---|",
+    ]
+    for k in ("cdc_replay", "cdc_reconcile", "cdc_reconcile_inc", "cdc_compact"):
+        if k in q:
+            lines.append(f"| {k} | {q[k]} |")
+    lines += [
+        "",
+        f"**Replay throughput:** {res['events_per_sec']:,} events/s "
+        f"(probe {res['probe_events_per_sec']:,} units/s)",
+        "",
+        f"**Exactness at this scale:** reconcile_exact="
+        f"{res['reconcile_exact']} (status counts vs the generator's "
+        "expected counts, full + incremental)",
+        "",
+        "`python bench.py --stress` regenerates this section.",
+    ]
+    with open(path, "w") as fh:
+        fh.write(text + "\n".join(lines) + "\n")
 
 
 def _append_nodes_md(summary: dict) -> None:
     """Append (or replace) the node-scaling section in BENCH/BASELINE.md."""
     path = "BENCH/BASELINE.md"
     os.makedirs("BENCH", exist_ok=True)
-    text = ""
+    text, stress_tail = "", ""
     if os.path.exists(path):
         text = open(path).read()
+        if _STRESS_MARKER in text:  # the stress section lives after ours
+            stress_tail = "\n" + text[text.index(_STRESS_MARKER):].rstrip() + "\n"
+            text = text[: text.index(_STRESS_MARKER)]
         if _NODES_MARKER in text:
             text = text[: text.index(_NODES_MARKER)].rstrip() + "\n"
     lines = [
@@ -474,7 +542,7 @@ def _append_nodes_md(summary: dict) -> None:
         "regenerates this section.",
     ]
     with open(path, "w") as fh:
-        fh.write(text + "\n".join(lines) + "\n")
+        fh.write(text + "\n".join(lines) + "\n" + stress_tail)
 
 
 def _write_bench_md(results: dict, summary: dict) -> None:
@@ -559,5 +627,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--nodes" in sys.argv:
         print(json.dumps(run_nodes()))
+    elif "--stress" in sys.argv:
+        print(json.dumps(run_stress()))
     else:
         print(json.dumps(run_bench()))
