@@ -182,6 +182,13 @@ def bucket_of(
 def key_strings(repo: pa.Array | pa.ChunkedArray, path: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Combined merge-key column ``repo\\x00path`` (string) — a single
     comparable/hashable column for joins, is_in membership and sorts."""
+    if pa.types.is_large_string(repo.type) or pa.types.is_large_string(path.type):
+        # the join kernel needs uniform input types; widened (int64-
+        # offset) key columns from a huge chain keep their width
+        return pc.binary_join_element_wise(
+            pc.cast(repo, pa.large_string()), pc.cast(path, pa.large_string()),
+            pa.scalar("\x00", pa.large_string()),
+        )
     return pc.binary_join_element_wise(repo, path, "\x00")
 
 

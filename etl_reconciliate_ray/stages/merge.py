@@ -64,15 +64,18 @@ def lww_reduce(events: pa.Table, order_col: str = "seq", presorted: bool = False
     on the hot path (the pipeline is memory-bandwidth-bound at high
     core counts, so every copy of the content bytes costs throughput).
     """
+    # sort_by and the hash "last" aggregate both gather through int32
+    # offsets; a >~1.6 GiB column (hot bucket at sf1+) must widen first
+    events, widened = _widen_big_offsets(events)
     if not presorted:
         events = events.sort_by([(order_col, "ascending")])
     keys = ["repo", "path"]
     aggs = [(c, "last", _LAST_OPTS) for c in events.column_names if c not in keys]
     red = events.group_by(keys, use_threads=False).aggregate(aggs)
     # rebuild with original names/order (aggregate outputs are "<col>_last")
-    return pa.table(
+    return _narrow_offsets(pa.table(
         {c: (red[c] if c in keys else red[f"{c}_last"]) for c in events.column_names}
-    )
+    ), widened)
 
 
 def _unify_concat(tables: list[pa.Table]) -> pa.Table:
@@ -83,6 +86,56 @@ def _unify_concat(tables: list[pa.Table]) -> pa.Table:
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="permissive")
+
+
+# stay well under the int32 offset cap (2_147_483_647): take /
+# combine_chunks CONCATENATE chunks internally, so a 32-bit-offset
+# string/binary column whose chunks jointly near 2 GiB overflows even
+# when the gathered OUTPUT is small (found by the sf1 stress run)
+_INT32_OFFSET_BUDGET = 1_600_000_000
+
+
+def _widen_big_offsets(t: pa.Table, budget: int | None = None) -> tuple[pa.Table, list[str]]:
+    """Cast any string/binary column whose buffers near the int32
+    offset cap to its large_ (int64-offset) variant. Offsets-only
+    rewrite per chunk — content bytes are not copied — and a no-op for
+    every small-scale table, so the hot path is untouched. Returns the
+    widened table plus the column names it touched (so the caller can
+    narrow back exactly those, never a column that was large_ on
+    input)."""
+    if budget is None:
+        budget = _INT32_OFFSET_BUDGET  # module global: tests shrink it
+    widened = []
+    for i, f in enumerate(t.schema):
+        if pa.types.is_string(f.type) and t.column(i).nbytes > budget:
+            t = t.set_column(i, f.name, pc.cast(t.column(i), pa.large_string()))
+            widened.append(f.name)
+        elif pa.types.is_binary(f.type) and t.column(i).nbytes > budget:
+            t = t.set_column(i, f.name, pc.cast(t.column(i), pa.large_binary()))
+            widened.append(f.name)
+    return t, widened
+
+
+def _narrow_offsets(t: pa.Table, names: list[str],
+                    budget: int | None = None) -> pa.Table:
+    """Inverse of ``_widen_big_offsets`` for the columns it widened
+    that FIT 32-bit offsets again (winners are a small fraction of the
+    chain), keeping the resolved schema identical to the unwidened
+    path; a column still over budget stays large_ (parquet stores
+    either as BYTE_ARRAY, and ``_unify_concat`` promotes mixed chains
+    permissively)."""
+    if budget is None:
+        budget = _INT32_OFFSET_BUDGET
+    for name in names:
+        if name not in t.column_names:
+            continue
+        i = t.column_names.index(name)
+        f = t.schema.field(i)
+        if pa.types.is_large_string(f.type) and t.column(i).nbytes <= budget:
+            t = t.set_column(i, name, pc.cast(t.column(i), pa.string()))
+        elif pa.types.is_large_binary(f.type) and t.column(i).nbytes <= budget:
+            t = t.set_column(i, name, pc.cast(t.column(i), pa.binary()))
+    return t
 
 
 def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Table:
@@ -104,6 +157,9 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
     merged = _unify_concat(tagged)
     if merged.num_rows == 0:
         return merged
+    # huge chains (>~1.6 GiB in one column, e.g. a hot bucket's content
+    # at sf1+) must gather through int64 offsets — see _widen_big_offsets
+    merged, widened = _widen_big_offsets(merged)
     # Winner-INDEX selection (same trick as replay.direct_write): the
     # LWW order is computed over the SMALL columns only — dictionary
     # codes of the merge key + (__epoch, seq) int64 lexsort — and the
@@ -138,6 +194,10 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
         pc.fill_null(merged["path"], "\x00N"),
     )
     if isinstance(keys, pa.ChunkedArray):
+        if pa.types.is_string(keys.type) and keys.nbytes > _INT32_OFFSET_BUDGET:
+            # joined keys can near the cap even when repo/path alone
+            # don't; combine_chunks concatenates, so widen first
+            keys = pc.cast(keys, pa.large_string())
         keys = keys.combine_chunks()
     codes = (
         pc.dictionary_encode(keys).indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -153,7 +213,7 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
         live = pc.fill_null(winners["op"], "I")
         winners = winners.filter(pc.not_equal(live, "D"))
     drop = [c for c in ("__epoch", "op", "seq", "ts") if c in winners.column_names]
-    return winners.drop_columns(drop)
+    return _narrow_offsets(winners.drop_columns(drop), widened)
 
 
 from functools import lru_cache

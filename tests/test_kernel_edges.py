@@ -102,6 +102,69 @@ def test_strip_serve_both_spellings():
     assert _strip_serve(base) == base
 
 
+def test_chain_resolution_widens_past_int32_offsets(monkeypatch):
+    """sf1-stress regression: a hot bucket whose chain carries more
+    string bytes than int32 offsets can address must resolve through
+    int64 (large_) offsets instead of 'offset overflow while
+    concatenating arrays' in the winner gather — and narrow back so
+    the resolved schema is identical to the small-chain path. Tested
+    by shrinking the budget, not by allocating 2 GiB."""
+    from etl_reconciliate_ray.stages import merge as M
+
+    base = pa.table({
+        "repo": pa.array(["r1", "r1", "r2"]),
+        "path": pa.array(["a", "b", "c"]),
+        "content": pa.array(["old-a" * 10, "old-b" * 10, "old-c" * 10]),
+        "seq": pa.array([1, 2, 3], pa.int64()),
+    })
+    delta = pa.table({
+        "repo": pa.array(["r1", "r2"]),
+        "path": pa.array(["a", "d"]),
+        "content": pa.array(["new-a" * 10, "new-d" * 10]),
+        "seq": pa.array([10, 11], pa.int64()),
+        "op": pa.array(["U", "I"]),
+    })
+    expect = M.resolve_chain_tables([(0, base), (1, delta)])
+    monkeypatch.setattr(M, "_INT32_OFFSET_BUDGET", 16)  # force the widen path
+    got = M.resolve_chain_tables([(0, base), (1, delta)])
+    # content stayed over the (tiny) budget, so it is large_string; the
+    # VALUES are identical either way
+    assert pa.types.is_large_string(got.schema.field("content").type)
+    assert got.cast(expect.schema).sort_by("path").equals(expect.sort_by("path"))
+    # a narrow budget that the WINNERS fit under narrows back to string
+    # between the winners' content bytes (~228) and the full chain's
+    # (~282): the chain widens for the gather, the result narrows back
+    monkeypatch.setattr(M, "_INT32_OFFSET_BUDGET", 240)
+    got2 = M.resolve_chain_tables([(0, base), (1, delta)])
+    assert got2.schema.equals(expect.schema)
+    assert got2.sort_by("path").equals(expect.sort_by("path"))
+    # lww_reduce (classic-mode resolution) takes the same guarded path
+    monkeypatch.setattr(M, "_INT32_OFFSET_BUDGET", 16)
+    red = M.lww_reduce(pa.concat_tables([base, base]))
+    assert red.num_rows == 3 and pa.types.is_large_string(
+        red.schema.field("content").type)
+
+
+def test_narrow_offsets_leaves_input_large_types_alone():
+    """_narrow_offsets only narrows columns _widen_big_offsets widened:
+    a column that was large_binary ON INPUT (e.g. a media payload)
+    keeps its type even when small."""
+    from etl_reconciliate_ray.stages.merge import (
+        _narrow_offsets,
+        _widen_big_offsets,
+    )
+
+    t = pa.table({
+        "payload": pa.array([b"xy"], pa.large_binary()),
+        "content": pa.array(["hello world, a long-ish string"]),
+    })
+    w, widened = _widen_big_offsets(t, budget=4)
+    assert widened == ["content"]
+    back = _narrow_offsets(w, widened, budget=1 << 30)
+    assert pa.types.is_large_binary(back.schema.field("payload").type)
+    assert pa.types.is_string(back.schema.field("content").type)
+
+
 def test_media_corrupt_payload_falls_back_per_row():
     """With a REAL codec resolved, one corrupt image in a batch must
     degrade to the deterministic fake for THAT ROW only, never kill
