@@ -612,12 +612,16 @@ def _write_bench_md(results: dict, summary: dict) -> None:
         f"Events: {summary['events']}; `python bench.py --scaling`",
         "regenerates this file.",
     ]
-    # preserve the --nodes section (and anything after it) across rewrites
+    # preserve the --nodes section (and anything after it, incl. the
+    # stress section) across rewrites; with no nodes section, preserve
+    # the stress section alone
     tail = ""
     if os.path.exists("BENCH/BASELINE.md"):
         old = open("BENCH/BASELINE.md").read()
         if _NODES_MARKER in old:
             tail = "\n" + old[old.index(_NODES_MARKER):].rstrip() + "\n"
+        elif _STRESS_MARKER in old:
+            tail = "\n" + old[old.index(_STRESS_MARKER):].rstrip() + "\n"
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n" + tail)
 
@@ -628,6 +632,9 @@ if __name__ == "__main__":
     elif "--nodes" in sys.argv:
         print(json.dumps(run_nodes()))
     elif "--stress" in sys.argv:
-        print(json.dumps(run_stress()))
+        res = run_stress()
+        print(json.dumps(res))
+        # the probe's whole point: exactness at scale gates the exit code
+        sys.exit(0 if res.get("reconcile_exact") else 1)
     else:
         print(json.dumps(run_bench()))

@@ -258,6 +258,12 @@ class MinHasher:
         from .hashing import _mix64
 
         rows = self.num_perm // num_bands
+        if rows == 0:
+            # zero rows/band would fold every doc to hash 0 in every
+            # band — all-pairs LSH collisions, silently
+            raise ValueError(
+                f"num_bands={num_bands} exceeds num_perm={self.num_perm}"
+            )
         # truncate a non-dividing signature tail (num_perm % num_bands
         # leftover perms), matching the historical slicing semantics —
         # reshape would raise instead

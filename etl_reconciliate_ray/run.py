@@ -37,7 +37,11 @@ def _strip_serve(raw: list[str]) -> list[str]:
 
 
 def main(argv: list[str] | None = None) -> dict:
-    p = argparse.ArgumentParser(description="CDC replay + reconcile + report")
+    # allow_abbrev=False: a '--ser 8080' abbreviation would start the
+    # server but slip past _strip_serve, so every triggered rerun of
+    # the job body would re-enter serve mode and fail on the bound port
+    p = argparse.ArgumentParser(description="CDC replay + reconcile + report",
+                                allow_abbrev=False)
     p.add_argument("--fixture", default=None, help="fixture dir (lake_seed/binlog/snapshot)")
     p.add_argument("--binlog-dir", default=None,
                    help="tail a binlog directory instead of a fixture (epoch files "

@@ -95,6 +95,19 @@ def _unify_concat(tables: list[pa.Table]) -> pa.Table:
 _INT32_OFFSET_BUDGET = 1_600_000_000
 
 
+def _widen_array(arr, budget: int | None = None):
+    """Widen ONE string/binary (chunked) array nearing the int32
+    offset cap to its large_ (int64-offset) variant — the single place
+    the overflow policy lives; a no-op otherwise."""
+    if budget is None:
+        budget = _INT32_OFFSET_BUDGET  # module global: tests shrink it
+    if pa.types.is_string(arr.type) and arr.nbytes > budget:
+        return pc.cast(arr, pa.large_string())
+    if pa.types.is_binary(arr.type) and arr.nbytes > budget:
+        return pc.cast(arr, pa.large_binary())
+    return arr
+
+
 def _widen_big_offsets(t: pa.Table, budget: int | None = None) -> tuple[pa.Table, list[str]]:
     """Cast any string/binary column whose buffers near the int32
     offset cap to its large_ (int64-offset) variant. Offsets-only
@@ -103,15 +116,11 @@ def _widen_big_offsets(t: pa.Table, budget: int | None = None) -> tuple[pa.Table
     widened table plus the column names it touched (so the caller can
     narrow back exactly those, never a column that was large_ on
     input)."""
-    if budget is None:
-        budget = _INT32_OFFSET_BUDGET  # module global: tests shrink it
     widened = []
     for i, f in enumerate(t.schema):
-        if pa.types.is_string(f.type) and t.column(i).nbytes > budget:
-            t = t.set_column(i, f.name, pc.cast(t.column(i), pa.large_string()))
-            widened.append(f.name)
-        elif pa.types.is_binary(f.type) and t.column(i).nbytes > budget:
-            t = t.set_column(i, f.name, pc.cast(t.column(i), pa.large_binary()))
+        w = _widen_array(t.column(i), budget)
+        if not w.type.equals(f.type):
+            t = t.set_column(i, f.name, w)
             widened.append(f.name)
     return t, widened
 
@@ -194,11 +203,9 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
         pc.fill_null(merged["path"], "\x00N"),
     )
     if isinstance(keys, pa.ChunkedArray):
-        if pa.types.is_string(keys.type) and keys.nbytes > _INT32_OFFSET_BUDGET:
-            # joined keys can near the cap even when repo/path alone
-            # don't; combine_chunks concatenates, so widen first
-            keys = pc.cast(keys, pa.large_string())
-        keys = keys.combine_chunks()
+        # joined keys can near the cap even when repo/path alone
+        # don't; combine_chunks concatenates, so widen first
+        keys = _widen_array(keys).combine_chunks()
     codes = (
         pc.dictionary_encode(keys).indices.to_numpy(zero_copy_only=False).astype(np.int64)
     )

@@ -113,8 +113,10 @@ class MediaFeatures:
                 except Exception:
                     # corrupt/truncated payload: fall back PER ROW (an
                     # unhandled decode error would kill the whole
-                    # actor task for one bad image in the corpus)
-                    arr = decode_stub(payload, mtype, deterministic_fake=True)
+                    # actor task for one bad image in the corpus) —
+                    # honoring strict mode: deterministic_fake=False
+                    # means "never emit synthetic features", so raise
+                    arr = decode_stub(payload, mtype, deterministic_fake=self.fake)
             else:
                 arr = decode_stub(payload, mtype, deterministic_fake=self.fake)
             feats.append(arr.tolist())
@@ -185,6 +187,9 @@ class MediaResize:
                     img.save(buf, format="PNG")
                     out_payloads.append(buf.getvalue())
                 except Exception:
+                    if not self.fake:
+                        # strict mode: never emit synthetic bytes
+                        raise
                     # corrupt payload: content-derived fake, per row
                     digest = hashlib.sha256(payload + f"{self.w}x{self.h}".encode()).digest()
                     out_payloads.append(digest * 4)

@@ -59,6 +59,36 @@ def test_band_hash_ignores_non_dividing_tail():
     np.testing.assert_array_equal(bh, m.band_hash_matrix(scrambled, num_bands=16))
 
 
+def test_band_hash_rejects_more_bands_than_perms():
+    """num_bands > num_perm must raise, not fold every doc to band
+    hash 0 (which would make ALL docs collide in ALL LSH bands)."""
+    m = MinHasher(num_perm=16)
+    sigs = np.zeros((2, 16), dtype=np.uint32)
+    with pytest.raises(ValueError, match="num_bands"):
+        m.band_hash_matrix(sigs, num_bands=32)
+
+
+def test_media_strict_mode_raises_on_corrupt_payload():
+    """deterministic_fake=False means 'never emit synthetic output':
+    a corrupt image under a real codec must raise, not silently mix
+    hash-seeded pseudo-features among real ones (PIL-gated)."""
+    import io
+
+    Image = pytest.importorskip("PIL.Image")
+
+    from etl_reconciliate_ray.stages.multimodal import MediaFeatures, MediaResize
+
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "media_type": pa.array(["image"]),
+        "payload": pa.array([b"corrupt"], pa.large_binary()),
+    })
+    with pytest.raises(Exception):
+        MediaFeatures(deterministic_fake=False, codec="pil")(t)
+    with pytest.raises(Exception):
+        MediaResize(width=4, height=3, deterministic_fake=False, codec="pil")(t)
+
+
 def test_commitlog_snapshot_cadence_survives_reopen(tmp_path):
     """seals_since_snapshot counts EPOCH_COMMIT records in the tail
     file, durably: follow mode reopens the log every poll, so an
