@@ -34,6 +34,11 @@ HEADLINE_QUERIES = [
     "knn_cosine",
     "time_windows_events",
     "sha256_docs",
+    # round-4 additions: both stages were rewritten to whole-batch Arrow
+    # kernels this round (vectorized MinHash banding, sharded span probe)
+    # — timed here so the optimization is measured, not asserted.
+    "minhash_clusters",
+    "span_dedup_docs",
 ]
 
 BENCH_CACHE = "/tmp/etl_rec_bench"
@@ -436,6 +441,7 @@ def run_nodes() -> dict:
 
 _NODES_MARKER = "## Measured 1-node vs 2-node scaling"
 _STRESS_MARKER = "## sf1 stress: one order of magnitude above the per-round bench"
+_DOCS_MARKER = "## docs-path stress: dedup family at corpus scale"
 
 
 def run_stress() -> dict:
@@ -456,14 +462,17 @@ def run_stress() -> dict:
 
 
 def _append_stress_md(res: dict) -> None:
-    """Append (or replace) the stress section at the END of
-    BENCH/BASELINE.md (after the node-scaling section, which the other
-    writers preserve-or-truncate around)."""
+    """Append (or replace) the stress section in BENCH/BASELINE.md
+    (after the node-scaling section, before the docs-stress section;
+    every writer preserve-or-truncates around the others' markers)."""
     path = "BENCH/BASELINE.md"
     os.makedirs("BENCH", exist_ok=True)
-    text = ""
+    text, docs_tail = "", ""
     if os.path.exists(path):
         text = open(path).read()
+        if _DOCS_MARKER in text:  # the docs-stress section lives after ours
+            docs_tail = "\n" + text[text.index(_DOCS_MARKER):].rstrip() + "\n"
+            text = text[: text.index(_DOCS_MARKER)]
         if _STRESS_MARKER in text:
             text = text[: text.index(_STRESS_MARKER)].rstrip() + "\n"
     q = res["queries"]
@@ -493,6 +502,148 @@ def _append_stress_md(res: dict) -> None:
         "`python bench.py --stress` regenerates this section.",
     ]
     with open(path, "w") as fh:
+        fh.write(text + "\n".join(lines) + "\n" + docs_tail)
+
+
+def run_stress_docs() -> dict:
+    """Documents-path stress probe: the dedup family (exact, MinHash
+    near-dup clustering, sharded span dedup) at ~100x the per-round
+    bench corpus, over a planted-structure fixture whose invariants are
+    CLOSED-FORM in n — so exactness is asserted at scale, the same way
+    `--stress` asserts reconcile exactness for the events path. This is
+    the probe class that caught the >2GB chain offset overflow; the
+    text path gets the same treatment."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("GRAFT_STRESS_DOCS", "2000000"))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from etl_reconciliate_ray.bench_fixture import boiler_text, ensure_docs_fixture
+    from etl_reconciliate_ray.stages.dedup import exact_dedup, minhash_clusters
+    from etl_reconciliate_ray.stages.textstage import span_dedup
+
+    t0 = time.time()
+    fdir, plan = ensure_docs_fixture(BENCH_CACHE, n_docs)
+    gen_sec = round(time.time() - t0, 2)
+
+    def read():
+        return rd.read_parquet(fdir, columns=["doc_id", "text"])
+
+    res: dict = {"metric": "docs_stress_total_sec", "unit": "sec",
+                 "n_docs": n_docs, "num_cpus": ncpu, "gen_sec": gen_sec,
+                 "queries": {}, "checks": {}}
+    h, e = plan["hot"], plan["exact"]
+    hem = h + e + plan["near"]
+    hems = hem + plan["span"]
+
+    # 1) exact dedup: distinct-content count == the plan's closed form
+    #    (includes a degenerate hot key: `hot` identical copies in one group)
+    t = time.time()
+    uniq = exact_dedup(read()).count()
+    res["queries"]["dedup_exact"] = round(time.time() - t, 2)
+    res["checks"]["exact_unique"] = bool(uniq == plan["expected_unique"])
+
+    # 2) span dedup through the SHARDED probe (this round's scale path:
+    #    nothing dup-tail-sized on the driver or in any one actor)
+    t = time.time()
+    boiler = boiler_text()
+
+    def span_partials(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        nd = b["n_dropped"].to_numpy()
+        empty = pc.equal(pc.binary_length(b["text"]), 0).to_numpy(zero_copy_only=False)
+        has_b = pc.match_substring(b["text"], boiler).to_numpy(zero_copy_only=False)
+        is_span = (ids >= hem) & (ids < hems)
+        return pa.table({
+            "rows": pa.array([len(ids)], pa.int64()),
+            "span_dropped": pa.array([int(nd[is_span].sum())], pa.int64()),
+            "ctl_dropped": pa.array([int(nd[ids >= hems].sum())], pa.int64()),
+            "he_nonempty": pa.array([int(((ids < h + e) & ~empty).sum())], pa.int64()),
+            "boiler_docs": pa.array([int(has_b.sum())], pa.int64()),
+        })
+
+    sp = (span_dedup(read(), probe="sharded")
+          .map_batches(span_partials, batch_format="pyarrow")
+          .to_pandas().sum())
+    res["queries"]["span_dedup_sharded"] = round(time.time() - t, 2)
+    # every doc survives; each span-range doc drops EXACTLY its
+    # boilerplate window; control docs untouched; hot/exact families
+    # (all windows shared) come back fully emptied; boilerplate gone
+    res["checks"]["span_rows"] = bool(int(sp["rows"]) == n_docs)
+    res["checks"]["span_dropped_exact"] = bool(int(sp["span_dropped"]) == plan["span"])
+    res["checks"]["span_control_untouched"] = bool(int(sp["ctl_dropped"]) == 0)
+    res["checks"]["span_dup_families_emptied"] = bool(int(sp["he_nonempty"]) == 0)
+    res["checks"]["span_boiler_gone"] = bool(int(sp["boiler_docs"]) == 0)
+
+    # 3) MinHash near-dup clustering: recall over sampled planted pairs
+    #    (cluster_id = min doc_id of the component, so a found pair
+    #    shares a label; a missed pair stays two singletons)
+    t = time.time()
+    labels = minhash_clusters(read())
+    k = min(200, plan["near"] // 2)
+    sample = np.concatenate([h + e + 2 * np.arange(k), h + e + 2 * np.arange(k) + 1])
+    sset = set(sample.tolist())
+    lab = labels.map_batches(
+        lambda df: df[df["doc_id"].isin(sset)], batch_format="pandas"
+    ).to_pandas()
+    res["queries"]["minhash_clusters"] = round(time.time() - t, 2)
+    lm = dict(zip(lab["doc_id"], lab["cluster_id"]))
+    hits = sum(
+        1 for i in range(k)
+        if lm.get(h + e + 2 * i) is not None
+        and lm.get(h + e + 2 * i) == lm.get(h + e + 2 * i + 1)
+    )
+    res["minhash_recall"] = round(hits / k, 4)
+    res["checks"]["minhash_recall_ok"] = bool(hits / k >= 0.8)
+
+    res["value"] = round(sum(res["queries"].values()), 2)
+    res["docs_per_sec"] = int(n_docs * 3 / max(res["value"], 1e-9))
+    ray.shutdown()
+    _append_docs_md(res)
+    return res
+
+
+def _append_docs_md(res: dict) -> None:
+    """Append (or replace) the docs-stress section at the very END of
+    BENCH/BASELINE.md."""
+    path = "BENCH/BASELINE.md"
+    os.makedirs("BENCH", exist_ok=True)
+    text = ""
+    if os.path.exists(path):
+        text = open(path).read()
+        if _DOCS_MARKER in text:
+            text = text[: text.index(_DOCS_MARKER)].rstrip() + "\n"
+    lines = ["", _DOCS_MARKER, ""]
+    lines += [
+        f"{res['n_docs']:,} documents (~{res['n_docs'] // 5000}x the sf0.1",
+        f"corpus) with planted dup structure, num_cpus={res['num_cpus']},",
+        "single process: exact dedup (incl. a degenerate hot key), MinHash",
+        "near-dup clustering, and span dedup through the SHARDED probe.",
+        "",
+        "| stage | sec |",
+        "|---|---|",
+    ]
+    for k, v in res["queries"].items():
+        lines.append(f"| {k} | {v} |")
+    checks = ", ".join(f"{k}={v}" for k, v in res["checks"].items())
+    lines += [
+        "",
+        f"**Exactness at this scale:** {checks}",
+        f"(closed-form planted invariants; MinHash recall {res['minhash_recall']})",
+        "",
+        f"Fixture generation (cached): {res['gen_sec']}s.",
+        "`python bench.py --stress-docs` regenerates this section.",
+    ]
+    with open(path, "w") as fh:
         fh.write(text + "\n".join(lines) + "\n")
 
 
@@ -503,9 +654,11 @@ def _append_nodes_md(summary: dict) -> None:
     text, stress_tail = "", ""
     if os.path.exists(path):
         text = open(path).read()
-        if _STRESS_MARKER in text:  # the stress section lives after ours
-            stress_tail = "\n" + text[text.index(_STRESS_MARKER):].rstrip() + "\n"
-            text = text[: text.index(_STRESS_MARKER)]
+        for m in (_STRESS_MARKER, _DOCS_MARKER):  # stress/docs live after ours
+            if m in text:
+                stress_tail = "\n" + text[text.index(m):].rstrip() + "\n"
+                text = text[: text.index(m)]
+                break
         if _NODES_MARKER in text:
             text = text[: text.index(_NODES_MARKER)].rstrip() + "\n"
     lines = [
@@ -618,10 +771,10 @@ def _write_bench_md(results: dict, summary: dict) -> None:
     tail = ""
     if os.path.exists("BENCH/BASELINE.md"):
         old = open("BENCH/BASELINE.md").read()
-        if _NODES_MARKER in old:
-            tail = "\n" + old[old.index(_NODES_MARKER):].rstrip() + "\n"
-        elif _STRESS_MARKER in old:
-            tail = "\n" + old[old.index(_STRESS_MARKER):].rstrip() + "\n"
+        for m in (_NODES_MARKER, _STRESS_MARKER, _DOCS_MARKER):
+            if m in old:
+                tail = "\n" + old[old.index(m):].rstrip() + "\n"
+                break
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n" + tail)
 
@@ -631,6 +784,10 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--nodes" in sys.argv:
         print(json.dumps(run_nodes()))
+    elif "--stress-docs" in sys.argv:
+        res = run_stress_docs()
+        print(json.dumps(res))
+        sys.exit(0 if all(res["checks"].values()) else 1)
     elif "--stress" in sys.argv:
         res = run_stress()
         print(json.dumps(res))

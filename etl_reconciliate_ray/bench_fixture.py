@@ -155,6 +155,165 @@ def write_bench_fixture(
     return manifest
 
 
+# ---------------------------------------------------------------------------
+# documents-path stress fixture: a corpus with PLANTED dup structure whose
+# invariants (exact-unique count, span-drop counts, near-dup pairs) are
+# closed-form in n — so exactness of the dedup family is assertable at
+# 100x the per-round bench scale, the same way the events stress asserts
+# reconcile exactness. Every text is a pure function of its doc_id
+# (splitmix64-derived word indices), so generation is deterministic under
+# ANY batching/parallelism and the fixture is safe to cache.
+
+_DOC_VOCAB_SIZE = 4096
+_SPAN_WIDTH = 20  # must match span_dedup's default width
+_BOILER_IDX = np.arange(7, 7 + _SPAN_WIDTH) * 13 % _DOC_VOCAB_SIZE  # fixed 20-word boilerplate
+
+
+def _doc_vocab() -> np.ndarray:
+    """Deterministic pseudo-word vocabulary. A 3-char base-26 index
+    suffix makes every word UNIQUE by construction — the forced
+    last-word substitution in near-dup pairs relies on distinct word
+    indices meaning distinct strings."""
+    rng = np.random.default_rng(20260818)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    larr = np.array(list(letters))
+    lens = rng.integers(3, 6, size=_DOC_VOCAB_SIZE)
+    words = []
+    for i in range(_DOC_VOCAB_SIZE):
+        stem = "".join(rng.choice(larr, size=int(lens[i])))
+        code = letters[i // 676] + letters[i // 26 % 26] + letters[i % 26]
+        words.append(stem + code)
+    return np.array(words, dtype=object)
+
+
+def docs_plan(n_docs: int) -> dict:
+    """Planted-range layout for an n-doc corpus. Disjoint id ranges:
+    [0,hot): one text repeated hot times (degenerate-skew probe for the
+    exact-dedup groupby and the LSH bucket cap); [hot,+exact): exact-dup
+    pairs; [+near): near-dup pairs (~2.5% word substitutions + a forced
+    last-word change so members are NEVER byte-equal); [+span): docs
+    opening with a fixed 20-word boilerplate span (cross-doc repeated
+    span, aligned to span_dedup's stride); the rest unique."""
+    hot = max(2, n_docs // 100)
+    exact = max(2, n_docs // 25) // 2 * 2
+    near = max(2, n_docs // 25) // 2 * 2
+    span = max(1, n_docs // 50)
+    if hot + exact + near + span >= n_docs:
+        raise ValueError(f"n_docs={n_docs} too small for the planted plan")
+    return {
+        "n_docs": n_docs, "hot": hot, "exact": exact, "near": near,
+        "span": span, "width": _SPAN_WIDTH,
+        # hot collapses to 1 distinct text; each exact pair loses 1
+        "expected_unique": n_docs - (hot - 1) - exact // 2,
+    }
+
+
+def _docs_batch(ids: np.ndarray, plan: dict, vocab: np.ndarray) -> pa.Table:
+    """Synthesize the batch's documents — fully vectorized, content a
+    pure function of doc_id (batch-layout independent)."""
+    from .functions.hashing import _mix64
+
+    h, e, m = plan["hot"], plan["exact"], plan["near"]
+    he, hem = h + e, h + e + m
+    hems = hem + plan["span"]
+    ids = np.asarray(ids, dtype=np.int64)
+
+    # content-id: which id's base text this doc carries
+    cid = ids.copy()
+    cid[ids < h] = 0
+    in_e = (ids >= h) & (ids < he)
+    cid[in_e] = h + (ids[in_e] - h) // 2 * 2
+    in_m = (ids >= he) & (ids < hem)
+    cid[in_m] = he + (ids[in_m] - he) // 2 * 2
+    mutate = in_m & ((ids - he) % 2 == 1)
+    spanned = (ids >= hem) & (ids < hems)
+
+    cid_u = cid.astype(np.uint64)
+    # word counts are MULTIPLES of the span width: a partial tail
+    # window (1-4 words) would collide across docs at vocab-size rates,
+    # breaking the closed-form span invariants (full 20-word windows
+    # collide with probability ~4096^-20 — never)
+    n_words = (120 + (_mix64(cid_u * np.uint64(0xA24BAED4963EE407)) % np.uint64(7))
+               * np.uint64(_SPAN_WIDTH)).astype(np.int64)
+    parent = np.repeat(np.arange(len(ids), dtype=np.int64), n_words)
+    ends = np.cumsum(n_words)
+    jpos = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(ends - n_words, n_words)
+
+    ju = jpos.astype(np.uint64)
+    widx = _mix64(cid_u[parent] * np.uint64(0x9E3779B97F4A7C15) + ju + np.uint64(1)) % np.uint64(_DOC_VOCAB_SIZE)
+
+    # near-dup odd members: ~1/40 positional substitutions + forced last word
+    mrow = mutate[parent]
+    if mrow.any():
+        idu = ids.astype(np.uint64)
+        roll = _mix64(idu[parent] * np.uint64(0xC2B2AE3D27D4EB4F) + ju)
+        mut = mrow & ((roll % np.uint64(40) == 0) | (jpos == n_words[parent] - 1))
+        widx[mut] = (widx[mut] + np.uint64(1) + roll[mut] % np.uint64(_DOC_VOCAB_SIZE - 1)) % np.uint64(
+            _DOC_VOCAB_SIZE)
+
+    # span docs: words 0..width-1 are the fixed boilerplate sequence
+    srow = spanned[parent] & (jpos < plan["width"])
+    if srow.any():
+        widx[srow] = _BOILER_IDX.astype(np.uint64)[jpos[srow]]
+
+    import pyarrow.compute as pc
+
+    flat = pa.array(vocab[widx.astype(np.int64)], pa.string())
+    off = np.zeros(len(ids) + 1, dtype=np.int32)
+    np.cumsum(n_words, out=off[1:])
+    texts = pc.binary_join(pa.ListArray.from_arrays(pa.array(off), flat), " ")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(np.char.add("s", (ids % 8).astype("U1")), pa.string()),
+        "text": texts,
+    })
+
+
+def boiler_text() -> str:
+    """The planted boilerplate span as a string (for containment asserts)."""
+    return " ".join(_doc_vocab()[_BOILER_IDX])
+
+
+def write_docs_fixture(out_dir: str, n_docs: int) -> dict:
+    """Distributed fixture write: ray.data.range -> vectorized synth ->
+    sharded parquet (generation itself is a 100 TB-shaped pipeline —
+    nothing corpus-sized touches the driver)."""
+    import ray.data as rd
+
+    plan = docs_plan(n_docs)
+    vocab = _doc_vocab()
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return _docs_batch(batch["id"].to_numpy(), plan, vocab)
+
+    import shutil
+
+    tmp = out_dir + ".tmp"
+    for d in (tmp, out_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    # parquet lives in data/ so the manifest never sits in the scan dir
+    (rd.range(n_docs, override_num_blocks=max(32, n_docs // 50_000))
+       .map_batches(gen, batch_format="pyarrow")
+       .write_parquet(os.path.join(tmp, "data")))
+    with open(os.path.join(tmp, "fixture.json"), "w") as fh:
+        json.dump(plan, fh)  # written LAST: marks the dir complete
+    os.replace(tmp, out_dir)
+    return plan
+
+
+def ensure_docs_fixture(cache_root: str, n_docs: int) -> tuple[str, dict]:
+    """Create-or-reuse the cached docs corpus for this size. Returns
+    ``(parquet_data_dir, plan)``."""
+    d = os.path.join(cache_root, f"docs_n{n_docs}_g2")  # g = generator version
+    marker = os.path.join(d, "fixture.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return os.path.join(d, "data"), json.load(fh)
+    plan = write_docs_fixture(d, n_docs)
+    return os.path.join(d, "data"), plan
+
+
 def ensure_bench_fixture(
     cache_root: str,
     num_events: int,

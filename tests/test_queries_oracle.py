@@ -879,3 +879,16 @@ def test_sink_registry_roundtrip(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="no sink"):
         write_sink(rd.from_pandas(df), "p", "orc")
+
+
+def test_bench_headline_keys_resolve():
+    """Every key bench.py times must exist in the registry — a rename
+    or consolidation that orphans a headline key would otherwise only
+    surface when the driver's per-round bench crashes."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [k for k in bench.HEADLINE_QUERIES if k not in QUERIES]
+    assert not missing, missing

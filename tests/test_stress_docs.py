@@ -1,0 +1,112 @@
+"""Small-scale validation of the docs-path stress probe (`bench.py
+--stress-docs`): the planted-corpus generator's closed-form invariants
+must hold through the REAL dedup stages, and generation must be
+batch-layout independent (content a pure function of doc_id)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from etl_reconciliate_ray.bench_fixture import (
+    _doc_vocab,
+    _docs_batch,
+    boiler_text,
+    docs_plan,
+    write_docs_fixture,
+)
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("docs_stress") / "corpus")
+    plan = write_docs_fixture(out, N)
+    return f"{out}/data", plan
+
+
+def _read(out):
+    import ray.data as rd
+
+    return rd.read_parquet(out, columns=["doc_id", "text"])
+
+
+def test_generation_is_batch_layout_independent():
+    plan = docs_plan(N)
+    vocab = _doc_vocab()
+    ids = np.arange(0, N, 7)  # spans every planted range
+    whole = _docs_batch(ids, plan, vocab).to_pandas()
+    parts = pd.concat(
+        [_docs_batch(c, plan, vocab).to_pandas() for c in np.array_split(ids, 11)],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(whole, parts)
+
+
+def test_planted_structure(corpus):
+    _, plan = corpus
+    vocab = _doc_vocab()
+    h, e = plan["hot"], plan["exact"]
+    he, hem = h + e, h + e + plan["near"]
+    ids = np.array([0, 1, h, h + 1, he, he + 1, hem, hem + plan["span"]])
+    t = _docs_batch(ids, plan, vocab).to_pandas().set_index("doc_id")["text"]
+    assert t[0] == t[1]                      # hot family: identical
+    assert t[h] == t[h + 1]                  # exact pair: identical
+    assert t[he] != t[he + 1]                # near pair: never byte-equal
+    # ...but ~2.5% mutated: word-level overlap stays high
+    a, b = t[he].split(" "), t[he + 1].split(" ")
+    assert len(a) == len(b)
+    same = sum(x == y for x, y in zip(a, b)) / len(a)
+    assert 0.9 < same < 1.0
+    assert t[hem].startswith(boiler_text())  # span doc: boilerplate prefix
+    assert not t[hem + plan["span"]].startswith(boiler_text())  # control
+
+
+def test_exact_dedup_matches_closed_form(corpus):
+    from etl_reconciliate_ray.stages.dedup import exact_dedup
+
+    out, plan = corpus
+    assert exact_dedup(_read(out)).count() == plan["expected_unique"]
+
+
+def test_span_dedup_sharded_invariants(corpus):
+    from etl_reconciliate_ray.stages.textstage import span_dedup
+
+    out, plan = corpus
+    h, e = plan["hot"], plan["exact"]
+    hem = h + e + plan["near"]
+    hems = hem + plan["span"]
+    df = span_dedup(_read(out), probe="sharded", num_buckets=4).to_pandas()
+    assert len(df) == N
+    ids = df["doc_id"].to_numpy()
+    nd = df["n_dropped"].to_numpy()
+    # each span-range doc drops EXACTLY its boilerplate window
+    assert int(nd[(ids >= hem) & (ids < hems)].sum()) == plan["span"]
+    # control docs untouched; hot/exact families fully emptied
+    assert int(nd[ids >= hems].sum()) == 0
+    he_texts = df.loc[ids < h + e, "text"]
+    assert (he_texts == "").all()
+    assert not df["text"].str.contains(boiler_text(), regex=False).any()
+
+
+def test_minhash_recall_on_planted_near_pairs(corpus):
+    from etl_reconciliate_ray.stages.dedup import minhash_clusters
+
+    out, plan = corpus
+    base = plan["hot"] + plan["exact"]
+    k = plan["near"] // 2
+    want = set(range(base, base + plan["near"]))
+    lab = minhash_clusters(_read(out)).map_batches(
+        lambda df: df[df["doc_id"].isin(want)], batch_format="pandas"
+    ).to_pandas()
+    lm = dict(zip(lab["doc_id"], lab["cluster_id"]))
+    hits = sum(
+        1 for i in range(k)
+        if lm.get(base + 2 * i) is not None
+        and lm.get(base + 2 * i) == lm.get(base + 2 * i + 1)
+    )
+    assert hits / k >= 0.8, f"recall {hits}/{k}"
