@@ -224,6 +224,48 @@ def q_cdc_lww_events(sf_dir: str):
     )
 
 
+def _claimed_cache_dir(sf_dir: str, tag: str, build) -> str:
+    """Shared /tmp cache for replayed-lake fixtures (the driver invokes
+    registry entries repeatedly; rebuilding + leaking a fresh mkdtemp
+    lake per call would re-pay the replay each time and accumulate in
+    /tmp). The commit log records absolute file paths, so the lake must
+    be built IN its final directory: claim it atomically with mkdir,
+    publish with a _DONE marker; a racing second builder waits for the
+    marker and only falls back to a private build dir if the claimer
+    appears crashed (rare; correct, just uncached). Keyed on the
+    RESOLVED events path AND a fingerprint of the source file
+    (size + mtime): two sf_dirs sharing a basename must not collide,
+    and a regenerated fixture at the same path must invalidate
+    (ADVICE r3) — stale lakes silently corrupt the correctness
+    surface otherwise."""
+    import tempfile
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{os.path.realpath(src)}|{st.st_size}|{int(st.st_mtime_ns)}".encode()
+    ).hexdigest()[:16]
+    cache_key = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{fp}"
+    work = os.path.join(tempfile.gettempdir(), f"etl_rec_{tag}_cache_{cache_key}")
+    if not os.path.exists(os.path.join(work, "_DONE")):
+        try:
+            os.mkdir(work)  # atomic claim
+            build(work)
+            with open(os.path.join(work, "_DONE"), "w") as fh:
+                fh.write("ok\n")
+        except FileExistsError:
+            import time as _time
+
+            for _ in range(1200):  # wait for the claimer's publish
+                if os.path.exists(os.path.join(work, "_DONE")):
+                    break
+                _time.sleep(0.1)
+            else:  # claimer crashed: build privately, uncached
+                work = tempfile.mkdtemp(prefix=f"etl_rec_{tag}_")
+                build(work)
+    return work
+
+
 def q_schema_evolution_replay(sf_dir: str):
     """Additive-column schema evolution end-to-end through the REAL
     binlog-tail replay (north rule; graft-added vs the reference —
@@ -236,8 +278,6 @@ def q_schema_evolution_replay(sf_dir: str):
     deterministically from the ``events`` table (driver-side build is
     bounded: this is a correctness-surface query, not a bench path —
     the replay itself is the distributed engine)."""
-    import tempfile
-
     import pyarrow.parquet as _pq
 
     from ..pipelines.replay import ReplayConfig, lake_dataset, replay_stream
@@ -250,14 +290,7 @@ def q_schema_evolution_replay(sf_dir: str):
     )
     eid = ev["event_id"].to_numpy(zero_copy_only=False)
     uid = ev["user_id"].to_numpy(zero_copy_only=False)
-    # cache the replayed lake per sf_dir (the driver invokes registry
-    # entries repeatedly; rebuilding + leaking a fresh mkdtemp lake per
-    # call would re-pay the replay each time and accumulate in /tmp).
-    # The commit log records absolute file paths, so the lake must be
-    # built IN its final directory: claim it atomically with mkdir,
-    # publish with a _DONE marker; a racing second builder waits for
-    # the marker and only falls back to a private build dir if the
-    # claimer appears crashed (rare; correct, just uncached).
+
     def _build(work_dir: str) -> None:
         base = pa.table({
             "seq": pa.array(eid, pa.int64()),
@@ -279,37 +312,8 @@ def q_schema_evolution_replay(sf_dir: str):
         replay_stream(
             binlog, ReplayConfig(lake_root=os.path.join(work_dir, "lake"), num_buckets=8)
         )
-        with open(os.path.join(work_dir, "_DONE"), "w") as fh:
-            fh.write("ok\n")
 
-    # Key the cache on the RESOLVED path AND a fingerprint of the
-    # source events file (size + mtime): two sf_dirs sharing a basename
-    # must not collide, and a regenerated fixture at the same path must
-    # invalidate (ADVICE r3) — stale lakes silently corrupt the
-    # correctness surface otherwise.
-    src = table_path(sf_dir, "events")
-    st = os.stat(src)
-    fp = hashlib.sha256(
-        f"{os.path.realpath(src)}|{st.st_size}|{int(st.st_mtime_ns)}".encode()
-    ).hexdigest()[:16]
-    cache_key = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{fp}"
-    work = os.path.join(
-        tempfile.gettempdir(), f"etl_rec_schema_evo_cache_{cache_key}"
-    )
-    if not os.path.exists(os.path.join(work, "_DONE")):
-        try:
-            os.mkdir(work)  # atomic claim
-            _build(work)
-        except FileExistsError:
-            import time as _time
-
-            for _ in range(1200):  # wait for the claimer's publish
-                if os.path.exists(os.path.join(work, "_DONE")):
-                    break
-                _time.sleep(0.1)
-            else:  # claimer crashed: build privately, uncached
-                work = tempfile.mkdtemp(prefix="etl_rec_schema_evo_")
-                _build(work)
+    work = _claimed_cache_dir(sf_dir, "schema_evo", _build)
     cfg = ReplayConfig(lake_root=os.path.join(work, "lake"), num_buckets=8)
 
     def project(t: pa.Table) -> pa.Table:
@@ -328,6 +332,87 @@ def q_schema_evolution_replay(sf_dir: str):
         })
 
     return lake_dataset(cfg.lake_root).map_batches(project, batch_format="pyarrow")
+
+
+def q_ivm_repo_stats(sf_dir: str):
+    """Incremental view maintenance over the lake's own CDC feed
+    (graft-added — the reference only INGESTS change feeds; this
+    completes the loop by EMITTING one and keeping a downstream
+    aggregate view current from it, Debezium/Materialize-style).
+
+    Fixture: a 3-epoch I/U/D binlog derived deterministically from
+    ``events`` — epoch = contiguous event_id third (so seq order ==
+    epoch order and the LWW winner is simply max seq), repo =
+    user_id%5, path = event_id % (id_range/2) (a key space epoch 1 only
+    half-covers at EVERY scale ⇒ the feed deterministically carries
+    genuine 'I' rows alongside 'U' collisions and 'D' tombstones), and epoch-2 rows with user_id%11==3 are 'D' tombstones.
+    The query aggregates the EPOCH-1 lake state per repo (count of
+    live paths + total content length), then MAINTAINS that view to
+    epoch 3 purely from ``lake_changelog(1, 3,
+    image_cols=['content'])`` signed deltas (``stages/ivm.py``) —
+    never rescanning the later state. The oracle recomputes the final
+    state directly in DuckDB, certifying base + deltas == recompute
+    including U-value moves and groups deleted down to zero."""
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.replay import (
+        ReplayConfig, lake_changelog, lake_dataset, replay_stream,
+    )
+    from ..stages.ivm import maintain_aggregate
+
+    ev = _pq.read_table(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    ev = ev.filter(
+        pc.and_(pc.is_valid(ev["user_id"]), pc.is_valid(ev["event_type"]))
+    )
+    eid = ev["event_id"].to_numpy(zero_copy_only=False)
+    uid = ev["user_id"].to_numpy(zero_copy_only=False)
+    hi = int(eid.max()) + 1
+    pmod = max(hi // 2, 1)  # key space ~half the id range: every scale
+    # leaves epoch 1 covering ~49% of keys, so the 1->3 feed carries a
+    # healthy mix of I (new keys), U (collisions) and D (tombstoned
+    # existing keys) deterministically
+
+    def _build(work_dir: str) -> None:
+        epoch = (eid * 3) // hi
+        op = np.where((epoch == 2) & (uid % 11 == 3), "D", "I")
+        base = pa.table({
+            "seq": pa.array(eid, pa.int64()),
+            "op": pa.array(op),
+            "repo": pc.cast(pa.array(uid % 5), pa.string()),
+            "path": pc.cast(pa.array(eid % pmod), pa.string()),
+            "content": ev["event_type"],
+        })
+        binlog = os.path.join(work_dir, "binlog")
+        os.makedirs(binlog, exist_ok=True)
+        for e in range(3):
+            _pq.write_table(
+                base.filter(pa.array(epoch == e)),
+                os.path.join(binlog, f"epoch={e:05d}.parquet"),
+            )
+        replay_stream(
+            binlog, ReplayConfig(lake_root=os.path.join(work_dir, "lake"), num_buckets=8)
+        )
+
+    work = _claimed_cache_dir(sf_dir, "ivm", _build)
+    root = os.path.join(work, "lake")
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"],
+            "n_paths": pa.array([1] * t.num_rows, pa.int64()),
+            "content_len": pc.cast(pc.utf8_length(t["content"]), pa.int64()),
+        })
+
+    base = lake_dataset(root, columns=["repo", "content"], as_of_epoch=1).map_batches(
+        base_rows, batch_format="pyarrow"
+    )
+    feed = lake_changelog(root, from_epoch=1, to_epoch=3, image_cols=["content"])
+    return maintain_aggregate(
+        base, feed, keys=["repo"], count_name="n_paths",
+        sums={"content_len": ("content", "utf8_length")},
+    )
 
 
 # ---------------------------------------------------------------- sort/limit
@@ -3275,6 +3360,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "anomaly_events": q_anomaly_events,
     "fingerprint_docs": q_fingerprint_docs,
+    "ivm_repo_stats": q_ivm_repo_stats,
     "filter_project": q_filter_project,
     "groupby_sum": q_groupby_sum,
     "join_customer_nation": q_join_customer_nation,
@@ -4177,6 +4263,33 @@ ORACLE_SQL["schema_evolution_replay"] = (
     "COALESCE(size_bytes, -1) AS size_bytes, "
     "size_bytes IS NOT NULL AS evolved "
     "FROM w WHERE rn = 1"
+)
+
+# IVM certification: the Ray side maintains the epoch-1 aggregate
+# forward via changelog deltas; the oracle recomputes the FINAL lake
+# state directly (max-seq winner per key — seq order == epoch order by
+# construction — minus 'D' tombstone winners) and aggregates it. A
+# match proves base + signed deltas == recompute, including U-value
+# moves and groups deleted down to zero.
+ORACLE_SQL["ivm_repo_stats"] = (
+    "WITH ev AS ("
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE user_id IS NOT NULL AND event_type IS NOT NULL"
+    "), hi AS (SELECT MAX(event_id) + 1 AS m FROM ev"
+    "), keyed AS ("
+    "SELECT CAST(user_id % 5 AS VARCHAR) AS repo, "
+    "CAST(event_id % GREATEST(m // 2, 1) AS VARCHAR) AS path, "
+    "event_type AS content, event_id AS seq, "
+    "CASE WHEN (event_id * 3) // m = 2 AND user_id % 11 = 3 "
+    "THEN 'D' ELSE 'I' END AS op "
+    "FROM ev, hi"
+    "), w AS ("
+    "SELECT repo, path, content, op FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path "
+    "ORDER BY seq DESC) AS rn FROM keyed) WHERE rn = 1"
+    ") SELECT repo, COUNT(*) AS n_paths, "
+    "CAST(SUM(length(content)) AS BIGINT) AS content_len "
+    "FROM w WHERE op = 'I' GROUP BY repo"
 )
 
 # EWMA recursion e_i = 0.3*v_i + 0.7*e_{i-1} per user, ordered by

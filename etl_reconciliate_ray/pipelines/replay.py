@@ -30,6 +30,7 @@ import time
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import table_state_sha256
 from ..stages.merge import _unify_concat, make_merge_fn, read_chain
@@ -1220,13 +1221,26 @@ def lake_table(cfg_or_root, as_of_epoch: int | None = None) -> pa.Table:
     return tbl if tbl is not None else pa.table({})
 
 
-def lake_changelog(cfg_or_root, from_epoch: int, to_epoch: int | None = None):
+def lake_changelog(
+    cfg_or_root,
+    from_epoch: int,
+    to_epoch: int | None = None,
+    image_cols: list[str] | None = None,
+):
     """CDC feed OUT of the lake: the per-key changes between two sealed
     states, as a streaming Dataset of ``(repo, path, change,
     content_sha256)`` with change ∈ {'I','U','D'} ('U' = key present in
     both states with differing content sha; 'D' rows carry the OLD
     sha). The downstream-consumer side of the engine's own ingest
     surface (Debezium-style outbound feed / incremental-view input).
+
+    ``image_cols``: lake payload columns to carry as before/after
+    images — each requested column ``c`` is emitted as ``{c}_old``
+    (null on 'I') and ``{c}_new`` (null on 'D'), the input an
+    incremental view maintainer (``stages.ivm``) needs to apply signed
+    deltas without re-reading either state. Request only the columns
+    the view consumes: images ride the feed, so an unpruned request
+    ships the whole payload twice.
 
     Scale shape: both states' chains share the SAME bucket layout, so
     the diff is one task per partition over its own two chains — no
@@ -1255,20 +1269,27 @@ def lake_changelog(cfg_or_root, from_epoch: int, to_epoch: int | None = None):
         }
         for p in parts
     ]
-    cols = ["repo", "path", "content_sha256"]
+    images = [c for c in (image_cols or []) if c not in ("repo", "path")]
+    cols = ["repo", "path", "content_sha256"] + [
+        c for c in images if c != "content_sha256"
+    ]
 
     def diff_part(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         out = []
+        ref_schema: pa.Schema | None = None
         for rec in batch.to_pylist():
             part = int(rec["part"])
 
             def state(chain_json: str) -> "pd.DataFrame":
+                nonlocal ref_schema
                 t = read_chain(json.loads(chain_json), columns=cols, part=part)
                 if t is None or t.num_rows == 0:
                     return pd.DataFrame(columns=cols)
                 t = t.filter(pa.compute.is_valid(t["repo"]))
+                if ref_schema is None:
+                    ref_schema = t.select(cols).schema
                 return t.select(cols).to_pandas()
 
             a, b = state(rec["old"]), state(rec["new"])
@@ -1289,23 +1310,60 @@ def lake_changelog(cfg_or_root, from_epoch: int, to_epoch: int | None = None):
             ):
                 sel = m[mask]
                 if len(sel):
-                    frames.append(pd.DataFrame({
+                    f = pd.DataFrame({
                         "repo": sel["repo"],
                         "path": sel["path"],
                         "change": tag,
                         "content_sha256": sel[sha_col],
-                    }))
+                    })
+                    for c in images:
+                        # outer-merge already nulled the absent side
+                        # (old on 'I', new on 'D'); pass both through
+                        f[f"{c}_old"] = sel[f"{c}_old"].to_numpy()
+                        f[f"{c}_new"] = sel[f"{c}_new"].to_numpy()
+                    frames.append(f)
             if frames:
-                out.append(pa.Table.from_pandas(
+                t = pa.Table.from_pandas(
                     pd.concat(frames, ignore_index=True), preserve_index=False
-                ))
+                )
+                if ref_schema is not None and images:
+                    # pandas' outer merge floats nulled numeric images
+                    # (missing side AND genuine lake nulls both become
+                    # NaN); restore null-ness BEFORE casting back to
+                    # the lake's own types — a bare safe=False cast
+                    # would turn NaN into garbage ints. (Caveat: a
+                    # genuine NaN float payload is indistinguishable
+                    # from null after pandas and surfaces as null.)
+                    for c in images:
+                        typ = ref_schema.field(c).type
+                        for side in (f"{c}_old", f"{c}_new"):
+                            i = t.column_names.index(side)
+                            col = t[side]
+                            if pa.types.is_floating(col.type):
+                                col = pc.if_else(
+                                    pc.is_nan(col),
+                                    pa.scalar(None, col.type),
+                                    col,
+                                )
+                            t = t.set_column(
+                                i, side, pc.cast(col, typ, safe=False)
+                            )
+                out.append(t)
         if not out:
-            return pa.table({
+            empty: dict[str, pa.Array] = {
                 "repo": pa.array([], pa.string()),
                 "path": pa.array([], pa.string()),
                 "change": pa.array([], pa.string()),
                 "content_sha256": pa.array([], pa.string()),
-            })
+            }
+            for c in images:
+                typ = (
+                    ref_schema.field(c).type if ref_schema is not None
+                    else pa.string()
+                )
+                empty[f"{c}_old"] = pa.array([], typ)
+                empty[f"{c}_new"] = pa.array([], typ)
+            return pa.table(empty)
         return pa.concat_tables(out)
 
     return rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(

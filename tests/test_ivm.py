@@ -1,0 +1,143 @@
+"""Incremental view maintenance (stages/ivm.py + lake_changelog
+image columns): signed delta algebra, zero-count group retirement,
+before/after image plumbing (string and numeric), and maintained-view
+== direct-recompute on a replayed I/U/D lake.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from etl_reconciliate_ray.pipelines.replay import (
+    ReplayConfig,
+    lake_changelog,
+    lake_dataset,
+    replay_stream,
+)
+from etl_reconciliate_ray.stages.ivm import changelog_delta_rows, maintain_aggregate
+
+
+def _feed(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_delta_rows_signed_contributions():
+    rows = [
+        {"repo": "a", "path": "1", "change": "I", "content_sha256": "x",
+         "content_old": None, "content_new": "abc"},
+        {"repo": "a", "path": "2", "change": "U", "content_sha256": "y",
+         "content_old": "ab", "content_new": "abcd"},
+        {"repo": "b", "path": "3", "change": "D", "content_sha256": "z",
+         "content_old": "abcde", "content_new": None},
+    ]
+    out = (
+        changelog_delta_rows(
+            _feed(rows), ["repo"], "n", {"len": ("content", "utf8_length")}
+        )
+        .to_pandas()
+        .sort_values(["repo", "len"])
+        .reset_index(drop=True)
+    )
+    # I: (+1, +3); U: (0, +2); D: (-1, -5)
+    assert out.to_dict("records") == [
+        {"repo": "a", "n": 0, "len": 2},
+        {"repo": "a", "n": 1, "len": 3},
+        {"repo": "b", "n": -1, "len": -5},
+    ]
+
+
+def test_maintain_drops_groups_deleted_to_zero():
+    base = _feed([
+        {"repo": "a", "n": 1, "len": 3},
+        {"repo": "b", "n": 1, "len": 5},
+    ])
+    feed = _feed([
+        # b's only key tombstoned -> group must leave the view
+        {"repo": "b", "path": "3", "change": "D", "content_sha256": "z",
+         "content_old": "abcde", "content_new": None},
+        # a gains a key
+        {"repo": "a", "path": "9", "change": "I", "content_sha256": "w",
+         "content_old": None, "content_new": "zz"},
+    ])
+    out = (
+        maintain_aggregate(
+            base, feed, keys=["repo"], count_name="n",
+            sums={"len": ("content", "utf8_length")},
+        )
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [{"repo": "a", "n": 2, "len": 5}]
+
+
+def _build_iud_lake(tmp_path):
+    """Two-epoch lake with an extra int64 payload column and one of
+    each change type between the sealed states: I (path d), U (path a,
+    content and nbytes move), D (path b)."""
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    e0 = pa.table({
+        "seq": pa.array([1, 2, 3], pa.int64()),
+        "op": pa.array(["I"] * 3),
+        "repo": pa.array(["r"] * 3),
+        "path": pa.array(["a", "b", "c"]),
+        "content": pa.array(["x", "y", "z"]),
+        "nbytes": pa.array([10, 20, 30], pa.int64()),
+    })
+    e1 = pa.table({
+        "seq": pa.array([4, 5, 6], pa.int64()),
+        "op": pa.array(["I", "D", "I"]),
+        "repo": pa.array(["r"] * 3),
+        "path": pa.array(["d", "b", "a"]),
+        "content": pa.array(["w", "y", "xx"]),
+        "nbytes": pa.array([40, 20, 11], pa.int64()),
+    })
+    pq.write_table(e0, str(binlog / "epoch=00000.parquet"))
+    pq.write_table(e1, str(binlog / "epoch=00001.parquet"))
+    root = str(tmp_path / "lake")
+    replay_stream(str(binlog), ReplayConfig(lake_root=root, num_buckets=2))
+    return root
+
+
+def test_numeric_image_columns_typed_and_nulled(tmp_path):
+    root = _build_iud_lake(tmp_path)
+    ds = lake_changelog(root, from_epoch=1, to_epoch=2, image_cols=["nbytes"])
+    sch = ds.schema()
+    assert dict(zip(sch.names, [str(t) for t in sch.types]))[
+        "nbytes_old"
+    ] == "int64", "pandas outer-merge must not float the numeric image"
+    import pandas as pd
+
+    feed = ds.to_pandas().set_index("path")
+    assert feed.loc["d", "change"] == "I" and pd.isna(feed.loc["d", "nbytes_old"])
+    assert feed.loc["b", "change"] == "D" and feed.loc["b", "nbytes_old"] == 20
+    assert pd.isna(feed.loc["b", "nbytes_new"])
+    assert feed.loc["a", "change"] == "U"
+    assert (feed.loc["a", "nbytes_old"], feed.loc["a", "nbytes_new"]) == (10, 11)
+
+
+def test_maintained_view_equals_direct_recompute(tmp_path):
+    root = _build_iud_lake(tmp_path)
+
+    def rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"],
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+            "bytes": pc.cast(t["nbytes"], pa.int64()),
+        })
+
+    base = lake_dataset(root, columns=["repo", "nbytes"], as_of_epoch=1).map_batches(
+        rows, batch_format="pyarrow"
+    )
+    feed = lake_changelog(root, from_epoch=1, to_epoch=2, image_cols=["nbytes"])
+    maintained = maintain_aggregate(
+        base, feed, keys=["repo"], count_name="n",
+        sums={"bytes": ("nbytes", "identity")},
+    ).to_pandas()
+    # direct recompute on the final state: a(11), c(30), d(40)
+    assert maintained.to_dict("records") == [{"repo": "r", "n": 3, "bytes": 81}]
