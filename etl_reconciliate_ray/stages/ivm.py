@@ -118,3 +118,155 @@ def maintain_aggregate(
         return t.filter(pc.greater(t[count_name], 0))
 
     return merged.map_batches(live_groups, batch_format="pyarrow")
+
+
+class MaintainedView:
+    """A persistent maintained aggregate over a lake — the continuous
+    (follow-mode) face of ``maintain_aggregate``. The view bootstraps
+    ONCE from a full lake scan, then each ``advance()`` brings it to
+    the lake's sealed head purely from ``lake_changelog`` deltas:
+    work per advance is O(changed keys), never a rescan, which is the
+    whole point of IVM on a 100 TB lake where an epoch touches a sliver
+    of the keys.
+
+    State layout (crash-safe, mirroring the lake's own atomic-publish
+    discipline): each state is a parquet directory
+    ``<view_root>/epoch=<N>/`` written DISTRIBUTED (Dataset
+    write_parquet — the state is O(distinct keys) and never lands on
+    one node), published by atomically replacing the ``_CURRENT``
+    pointer file. A crash between write and publish leaves the old
+    pointer valid; the next ``advance`` recomputes the same epoch range
+    over the same sealed inputs and overwrites — deterministic, so
+    convergence is idempotent (chaos-tested).
+
+    ``keys`` must be lake columns; ``sums`` maps output measure name →
+    (lake column, transform). Bootstrapping derives each lake row's
+    contribution automatically (count 1, transform(col)), so the view
+    definition is stated exactly once.
+
+    If compaction/snapshot truncated history past the view's epoch
+    (``lake_changelog`` refuses below the retention floor),
+    ``advance`` falls back to a fresh bootstrap (or raises with
+    ``on_truncated='raise'``)."""
+
+    def __init__(
+        self,
+        view_root: str,
+        keys: list[str],
+        count_name: str,
+        sums: Mapping[str, tuple[str, object]] | None = None,
+    ):
+        import os
+
+        self.view_root = view_root
+        self.keys = list(keys)
+        self.count_name = count_name
+        self.sums = dict(sums or {})
+        os.makedirs(view_root, exist_ok=True)
+
+    # -- state plumbing ------------------------------------------------
+    def _pointer(self) -> str:
+        import os
+
+        return os.path.join(self.view_root, "_CURRENT")
+
+    def current_epoch(self) -> int | None:
+        import os
+
+        p = self._pointer()
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return int(fh.read().strip())
+
+    def state(self):
+        """The current view state as a Dataset (raises if never
+        bootstrapped)."""
+        import os
+
+        import ray.data as rd
+
+        ep = self.current_epoch()
+        if ep is None:
+            raise ValueError(f"view at {self.view_root} has no published state")
+        return rd.read_parquet(os.path.join(self.view_root, f"epoch={ep:05d}"))
+
+    def _publish(self, new_state, epoch: int) -> None:
+        import os
+        import shutil
+
+        out = os.path.join(self.view_root, f"epoch={epoch:05d}")
+        shutil.rmtree(out, ignore_errors=True)  # crashed unpublished try
+        new_state.write_parquet(out)
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{epoch}\n")
+        os.replace(tmp, self._pointer())
+        # retire superseded states (the pointer is durable truth now)
+        for d in os.listdir(self.view_root):
+            if d.startswith("epoch=") and d != f"epoch={epoch:05d}":
+                shutil.rmtree(os.path.join(self.view_root, d), ignore_errors=True)
+
+    # -- lifecycle -----------------------------------------------------
+    def _contrib_cols(self) -> list[str]:
+        seen: list[str] = []
+        for src, _ in self.sums.values():
+            if src not in seen and src not in self.keys:
+                seen.append(src)
+        return self.keys + seen
+
+    def bootstrap(self, lake_root: str) -> int:
+        """Full-scan initialisation at the lake's sealed head; returns
+        the epoch the view is now current to."""
+        from ..pipelines.replay import CommitLog, lake_dataset, _root_of
+
+        log = CommitLog.open(_root_of(lake_root))
+        head = log.latest_sealed_epoch()
+        if head is None:
+            raise ValueError(f"lake at {lake_root} has no sealed epoch")
+        keys, count_name, sums = self.keys, self.count_name, self.sums
+
+        def contrib(t: pa.Table) -> pa.Table:
+            cols: dict[str, object] = {k: t[k] for k in keys}
+            cols[count_name] = pa.array([1] * t.num_rows, pa.int64())
+            for out, (src, transform) in sums.items():
+                cols[out] = pc.cast(_resolve(transform)(t[src]), pa.int64())
+            return pa.table(cols)
+
+        rows = lake_dataset(
+            lake_root, columns=self._contrib_cols(), as_of_epoch=head
+        ).map_batches(contrib, batch_format="pyarrow")
+        from .agg import preagg_groupby
+
+        state = preagg_groupby(
+            rows, keys, sums={m: m for m in [count_name, *sums]}
+        )
+        self._publish(state, head)
+        return head
+
+    def advance(self, lake_root: str, on_truncated: str = "bootstrap") -> int:
+        """Maintain the view to the lake's sealed head; returns the new
+        current epoch (no-op if already there)."""
+        from ..pipelines.replay import CommitLog, _root_of, lake_changelog
+
+        ep = self.current_epoch()
+        if ep is None:
+            return self.bootstrap(lake_root)
+        head = CommitLog.open(_root_of(lake_root)).latest_sealed_epoch()
+        if head is None or head <= ep:
+            return ep
+        image_cols = sorted({src for src, _ in self.sums.values()})
+        try:
+            feed = lake_changelog(
+                lake_root, from_epoch=ep, to_epoch=head, image_cols=image_cols
+            )
+        except ValueError:
+            if on_truncated != "bootstrap":
+                raise
+            return self.bootstrap(lake_root)
+        new_state = maintain_aggregate(
+            self.state(), feed, keys=self.keys,
+            count_name=self.count_name, sums=self.sums,
+        )
+        self._publish(new_state, head)
+        return head

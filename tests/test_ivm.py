@@ -121,6 +121,132 @@ def test_numeric_image_columns_typed_and_nulled(tmp_path):
     assert (feed.loc["a", "nbytes_old"], feed.loc["a", "nbytes_new"]) == (10, 11)
 
 
+def _write_four_epoch_binlog(tmp_path):
+    """Deterministic 4-epoch binlog: overlapping key touches, D
+    tombstones from epoch 1 on, contiguous seq ranges per epoch."""
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    for e in range(4):
+        paths = [p for p in range(12) if (p + e) % 3 == 0]
+        t = pa.table({
+            "seq": pa.array([e * 100 + p for p in paths], pa.int64()),
+            "op": pa.array(
+                ["D" if (e >= 1 and p % 4 == 0) else "I" for p in paths]
+            ),
+            "repo": pa.array(["r0" if p < 6 else "r1" for p in paths]),
+            "path": pa.array([str(p) for p in paths]),
+            "content": pa.array([f"c{e}p{p}" for p in paths]),
+            "nbytes": pa.array([10 * e + p for p in paths], pa.int64()),
+        })
+        pq.write_table(t, str(binlog / f"epoch={e:05d}.parquet"))
+    return str(binlog)
+
+
+def _recompute(root):
+    import pandas as pd
+
+    t = lake_dataset(root, columns=["repo", "nbytes"]).to_pandas()
+    if t.empty:
+        return pd.DataFrame(columns=["repo", "n", "bytes"])
+    return (
+        t.groupby("repo")
+        .agg(n=("nbytes", "size"), bytes=("nbytes", "sum"))
+        .reset_index()
+        .astype({"n": "int64", "bytes": "int64"})
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+
+
+def _view_df(view):
+    return (
+        view.state()
+        .to_pandas()[["repo", "n", "bytes"]]
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+
+
+def test_maintained_view_follows_sealing_epochs(tmp_path):
+    """The continuous-IVM loop: seal one epoch at a time, advance the
+    persisted view after each seal, and at EVERY step the maintained
+    state must equal a direct recompute of the lake head."""
+    binlog = _write_four_epoch_binlog(tmp_path)
+    root = str(tmp_path / "lake")
+    cfg = ReplayConfig(lake_root=root, num_buckets=2)
+    from etl_reconciliate_ray.stages.ivm import MaintainedView
+
+    view = MaintainedView(
+        str(tmp_path / "view"), keys=["repo"], count_name="n",
+        sums={"bytes": ("nbytes", "identity")},
+    )
+    for engine_epoch in range(1, 5):
+        replay_stream(binlog, cfg, stop_after_epoch=engine_epoch)
+        got = view.advance(root)
+        assert got == engine_epoch
+        assert _view_df(view).equals(_recompute(root)), f"epoch {engine_epoch}"
+    # head unchanged -> advance is a no-op at the same epoch
+    assert view.advance(root) == 4
+
+
+def test_maintained_view_recovers_from_unpublished_state_dir(tmp_path):
+    """Crash between state write and pointer publish: the leftover
+    directory must be overwritten, not trusted."""
+    binlog = _write_four_epoch_binlog(tmp_path)
+    root = str(tmp_path / "lake")
+    cfg = ReplayConfig(lake_root=root, num_buckets=2)
+    from etl_reconciliate_ray.stages.ivm import MaintainedView
+
+    view = MaintainedView(
+        str(tmp_path / "view"), keys=["repo"], count_name="n",
+        sums={"bytes": ("nbytes", "identity")},
+    )
+    replay_stream(binlog, cfg, stop_after_epoch=2)
+    view.advance(root)
+    replay_stream(binlog, cfg, stop_after_epoch=4)
+    # simulate a crashed advance: garbage state written, pointer not moved
+    crashed = tmp_path / "view" / "epoch=00004"
+    crashed.mkdir()
+    pq.write_table(
+        pa.table({"repo": ["junk"], "n": pa.array([99], pa.int64()),
+                  "bytes": pa.array([99], pa.int64())}),
+        str(crashed / "part-0.parquet"),
+    )
+    assert view.current_epoch() == 2
+    assert view.advance(root) == 4
+    assert _view_df(view).equals(_recompute(root))
+
+
+def test_maintained_view_rebootstraps_past_retention_floor(tmp_path):
+    """History truncated past the view's epoch (compact + snapshot):
+    advance must fall back to a fresh bootstrap, not answer wrong."""
+    import pytest
+
+    from etl_reconciliate_ray.pipelines.replay import CommitLog, compact
+    from etl_reconciliate_ray.stages.ivm import MaintainedView
+
+    binlog = _write_four_epoch_binlog(tmp_path)
+    root = str(tmp_path / "lake")
+    cfg = ReplayConfig(lake_root=root, num_buckets=2)
+    view = MaintainedView(
+        str(tmp_path / "view"), keys=["repo"], count_name="n",
+        sums={"bytes": ("nbytes", "identity")},
+    )
+    replay_stream(binlog, cfg, stop_after_epoch=1)
+    view.advance(root)
+    replay_stream(binlog, cfg, stop_after_epoch=4)
+    compact(cfg)
+    log = CommitLog.open(root)
+    log.write_snapshot()
+    assert log.time_travel_floor() > 1, "floor must have risen past the view"
+    with pytest.raises(ValueError):
+        view.advance(root, on_truncated="raise")
+    # bootstrap fallback lands on the sealed head (compaction sealed
+    # its own epoch for the rewritten bases)
+    assert view.advance(root) == log.latest_sealed_epoch()
+    assert _view_df(view).equals(_recompute(root))
+
+
 def test_maintained_view_equals_direct_recompute(tmp_path):
     root = _build_iud_lake(tmp_path)
 
