@@ -3325,10 +3325,11 @@ QUERIES = {
     # ORDER MATTERS for driver correctness coverage: the driver checks
     # the FIRST 50 keys each round. Round-4 window = the two round-1
     # sentinels + ALL 27 keys that have never had a driver row of any
-    # kind (17 oracle-backed + 10 rows-only) + 21 refill keys whose
-    # most recent driver evidence is oldest (fingerprint_docs from r01,
-    # the rest last seen in r02). After this round every registry key
-    # has independent driver evidence at least once. The in-repo pytest
+    # kind (17 oracle-backed + 10 rows-only) + the new r4
+    # ivm_repo_stats + 20 refill keys whose most recent driver
+    # evidence is oldest (fingerprint_docs from r01, the rest last
+    # seen in r02). After this round every registry key has
+    # independent driver evidence at least once. The in-repo pytest
     # oracle covers ALL entries every run.
     "reconcile_detail": q_reconcile_detail,
     "cdc_lww_events": q_cdc_lww_events,

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import text as T
 from ..functions.hashing import sha256_hex_array
@@ -97,6 +98,49 @@ def _dedupe_pairs(pairs):
     )
 
 
+# how many hash parts the (band, band_hash) bucket space collapses to
+# before map_groups: Ray's map_groups pays a per-GROUP dispatch cost, so
+# grouping by raw bucket (one tiny group per bucket — tens of thousands
+# of them) is dominated by dispatch, not work. Grouping by a hash PART
+# keeps the shuffle volume identical while the within-part kernel walks
+# bucket boundaries vectorized (lexsort + boundary flags).
+_PAIR_PARTS = 64
+
+
+def _with_part(bands):
+    """Tag each band row with its shuffle part = band_hash-derived
+    hash, so whole-part kernels replace per-bucket dispatch."""
+    def tag(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ (band << np.uint64(32))
+        return t.append_column(
+            "part", pa.array((mix % np.uint64(_PAIR_PARTS)).astype(np.int64))
+        )
+
+    return bands.map_batches(tag, batch_format="pyarrow")
+
+
+def _bucket_bounds(band, bh, ids):
+    """Sort band rows by (band, band_hash, doc_id), drop duplicate
+    (bucket, id) rows, and return the deduped arrays plus each bucket's
+    [start, end) bounds — the vectorized spine shared by the self-join
+    and cross (incremental) pair kernels."""
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    same_bucket = np.empty(len(ids), dtype=bool)
+    same_bucket[0] = False
+    same_bucket[1:] = (band[1:] == band[:-1]) & (bh[1:] == bh[:-1])
+    dup_id = same_bucket.copy()
+    dup_id[1:] &= ids[1:] == ids[:-1]
+    keep = ~dup_id
+    band, bh, ids, same_bucket = band[keep], bh[keep], ids[keep], same_bucket[keep]
+    # recompute bucket starts on the deduped rows
+    starts = np.flatnonzero(~same_bucket)
+    ends = np.append(starts[1:], len(ids))
+    return band, bh, ids, starts, ends
+
+
 def lsh_candidate_pairs(docs_ds, max_bucket_size: int = 512, **mh_kwargs):
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     Returns Dataset(doc_a, doc_b) with doc_a < doc_b, deduplicated.
@@ -108,30 +152,38 @@ def lsh_candidate_pairs(docs_ds, max_bucket_size: int = 512, **mh_kwargs):
     drop is logged — never silent (ray_guide.md "no silent caps")."""
     import logging
 
-    bands = _band_rows(docs_ds, mh_kwargs)
+    bands = _with_part(_band_rows(docs_ds, mh_kwargs))
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) > max_bucket_size:
-            logging.getLogger(__name__).warning(
-                "lsh_candidate_pairs: band bucket (band=%s hash=%s) has %d docs; "
-                "capping to %d smallest ids (%d docs dropped from this bucket)",
-                g["band"].iloc[0], g["band_hash"].iloc[0],
-                len(ids), max_bucket_size, len(ids) - max_bucket_size,
-            )
-            ids = ids[:max_bucket_size]
-        if len(ids) < 2:
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        band = g["band"].to_numpy().astype(np.int64)
+        bh = g["band_hash"].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        band, bh, ids, starts, ends = _bucket_bounds(band, bh, ids)
+        out_a, out_b = [], []
+        dropped = 0
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n > max_bucket_size:
+                dropped += n - max_bucket_size
+                logging.getLogger(__name__).warning(
+                    "lsh_candidate_pairs: band bucket (band=%s hash=%s) has "
+                    "%d docs; capping to %d smallest ids (%d dropped)",
+                    band[s], bh[s], n, max_bucket_size, n - max_bucket_size,
+                )
+                e = s + max_bucket_size
+                n = max_bucket_size
+            ai, bj = np.triu_indices(n, k=1)
+            out_a.append(ids[s:e][ai])
+            out_b.append(ids[s:e][bj])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        import numpy as np
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
-        arr = np.asarray(ids, dtype=np.int64)
-        ai, bj = np.triu_indices(len(arr), k=1)
-        return pd.DataFrame({"doc_a": arr[ai], "doc_b": arr[bj]})
-
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
+    pairs = bands.groupby("part").map_groups(pairs_in_part, batch_format="pandas")
     return _dedupe_pairs(pairs)
 
 
@@ -162,18 +214,55 @@ def verify_pairs_distributed(
     threshold: float = 0.8,
     shingle_k: int = 5,
     num_buckets: int = 16,
+    bloom_bits_log2: int = 23,
 ):
     """Exact shingle-Jaccard verification of candidate pairs, fully
-    distributed: the pair list is enriched with both documents' texts
-    via two partitioned hash joins (pairs ⋈ docs on doc_a, then on
-    doc_b — O(pairs + docs) shuffle volume, nothing corpus-sized ever
-    reaches the driver), then each batch verifies its rows vectorized
-    per row with a per-batch shingle cache (a doc repeated across many
-    pairs in one batch is shingled once).
+    distributed: the corpus is first PRUNED to (approximately) the
+    pair-endpoint docs by a Bloom filter built distributed over the
+    pair ids and OR-reduced driver-side (O(bitmap) driver bytes, never
+    O(pairs)); the surviving docs then enrich the pair list via two
+    partitioned hash joins (pairs ⋈ docs on doc_a, then on doc_b).
+    Without the prefilter both joins shuffle the ENTIRE corpus text —
+    O(corpus bytes) exchange to verify an O(pairs) candidate set; with
+    it only endpoint docs (plus the Bloom's tunable false-positive
+    sliver, harmless — the joins stay exact) leave their blocks. Each
+    joined batch verifies rows with a per-batch shingle cache (a doc
+    repeated across many pairs in one batch is shingled once).
 
     Returns Dataset(doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
+    import ray
+
+    from ..functions.bloom import bloom_contains, build_bloom
     from .joins import hash_join
+
+    # O(pairs) narrow rows; consumed twice (bloom pass + join input)
+    pairs_ds = pairs_ds.materialize()
+    # size the join fan-out to the candidate volume: a sparse pair set
+    # through a fixed 16-way exchange is pure scheduling overhead, a
+    # dense one still gets the full fan-out (caller's num_buckets caps)
+    num_buckets = max(1, min(num_buckets, -(-pairs_ds.count() // 8192)))
+
+    def part_bloom(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ])
+        b = build_bloom(pa.array(ids), bits_log2=bloom_bits_log2)
+        return pa.table({"bits": [b["bits"]]})
+
+    parts = pairs_ds.map_batches(part_bloom, batch_format="pyarrow").to_pandas()
+    bits = np.zeros((1 << bloom_bits_log2) // 64, dtype=np.uint64)
+    for arr in parts["bits"]:
+        bits |= np.asarray(arr, dtype=np.uint64)
+    bloom_ref = ray.put({"bits": bits, "bits_log2": bloom_bits_log2, "k": 7})
+
+    def endpoint_docs(t: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        keep = bloom_contains(bloom, t["doc_id"])
+        return t.filter(pa.array(keep))
+
+    docs_pruned = docs_ds.map_batches(endpoint_docs, batch_format="pyarrow")
 
     def as_a(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_a": df["doc_id"], "text_a": df["text"]})
@@ -181,8 +270,8 @@ def verify_pairs_distributed(
     def as_b(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_b": df["doc_id"], "text_b": df["text"]})
 
-    docs_a = docs_ds.map_batches(as_a, batch_format="pandas")
-    docs_b = docs_ds.map_batches(as_b, batch_format="pandas")
+    docs_a = docs_pruned.map_batches(as_a, batch_format="pandas")
+    docs_b = docs_pruned.map_batches(as_b, batch_format="pandas")
     j1 = hash_join(pairs_ds, docs_a, on="doc_a", num_buckets=num_buckets)
     j2 = hash_join(j1, docs_b, on="doc_b", num_buckets=num_buckets)
 
@@ -206,8 +295,57 @@ def verify_pairs_distributed(
     return j2.map_batches(verify, batch_format="pandas")
 
 
+def _cc_driver_union_find(nodes_ds, edges_sym):
+    """Budgeted fast path for connected components: collect the
+    (symmetrized) dup-graph edges — O(duplicate pairs), never the
+    corpus — run union-find with path compression driver-side, and
+    broadcast the touched-node -> min-label map once via ``ray.put``;
+    untouched nodes label themselves. One distributed map replaces
+    rounds x (join + groupby)."""
+    import ray
+
+    et = edges_sym.to_pandas()
+    src = et["src"].to_numpy().astype(np.int64)
+    dst = et["node"].to_numpy().astype(np.int64)
+    touched, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    a, b = idx[: len(src)], idx[len(src):]
+    parent = np.arange(len(touched), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for i, j in zip(a, b):
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            # union by min original node id keeps labels deterministic
+            if touched[ri] <= touched[rj]:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+    roots = np.array([find(int(x)) for x in range(len(touched))], dtype=np.int64)
+    labels = touched[roots]
+    ref = ray.put((touched, labels))
+
+    def assign(t: pa.Table) -> pa.Table:
+        tt, ll = ray.get(ref)
+        nodes = pc.cast(t["node"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(tt, nodes)
+        pos_c = np.minimum(pos, len(tt) - 1)
+        hit = tt[pos_c] == nodes
+        lab = np.where(hit, ll[pos_c], nodes)
+        return pa.table({"node": nodes, "label": lab})
+
+    return nodes_ds.map_batches(assign, batch_format="pyarrow")
+
+
 def connected_components_min_label(nodes_ds, edges_ds, num_buckets: int = 16,
-                                   max_rounds: int = 50):
+                                   max_rounds: int = 50,
+                                   driver_edge_budget: int = 5_000_000):
     """Distributed connected components by iterated min-label
     propagation: each round every node takes the min label over itself
     and its neighbors (one hash join + one groupby per round; rounds ~
@@ -215,6 +353,15 @@ def connected_components_min_label(nodes_ds, edges_ds, num_buckets: int = 16,
     always <= 3 hops). Nothing corpus-sized touches the driver; the
     label table ((node, label) int64 pairs) is materialized per round,
     which is O(nodes) narrow rows spread across the cluster.
+
+    Fast path: when the EDGE set fits ``driver_edge_budget`` (it is the
+    verified dup graph — O(duplicate pairs), orders of magnitude
+    smaller than the corpus; the Dolma/SlimPajama pipelines collect it
+    the same way), a driver union-find labels the touched nodes in one
+    pass and the labels broadcast back via ``ray.put`` — replacing
+    rounds x (join + groupby) fixed cost with one map. Over budget, the
+    iterative distributed path runs (logged); ``driver_edge_budget=0``
+    forces it.
 
     ``nodes_ds``: Dataset with a ``node`` column (int64).
     ``edges_ds``: Dataset(doc_a, doc_b) undirected edges.
@@ -248,8 +395,18 @@ def connected_components_min_label(nodes_ds, edges_ds, num_buckets: int = 16,
     identity = lambda t: pa.table(  # noqa: E731
         {"node": _i64(t["node"]), "label": _i64(t["node"])}
     )
-    if edges_sym.count() == 0:
+    n_sym = edges_sym.count()
+    if n_sym == 0:
         return nodes_ds.map_batches(identity, batch_format="pyarrow")
+
+    if n_sym <= driver_edge_budget:
+        return _cc_driver_union_find(nodes_ds, edges_sym)
+    import logging
+
+    logging.getLogger(__name__).info(
+        "connected components: %d edges exceed driver budget %d — "
+        "running the iterative distributed path", n_sym, driver_edge_budget,
+    )
 
     # each node's own row carries its label twice: once as a Min
     # candidate, once in self_label (exactly one self row per node, so
@@ -371,41 +528,67 @@ def incremental_dup_check(
     def banded(ds, side):
         b = _band_rows(ds, mh_kwargs)
 
-        def tag(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["side"] = np.int8(side)
-            return df
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
 
-        return b.map_batches(tag, batch_format="pandas")
+        return b.map_batches(tag, batch_format="pyarrow")
 
-    bands = banded(corpus_ds, 0).union(banded(new_ds, 1))
+    bands = _with_part(banded(corpus_ds, 0).union(banded(new_ds, 1)))
 
-    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        old = sorted(set(g.loc[g["side"] == 0, "doc_id"].tolist()))
-        new = sorted(set(g.loc[g["side"] == 1, "doc_id"].tolist()))
-        for name, ids in (("corpus", old), ("new", new)):
-            if len(ids) > max_bucket_size:
-                logging.getLogger(__name__).warning(
-                    "incremental_dup_check: band bucket (band=%s hash=%s) has "
-                    "%d %s docs; capping to %d smallest ids",
-                    g["band"].iloc[0], g["band_hash"].iloc[0],
-                    len(ids), name, max_bucket_size,
-                )
-        old = np.asarray(old[:max_bucket_size], dtype=np.int64)
-        new = np.asarray(new[:max_bucket_size], dtype=np.int64)
-        if len(old) == 0 or len(new) == 0:
+    def cross_pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        band = g["band"].to_numpy().astype(np.int64)
+        bh = g["band_hash"].to_numpy().astype(np.int64)
+        side = g["side"].to_numpy().astype(np.int64)
+        # fold side into the id order so each bucket's corpus rows
+        # (side 0) precede its new rows (side 1), both id-ascending —
+        # _bucket_bounds dedupes (bucket, id) rows; ids are disjoint
+        # across sides (documented contract), so side never collides
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, side, bh, band))
+        band, bh, side, ids = band[order], bh[order], side[order], ids[order]
+        new_bucket = np.empty(len(ids), dtype=bool)
+        new_bucket[0] = True
+        new_bucket[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        dup_id = ~new_bucket
+        dup_id[1:] &= ids[1:] == ids[:-1]
+        keep = ~dup_id
+        band, bh, side, ids, new_bucket = (
+            band[keep], bh[keep], side[keep], ids[keep], new_bucket[keep]
+        )
+        starts = np.flatnonzero(new_bucket)
+        ends = np.append(starts[1:], len(ids))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            sl = side[s:e]
+            split = s + int(np.searchsorted(sl, 1))
+            old = ids[s:split]
+            new = ids[split:e]
+            for name, arr in (("corpus", old), ("new", new)):
+                if len(arr) > max_bucket_size:
+                    logging.getLogger(__name__).warning(
+                        "incremental_dup_check: band bucket (band=%s hash=%s) "
+                        "has %d %s docs; capping to %d smallest ids",
+                        band[s], bh[s], len(arr), name, max_bucket_size,
+                    )
+            old = old[:max_bucket_size]
+            new = new[:max_bucket_size]
+            if len(old) == 0 or len(new) == 0:
+                continue
+            ni, oi = np.meshgrid(
+                np.arange(len(new)), np.arange(len(old)), indexing="ij"
+            )
+            out_a.append(new[ni.ravel()])   # the incoming doc
+            out_b.append(old[oi.ravel()])   # its corpus counterpart
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        ni, oi = np.meshgrid(np.arange(len(new)), np.arange(len(old)), indexing="ij")
-        return pd.DataFrame({
-            "doc_a": new[ni.ravel()],   # the incoming doc
-            "doc_b": old[oi.ravel()],   # its corpus counterpart
-        })
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
     pairs = _dedupe_pairs(
-        bands.groupby(["band", "band_hash"]).map_groups(
-            cross_pairs, batch_format="pandas"
-        )
+        bands.groupby("part").map_groups(cross_pairs_in_part, batch_format="pandas")
     )
     texts = corpus_ds.union(new_ds)
     verified = verify_pairs_distributed(

@@ -115,6 +115,18 @@ def maintain_aggregate(
     )
 
     def live_groups(t: pa.Table) -> pa.Table:
+        # count == 0: the key left the lake — retire the group. A
+        # NEGATIVE count can only mean the feed doesn't correspond to
+        # this base state (wrong epoch range, or a replayed/duplicated
+        # feed): refuse loudly — a silently dropped negative group
+        # would leave the view wrong forever.
+        if t.num_rows and pc.min(t[count_name]).as_py() < 0:
+            bad = t.filter(pc.less(t[count_name], 0))
+            raise ValueError(
+                f"maintained count went negative for {bad.num_rows} "
+                f"group(s) (e.g. {bad.slice(0, 3).to_pylist()}): the "
+                "changelog feed does not correspond to the base state"
+            )
         return t.filter(pc.greater(t[count_name], 0))
 
     return merged.map_batches(live_groups, batch_format="pyarrow")

@@ -121,6 +121,27 @@ def test_numeric_image_columns_typed_and_nulled(tmp_path):
     assert (feed.loc["a", "nbytes_old"], feed.loc["a", "nbytes_new"]) == (10, 11)
 
 
+def test_mismatched_feed_refused_not_absorbed():
+    """A feed that doesn't correspond to the base (here: the same
+    delete applied twice, as a duplicated/replayed feed would) must
+    raise, not silently leave a wrong view."""
+    import pytest
+
+    base = _feed([{"repo": "b", "n": 1, "len": 5}])
+    dup = _feed([
+        {"repo": "b", "path": "3", "change": "D", "content_sha256": "z",
+         "content_old": "abcde", "content_new": None},
+        {"repo": "b", "path": "3", "change": "D", "content_sha256": "z",
+         "content_old": "abcde", "content_new": None},
+    ])
+    out = maintain_aggregate(
+        base, dup, keys=["repo"], count_name="n",
+        sums={"len": ("content", "utf8_length")},
+    )
+    with pytest.raises(Exception, match="negative"):
+        out.to_pandas()
+
+
 def _write_four_epoch_binlog(tmp_path):
     """Deterministic 4-epoch binlog: overlapping key touches, D
     tombstones from epoch 1 on, contiguous seq ranges per epoch."""

@@ -220,6 +220,39 @@ def test_minhash_chain_transitive_cluster(ray_session):
     assert lab[4] == 4, lab
 
 
+def test_cc_driver_and_distributed_paths_identical(ray_session):
+    """The budgeted driver union-find fast path and the iterative
+    min-label distributed path must produce identical labels on a
+    planted graph with a 3-hop chain, a triangle, an isolated pair and
+    untouched singletons (driver_edge_budget=0 forces the iterative
+    path)."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.dedup import connected_components_min_label
+
+    edges = pd.DataFrame({
+        "doc_a": [10, 11, 12, 20, 21, 20, 30],
+        "doc_b": [11, 12, 13, 21, 22, 22, 31],
+    })
+    nodes = pd.DataFrame({"node": list(range(10, 14)) + list(range(20, 23))
+                          + [30, 31, 40, 41]})
+
+    def run(budget):
+        out = _to_pandas(connected_components_min_label(
+            rd.from_pandas(nodes), rd.from_pandas(edges),
+            driver_edge_budget=budget,
+        )).sort_values("node").reset_index(drop=True)
+        return out
+
+    fast, dist = run(1_000_000), run(0)
+    assert fast.equals(dist), (fast, dist)
+    lab = dict(zip(fast["node"], fast["label"]))
+    assert lab[10] == lab[11] == lab[12] == lab[13] == 10
+    assert lab[20] == lab[21] == lab[22] == 20
+    assert lab[30] == lab[31] == 30
+    assert lab[40] == 40 and lab[41] == 41
+
+
 def test_distributed_verify_matches_kernel(ray_session):
     """verify_pairs_distributed (two hash joins + per-batch verify)
     must produce exactly the in-memory kernel's verified pairs."""
