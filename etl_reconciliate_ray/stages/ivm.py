@@ -70,6 +70,15 @@ def changelog_delta_rows(
     keys = list(keys)
     sums = dict(sums or {})
 
+    def signed_term(col, fn) -> pa.ChunkedArray | pa.Array:
+        # an all-I or all-D slice of the feed can arrive with its
+        # absent image column as Arrow null type (no values to infer
+        # from); fn(all-null) is all-null, so skip the kernel — most
+        # string fns have no null-type kernel and would crash
+        if pa.types.is_null(col.type):
+            return pa.nulls(len(col), pa.int64())
+        return pc.cast(fn(col), pa.int64())
+
     def to_deltas(batch: pa.Table) -> pa.Table:
         ch = batch["change"]
         is_i = pc.cast(pc.equal(ch, "I"), pa.int64())
@@ -78,12 +87,8 @@ def changelog_delta_rows(
         cols[count_name] = pc.subtract(is_i, is_d)
         for out, (src, transform) in sums.items():
             fn = _resolve(transform)
-            new = pc.fill_null(
-                pc.cast(fn(batch[f"{src}_new"]), pa.int64()), 0
-            )
-            old = pc.fill_null(
-                pc.cast(fn(batch[f"{src}_old"]), pa.int64()), 0
-            )
+            new = pc.fill_null(signed_term(batch[f"{src}_new"], fn), 0)
+            old = pc.fill_null(signed_term(batch[f"{src}_old"], fn), 0)
             cols[out] = pc.subtract(new, old)
         return pa.table(cols)
 
