@@ -179,6 +179,41 @@ def bucket_of(
     return pa.array((eff % np.uint64(num_buckets)).astype(np.int32))
 
 
+def buckets_for_key(
+    repo: str,
+    path: str | None,
+    num_buckets: int,
+    salt_for_repo: dict[str, int] | None = None,
+) -> list[int]:
+    """The candidate physical-bucket set for one key — the read-side
+    inverse of ``bucket_of``, enabling pruned point/keyed reads: a
+    lookup touches ONLY these chains, O(salt) buckets on a lake of any
+    size.
+
+    With ``path`` given the key routes to exactly one bucket (the same
+    arithmetic ``bucket_of`` applies per row). With ``path=None`` (a
+    whole-repo read) the set is every bucket a salted split of this
+    repo can reach: ``{(h*M + j) % B for j in range(salt)}`` — the salt
+    term ``hash64(path) % salt`` ranges over ``[0, salt)``. Unsalted
+    repos live in one bucket."""
+    salt = int((salt_for_repo or {}).get(repo, 1) or 1)
+    if path is not None:
+        b = bucket_of(
+            pa.array([repo], pa.string()),
+            pa.array([path], pa.string()),
+            num_buckets,
+            salt_for_repo,
+        )
+        return [int(b[0].as_py())]
+    # array arithmetic for the same silent uint64 wraparound bucket_of's
+    # vectorized path uses (numpy warns on scalar overflow, not array)
+    h = hash64(pa.array([repo], pa.string())) * np.uint64(1000003)
+    if salt <= 1:
+        return [int((h % np.uint64(num_buckets))[0])]
+    eff = (h + np.arange(salt, dtype=np.uint64)) % np.uint64(num_buckets)
+    return sorted({int(b) for b in eff})
+
+
 def key_strings(repo: pa.Array | pa.ChunkedArray, path: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Combined merge-key column ``repo\\x00path`` (string) — a single
     comparable/hashable column for joins, is_in membership and sorts."""

@@ -266,21 +266,15 @@ def _claimed_cache_dir(sf_dir: str, tag: str, build) -> str:
     return work
 
 
-def q_schema_evolution_replay(sf_dir: str):
-    """Additive-column schema evolution end-to-end through the REAL
-    binlog-tail replay (north rule; graft-added vs the reference —
-    SURVEY.md §1.1): epoch 0 (even event_ids) carries the base payload
-    schema, epoch 1 (odd event_ids) ADDS ``size_bytes`` mid-stream.
-    The union-schema scan (_binlog_scan_schema) must null-fill the
-    pre-evolution rows and LWW must keep each winner's own payload —
-    an epoch-0 winner surfaces size_bytes = NULL even though later
-    files carry the column. The two epoch files are derived
-    deterministically from the ``events`` table (driver-side build is
-    bounded: this is a correctness-surface query, not a bench path —
-    the replay itself is the distributed engine)."""
+def _schema_evo_lake(sf_dir: str) -> str:
+    """Build (cached) the two-epoch evolving lake both
+    ``schema_evolution_replay`` and ``lake_keyed_lookup`` read: epoch 0
+    (even event_ids) carries the base payload schema, epoch 1 (odd)
+    ADDS ``size_bytes`` mid-stream; keys are (user_id%7, event_id%211).
+    Returns the lake root."""
     import pyarrow.parquet as _pq
 
-    from ..pipelines.replay import ReplayConfig, lake_dataset, replay_stream
+    from ..pipelines.replay import ReplayConfig, replay_stream
 
     ev = _pq.read_table(
         table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
@@ -314,7 +308,24 @@ def q_schema_evolution_replay(sf_dir: str):
         )
 
     work = _claimed_cache_dir(sf_dir, "schema_evo", _build)
-    cfg = ReplayConfig(lake_root=os.path.join(work, "lake"), num_buckets=8)
+    return os.path.join(work, "lake")
+
+
+def q_schema_evolution_replay(sf_dir: str):
+    """Additive-column schema evolution end-to-end through the REAL
+    binlog-tail replay (north rule; graft-added vs the reference —
+    SURVEY.md §1.1): epoch 0 (even event_ids) carries the base payload
+    schema, epoch 1 (odd event_ids) ADDS ``size_bytes`` mid-stream.
+    The union-schema scan (_binlog_scan_schema) must null-fill the
+    pre-evolution rows and LWW must keep each winner's own payload —
+    an epoch-0 winner surfaces size_bytes = NULL even though later
+    files carry the column. The two epoch files are derived
+    deterministically from the ``events`` table (driver-side build is
+    bounded: this is a correctness-surface query, not a bench path —
+    the replay itself is the distributed engine)."""
+    from ..pipelines.replay import ReplayConfig, lake_dataset
+
+    cfg = ReplayConfig(lake_root=_schema_evo_lake(sf_dir), num_buckets=8)
 
     def project(t: pa.Table) -> pa.Table:
         sz = t["size_bytes"] if "size_bytes" in t.column_names else pa.nulls(
@@ -332,6 +343,31 @@ def q_schema_evolution_replay(sf_dir: str):
         })
 
     return lake_dataset(cfg.lake_root).map_batches(project, batch_format="pyarrow")
+
+
+def q_lake_keyed_lookup(sf_dir: str):
+    """Pruned keyed reads over a replayed lake (``lake_lookup`` /
+    ``lake_dataset(repos=...)``): a whole-repo lookup of repo '3' (a
+    layout-pruned scan touching only its candidate buckets) plus two
+    point lookups — the engine's answer to the reference's per-key JDBC
+    SELECT (LoadJpatBatchesTasklet.java:91), O(1 bucket) instead of
+    O(lake). Runs over the same cached two-epoch evolving lake as
+    ``schema_evolution_replay``; the oracle recomputes the LWW winners
+    in DuckDB and applies the identical key predicate, so the driver
+    hash certifies the pruned read == the full-state filter."""
+    from ..pipelines.replay import lake_lookup
+
+    root = _schema_evo_lake(sf_dir)
+    cols = ["repo", "path", "content", "content_sha256"]
+    parts = [lake_lookup(root, "3", columns=cols)]
+    for repo, path in (("1", "7"), ("5", "100")):
+        t = lake_lookup(root, repo, path, columns=cols)
+        if t.num_rows:
+            parts.append(t)
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.table({c: pa.array([], pa.string()) for c in cols})
+    return pa.concat_tables(parts, promote_options="default")
 
 
 def q_ivm_repo_stats(sf_dir: str):
@@ -3326,9 +3362,9 @@ QUERIES = {
     # the FIRST 50 keys each round. Round-4 window = the two round-1
     # sentinels + ALL 27 keys that have never had a driver row of any
     # kind (17 oracle-backed + 10 rows-only) + the new r4
-    # ivm_repo_stats + 20 refill keys whose most recent driver
-    # evidence is oldest (fingerprint_docs from r01, the rest last
-    # seen in r02). After this round every registry key has
+    # ivm_repo_stats and lake_keyed_lookup + 19 refill keys whose most
+    # recent driver evidence is oldest (fingerprint_docs from r01, the
+    # rest last seen in r02). After this round every registry key has
     # independent driver evidence at least once. The in-repo pytest
     # oracle covers ALL entries every run.
     "reconcile_detail": q_reconcile_detail,
@@ -3362,6 +3398,7 @@ QUERIES = {
     "anomaly_events": q_anomaly_events,
     "fingerprint_docs": q_fingerprint_docs,
     "ivm_repo_stats": q_ivm_repo_stats,
+    "lake_keyed_lookup": q_lake_keyed_lookup,
     "filter_project": q_filter_project,
     "groupby_sum": q_groupby_sum,
     "join_customer_nation": q_join_customer_nation,
@@ -4264,6 +4301,24 @@ ORACLE_SQL["schema_evolution_replay"] = (
     "COALESCE(size_bytes, -1) AS size_bytes, "
     "size_bytes IS NOT NULL AS evolved "
     "FROM w WHERE rn = 1"
+)
+
+# Pruned keyed lookup: the Ray side reads ONLY the candidate bucket
+# chains for the probed keys (lake_lookup over the layout fence); the
+# oracle recomputes the full LWW winner state and applies the same key
+# predicate — a hash match certifies pruned read == full-state filter.
+ORACLE_SQL["lake_keyed_lookup"] = (
+    "WITH ev AS ("
+    "SELECT event_id AS seq, CAST(user_id % 7 AS VARCHAR) AS repo, "
+    "CAST(event_id % 211 AS VARCHAR) AS path, event_type AS content "
+    "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL"
+    "), w AS ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path "
+    "ORDER BY seq % 2 DESC, seq DESC) AS rn "  # epoch first: LWW is (epoch, seq)
+    "FROM ev) "
+    "SELECT repo, path, content, sha256(content) AS content_sha256 "
+    "FROM w WHERE rn = 1 AND (repo = '3' "
+    "OR (repo = '1' AND path = '7') OR (repo = '5' AND path = '100'))"
 )
 
 # IVM certification: the Ray side maintains the epoch-1 aggregate

@@ -1,0 +1,169 @@
+"""Pruned keyed reads over the lake: ``lake_lookup`` (point / repo
+lookup touching only the candidate bucket chains) and
+``lake_dataset(repos=[...])`` (bucket-pruned keyed scan).
+
+Exactness contract: every pruned read must equal the same filter over
+the FULL lake state — including for salted (skewed-monorepo) repos,
+whose rows span several buckets — and the pruning must actually prune
+(candidate set < all buckets)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from etl_reconciliate_ray.functions.hashing import bucket_of, buckets_for_key
+from etl_reconciliate_ray.pipelines.replay import (
+    ReplayConfig,
+    lake_dataset,
+    lake_lookup,
+    lake_table,
+    replay,
+)
+
+
+def _cfg(tmp_path, name, manifest, **kw):
+    return ReplayConfig(
+        lake_root=str(tmp_path / name),
+        num_buckets=8,
+        salt_for_repo=manifest["salt_hot_repos"],
+        writer_concurrency=2,
+        **kw,
+    )
+
+
+def _sig(t, cols=("repo", "path", "content_sha256")):
+    rows = t.select([c for c in cols if c in t.column_names]).to_pylist()
+    return sorted(tuple(r.get(c) for c in cols) for r in rows)
+
+
+def test_buckets_for_key_inverts_bucket_of(fixture_small, tmp_path):
+    """For every lake key, bucket_of's assignment must be inside
+    buckets_for_key's candidate set — point keys exactly, repo-level
+    candidates as a superset — under the fixture's real salt map."""
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_inv", manifest)
+    replay(fixture_dir, cfg)
+    state = lake_table(cfg)
+    assigned = bucket_of(
+        state["repo"], state["path"], cfg.num_buckets, cfg.salt_for_repo
+    ).to_pylist()
+    repos = state["repo"].to_pylist()
+    paths = state["path"].to_pylist()
+    for repo, path, b in zip(repos, paths, assigned):
+        point = buckets_for_key(repo, path, cfg.num_buckets, cfg.salt_for_repo)
+        assert point == [b]
+        cands = buckets_for_key(repo, None, cfg.num_buckets, cfg.salt_for_repo)
+        assert b in cands
+        salt = (cfg.salt_for_repo or {}).get(repo, 1)
+        assert len(cands) <= min(salt, cfg.num_buckets)
+
+
+def test_point_lookup_equals_full_state_filter(fixture_small, tmp_path):
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_pt", manifest)
+    replay(fixture_dir, cfg)
+    state = lake_table(cfg)
+    # a plain key, plus a salted-monorepo key if the fixture has one
+    probe = {(state["repo"][0].as_py(), state["path"][0].as_py())}
+    for hot in manifest["salt_hot_repos"]:
+        m = state.filter(pc.equal(state["repo"], hot))
+        if m.num_rows:
+            probe.add((hot, m["path"][0].as_py()))
+    for repo, path in sorted(probe):
+        got = lake_lookup(cfg, repo, path)
+        want = state.filter(
+            pc.and_(pc.equal(state["repo"], repo), pc.equal(state["path"], path))
+        )
+        assert got.num_rows == want.num_rows == 1
+        assert _sig(got) == _sig(want)
+
+
+def test_repo_lookup_covers_salted_monorepo(fixture_small, tmp_path):
+    """A salted repo's rows span several buckets; the repo-level lookup
+    must still return every row (candidate set covers all salts)."""
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_salt", manifest)
+    replay(fixture_dir, cfg)
+    state = lake_table(cfg)
+    hot = [r for r in manifest["salt_hot_repos"] if manifest["salt_hot_repos"][r] > 1]
+    assert hot, "fixture should declare at least one salted repo"
+    for repo in hot:
+        got = lake_lookup(cfg, repo)
+        want = state.filter(pc.equal(state["repo"], repo))
+        assert got.num_rows == want.num_rows > 0
+        assert _sig(got) == _sig(want)
+        # the pruning is real: candidates < all buckets
+        cands = buckets_for_key(repo, None, cfg.num_buckets, cfg.salt_for_repo)
+        assert len(cands) < cfg.num_buckets
+
+
+def test_lookup_missing_key_and_columns_projection(fixture_small, tmp_path):
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_miss", manifest)
+    replay(fixture_dir, cfg)
+    assert lake_lookup(cfg, "no-such-repo", "no/such/path").num_rows == 0
+    state = lake_table(cfg)
+    repo, path = state["repo"][0].as_py(), state["path"][0].as_py()
+    got = lake_lookup(cfg, repo, path, columns=["content_sha256"])
+    assert got.column_names == ["content_sha256"]
+    assert got.num_rows == 1
+
+
+def test_lookup_time_travel_matches_historical_state(fixture_small, tmp_path):
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_tt", manifest)
+    replay(fixture_dir, cfg)
+    past = 1
+    hist = lake_table(cfg, as_of_epoch=past)
+    repo, path = hist["repo"][0].as_py(), hist["path"][0].as_py()
+    got = lake_lookup(cfg, repo, path, as_of_epoch=past)
+    want = hist.filter(
+        pc.and_(pc.equal(hist["repo"], repo), pc.equal(hist["path"], path))
+    )
+    assert _sig(got) == _sig(want)
+
+
+def test_lake_dataset_repos_pruned_scan(fixture_small, tmp_path, ray_session):
+    """lake_dataset(repos=[...]) == full-state row filter, on both the
+    merge-on-read path (delta chains) and the compacted fast path."""
+    from etl_reconciliate_ray.pipelines.replay import compact
+
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_scan", manifest)
+    replay(fixture_dir, cfg)
+    state = lake_table(cfg)
+    all_repos = sorted(set(state["repo"].to_pylist()))
+    pick = [all_repos[0], all_repos[-1]] + [
+        r for r in manifest["salt_hot_repos"] if r in all_repos
+    ][:1]
+    pick = sorted(set(pick))
+    want = state.filter(pc.is_in(state["repo"], value_set=pa.array(pick, pa.string())))
+    for label in ("mor", "compacted"):
+        if label == "compacted":
+            compact(cfg)
+        got = lake_dataset(cfg, repos=pick).take_all()
+        got_sig = sorted(
+            (r["repo"], r["path"], r["content_sha256"]) for r in got
+        )
+        assert got_sig == _sig(want)
+    # projection without repo still filters correctly
+    t = lake_dataset(cfg, columns=["path"], repos=pick).take_all()
+    assert sorted(r["path"] for r in t) == sorted(
+        want["path"].to_pylist()
+    )
+
+
+def test_lookup_refuses_layoutless_lake(tmp_path):
+    """A lake with committed epochs but no layout record has unknown
+    routing — keyed reads must refuse, not guess."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.state.commitlog import CommitLog
+
+    root = str(tmp_path / "bare")
+    log = CommitLog.open(root)
+    # no ensure_layout; an empty log has no layout either
+    with pytest.raises(ValueError, match="layout"):
+        lake_lookup(root, "r", "p")
