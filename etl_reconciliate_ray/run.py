@@ -74,6 +74,13 @@ def main(argv: list[str] | None = None) -> dict:
                         "(state-sha-preserving rebucket; source lake untouched)")
     p.add_argument("--auto-salt-threshold", type=float, default=2.0,
                    help="max/mean chain-rows ratio that triggers --auto-salt")
+    p.add_argument("--lookup", metavar="REPO[:PATH]", default=None,
+                   help="read-only pruned keyed read of an existing lake "
+                        "(no replay inputs, no Ray session): resolve only "
+                        "the candidate bucket chain(s) for the key and "
+                        "print the committed rows as JSON")
+    p.add_argument("--as-of", type=int, default=None,
+                   help="with --lookup: time-travel the read to this sealed epoch")
     p.add_argument("--num-cpus", type=int, default=None, help="only used if Ray is not initialised")
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="serve the reference's REST trigger instead of running "
@@ -81,6 +88,25 @@ def main(argv: list[str] | None = None) -> dict:
                         "(single-flight, 409 while active), GET /status reports "
                         "the last run; blocks until interrupted")
     args = p.parse_args(argv)
+
+    if args.lookup is not None:
+        # read-only: lake_lookup is driver-side pyarrow over the pruned
+        # chain — no Ray session, no replay inputs
+        if args.fixture or args.binlog_dir:
+            p.error("--lookup is a read-only mode; drop --fixture/--binlog-dir")
+        from .pipelines.replay import lake_lookup
+
+        repo, _, path = args.lookup.partition(":")
+        t = lake_lookup(args.lake, repo, path or None, as_of_epoch=args.as_of)
+        out = {
+            "repo": repo,
+            "path": path or None,
+            "rows": t.num_rows,
+            "records": t.to_pylist(),
+        }
+        print(json.dumps(out, sort_keys=True, default=str))
+        return out
+
     if (args.fixture is None) == (args.binlog_dir is None):
         p.error("exactly one of --fixture / --binlog-dir is required")
 

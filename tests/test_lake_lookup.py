@@ -155,6 +155,30 @@ def test_lake_dataset_repos_pruned_scan(fixture_small, tmp_path, ray_session):
     )
 
 
+def test_cli_lookup_mode(fixture_small, tmp_path, ray_session, capsys):
+    """--lookup REPO[:PATH] is a read-only CLI mode: no replay inputs,
+    no Ray requirement, prints the pruned keyed read as JSON."""
+    import json
+
+    from etl_reconciliate_ray.run import main
+
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_cli", manifest)
+    replay(fixture_dir, cfg)
+    state = lake_table(cfg)
+    repo, path = state["repo"][0].as_py(), state["path"][0].as_py()
+    out = main(["--lake", cfg.lake_root, "--lookup", f"{repo}:{path}"])
+    assert out["rows"] == 1
+    assert out["records"][0]["repo"] == repo
+    assert out["records"][0]["path"] == path
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["rows"] == 1
+    # whole-repo spelling (no colon)
+    out2 = main(["--lake", cfg.lake_root, "--lookup", repo])
+    want = state.filter(pc.equal(state["repo"], repo)).num_rows
+    assert out2["rows"] == want
+
+
 def test_lookup_refuses_layoutless_lake(tmp_path):
     """A lake with committed epochs but no layout record has unknown
     routing — keyed reads must refuse, not guess."""
