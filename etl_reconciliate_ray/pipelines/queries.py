@@ -666,6 +666,61 @@ def q_session_window_events(sf_dir: str):
     return out.map_batches(fmt, batch_format="pandas")
 
 
+def q_watermark_window_events(sf_dir: str):
+    """Event-time tumbling windows under WATERMARK discipline with
+    allowed lateness (stages/streamwin — Flink/Dataflow semantics,
+    graft-added streaming surface): arrival epochs are the event_id
+    quartiles, event time is ``ts`` pulled back 24 h for user_id%5==4
+    rows (deterministic planted stragglers at every scale), windows are
+    4 h wide with 1 h allowed lateness. A window whose end the
+    epoch-granularity watermark passed before a straggler arrives
+    counts it in ``n_late`` and keeps it OUT of the aggregate;
+    ``closed`` reports each window's state under the final watermark.
+    All arithmetic is integer µs / integer cents, so the DuckDB oracle
+    (identical watermark recursion as window functions) hash-matches
+    exactly."""
+    from ..stages.streamwin import watermark_window_agg
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    m = read_table(sf_dir, "events", columns=["event_id"]).max("event_id") + 1
+    day_us = 24 * 3600 * 1_000_000
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"])))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        disp = (uid % 5 == 4).astype(np.int64) * day_us
+        cents = np.round(
+            pc.fill_null(t["value"], 0.0).to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "epoch": pa.array((eid * 4) // m, pa.int64()),
+            "ts_eff": pa.array(ts_us - disp, pa.int64()).cast(pa.timestamp("us")),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    out = watermark_window_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        epoch_col="epoch", ts_col="ts_eff",
+        width_sec=4 * 3600, lateness_sec=3600,
+        keys=[], value_col="cents",
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": t["window_start"],
+            "n": t["n"],
+            "n_late": t["n_late"],
+            # cents ride the float64 partial sums exactly (integers
+            # well under 2^53), so the cast back is lossless
+            "sum_cents": pc.cast(t["sum_value"], pa.int64()),
+            "closed": t["closed"],
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- set ops
 def q_distinct_event_types(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type"])
@@ -3399,6 +3454,7 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "ivm_repo_stats": q_ivm_repo_stats,
     "lake_keyed_lookup": q_lake_keyed_lookup,
+    "watermark_window_events": q_watermark_window_events,
     "filter_project": q_filter_project,
     "groupby_sum": q_groupby_sum,
     "join_customer_nation": q_join_customer_nation,
@@ -4319,6 +4375,39 @@ ORACLE_SQL["lake_keyed_lookup"] = (
     "SELECT repo, path, content, sha256(content) AS content_sha256 "
     "FROM w WHERE rn = 1 AND (repo = '3' "
     "OR (repo = '1' AND path = '7') OR (repo = '5' AND path = '100'))"
+)
+
+# Watermark windows: the oracle replays the identical epoch-granularity
+# watermark recursion as window functions — per-epoch max event time,
+# running max over STRICTLY EARLIER epochs minus lateness = the
+# watermark each row arrives under; a row is late iff its window end
+# precedes that. All µs/cents integer arithmetic: exact hash match.
+ORACLE_SQL["watermark_window_events"] = (
+    "WITH ev AS ("
+    "SELECT event_id, epoch_us(ts) - CASE WHEN user_id % 5 = 4 "
+    "THEN 86400000000 ELSE 0 END AS ts_us, "
+    "CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents "
+    "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+    "), m AS (SELECT MAX(event_id) + 1 AS m FROM ev"
+    "), e2 AS ("
+    "SELECT (event_id * 4) // m AS epoch, ts_us, cents, "
+    "(ts_us // 14400000000) * 14400000000 AS ws_us FROM ev, m"
+    "), wm AS (SELECT epoch, MAX(ts_us) AS mx FROM e2 GROUP BY epoch"
+    "), wmb AS ("
+    "SELECT epoch, MAX(mx) OVER (ORDER BY epoch "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 3600000000 "
+    "AS wm_before FROM wm"
+    "), fin AS (SELECT MAX(mx) - 3600000000 AS wm_final FROM wm"
+    "), tagged AS ("
+    "SELECT e2.*, (wmb.wm_before IS NOT NULL AND "
+    "e2.ws_us + 14400000000 <= wmb.wm_before) AS late "
+    "FROM e2 JOIN wmb USING (epoch)) "
+    "SELECT make_timestamp(ws_us) AS window_start, "
+    "SUM(CASE WHEN late THEN 0 ELSE 1 END) AS n, "
+    "SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late, "
+    "SUM(CASE WHEN late THEN 0 ELSE cents END) AS sum_cents, "
+    "ws_us + 14400000000 <= (SELECT wm_final FROM fin) AS closed "
+    "FROM tagged GROUP BY ws_us"
 )
 
 # IVM certification: the Ray side maintains the epoch-1 aggregate

@@ -1,0 +1,156 @@
+"""Watermark-window semantics (stages/streamwin): planted-lateness
+exactness, the streaming accumulator's emit-once / drop-notice
+contract vs the batch operator, and the driver state budget refusal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from etl_reconciliate_ray.stages.streamwin import (
+    WatermarkWindowStream,
+    epoch_watermarks,
+    watermark_window_agg,
+)
+
+US = 1_000_000
+H = 3600 * US
+
+
+def _fixture() -> pa.Table:
+    """3 arrival epochs, 1 h windows, 0.5 h lateness; every behavior
+    planted: in-window accept, within-lateness straggler accept,
+    past-watermark late drop, still-open tail windows."""
+    rows = [
+        (0, 0.5, "a", 1.0),   # window [0,1)
+        (0, 1.2, "a", 2.0),   # window [1,2)
+        (1, 0.1, "a", 4.0),   # straggler, but [0,1) not closed yet (wm=0.7h) -> accepted
+        (1, 3.5, "a", 8.0),   # advances watermark to 3.0h
+        (2, 0.2, "a", 16.0),  # [0,1) closed at 3.0h watermark -> LATE
+        (2, 3.9, "b", 32.0),  # open tail window
+    ]
+    return pa.table({
+        "epoch": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([int(r[1] * H) for r in rows], pa.timestamp("us")),
+        "k": pa.array([r[2] for r in rows]),
+        "v": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+def _agg(df: pd.DataFrame) -> pd.DataFrame:
+    out = (
+        df.groupby(["k", "window_start"], as_index=False)
+        .agg(n=("n", "sum"), n_late=("n_late", "sum"),
+             sum_value=("sum_value", "sum"), closed=("closed", "max"))
+        .sort_values(["k", "window_start"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def test_epoch_watermarks_running_max(ray_session):
+    import ray.data as rd
+
+    wm = epoch_watermarks(rd.from_arrow(_fixture()), "epoch", "ts", 1800)
+    assert wm[0] is None
+    assert wm[1] == int(1.2 * H) - 1800 * US
+    assert wm[2] == int(3.5 * H) - 1800 * US
+    assert wm[-1] == int(3.9 * H) - 1800 * US
+
+
+def test_batch_watermark_window_planted(ray_session):
+    import ray.data as rd
+
+    out = pd.DataFrame(
+        watermark_window_agg(
+            rd.from_arrow(_fixture()), "epoch", "ts", 3600, 1800,
+            keys=["k"], value_col="v",
+        ).take_all()
+    ).sort_values(["k", "window_start"]).reset_index(drop=True)
+    by = {(r.k, r.window_start.hour): r for r in out.itertuples()}
+    w0 = by[("a", 0)]   # straggler accepted, late row dropped+counted
+    assert (w0.n, w0.n_late, w0.sum_value, w0.closed) == (2, 1, 5.0, True)
+    w1 = by[("a", 1)]
+    assert (w1.n, w1.n_late, w1.closed) == (1, 0, True)
+    assert by[("a", 3)].closed == False  # noqa: E712 - open tail
+    assert by[("b", 3)].closed == False  # noqa: E712
+
+
+def test_stream_equals_batch_after_reaggregation(ray_session):
+    import ray.data as rd
+
+    t = _fixture()
+    batch = _agg(pd.DataFrame(
+        watermark_window_agg(
+            rd.from_arrow(t), "epoch", "ts", 3600, 1800,
+            keys=["k"], value_col="v",
+        ).take_all()
+    ))
+    st = WatermarkWindowStream("ts", 3600, 1800, keys=["k"], value_col="v")
+    ems = []
+    for e in range(3):
+        em = st.advance(rd.from_arrow(t.filter(pc.equal(t["epoch"], e))))
+        if em.num_rows:
+            ems.append(em.to_pandas())
+    fl = st.flush()
+    if fl.num_rows:
+        ems.append(fl.to_pandas())
+    stream = _agg(pd.concat(ems, ignore_index=True))
+    pd.testing.assert_frame_equal(batch, stream, check_dtype=False)
+
+
+def test_stream_emits_closed_window_once_then_drop_notice(ray_session):
+    import ray.data as rd
+
+    t = _fixture()
+    st = WatermarkWindowStream("ts", 3600, 1800, keys=["k"], value_col="v")
+    em0 = st.advance(rd.from_arrow(t.filter(pc.equal(t["epoch"], 0))))
+    assert em0.num_rows == 0  # nothing closed yet
+    em1 = st.advance(rd.from_arrow(t.filter(pc.equal(t["epoch"], 1))))
+    # watermark 3.0h closes [0,1),[1,2): both emit exactly here
+    got = {(r["k"], r["window_start"].hour): r for r in em1.to_pylist()}
+    assert got[("a", 0)]["n"] == 2 and got[("a", 0)]["closed"]
+    assert got[("a", 1)]["n"] == 1
+    em2 = st.advance(rd.from_arrow(t.filter(pc.equal(t["epoch"], 2))))
+    # the late row surfaces as a drop notice, never mutating the emitted
+    # aggregate (n=0, n_late=1)
+    notices = [r for r in em2.to_pylist() if r["window_start"].hour == 0]
+    assert len(notices) == 1
+    assert notices[0]["n"] == 0 and notices[0]["n_late"] == 1
+    fl = st.flush()
+    assert all(not r["closed"] for r in fl.to_pylist())
+    assert {(r["k"], r["window_start"].hour) for r in fl.to_pylist()} == {
+        ("a", 3), ("b", 3)
+    }
+
+
+def test_stream_state_budget_refusal(ray_session):
+    import ray.data as rd
+
+    n = 64
+    t = pa.table({
+        "ts": pa.array(np.arange(n, dtype=np.int64) * H, pa.timestamp("us")),
+        "k": pa.array([str(i) for i in range(n)]),
+        "v": pa.array(np.ones(n), pa.float64()),
+    })
+    st = WatermarkWindowStream(
+        "ts", 3600, 1e9, keys=["k"], value_col="v", state_budget_rows=10
+    )  # huge lateness: nothing ever closes, state must grow past budget
+    with pytest.raises(ValueError, match="budget"):
+        st.advance(rd.from_arrow(t))
+
+
+def test_empty_epoch_is_noop(ray_session):
+    import ray.data as rd
+
+    t = _fixture()
+    st = WatermarkWindowStream("ts", 3600, 1800, keys=["k"], value_col="v")
+    st.advance(rd.from_arrow(t.filter(pc.equal(t["epoch"], 0))))
+    em = st.advance(rd.from_arrow(t.slice(0, 0)))
+    assert em.num_rows == 0
+    # watermark unchanged: epoch 1 behaves as if the empty one never was
+    em1 = st.advance(rd.from_arrow(t.filter(pc.equal(t["epoch"], 1))))
+    assert {r["window_start"].hour for r in em1.to_pylist()} == {0, 1}
