@@ -93,6 +93,13 @@ class ReplayConfig:
     # - "shuffle": groupby(epoch, bucket) sort shuffle, one merge task
     #   per group (most general; group-local logic sees all rows).
     merge_strategy: str = "direct"
+    # compaction splits a bucket's rewritten base into pieces of about
+    # this many (in-memory Arrow) bytes — a commit-log part entry holds
+    # a files TUPLE, so readers are unchanged. None = one file per
+    # bucket, fine at sandbox scale; at 100 TB a 64-bucket lake would
+    # otherwise write multi-TB single parquet files (unresumable,
+    # unstreamable). 256 MiB is the Iceberg/Hudi-ish default target.
+    compact_target_bytes: int | None = None
 
     def layout(self) -> dict:
         """The physical-layout fingerprint fenced by the commit log —
@@ -774,6 +781,8 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
     lake_root = cfg.lake_root
     items = [{"part": p, "chain": json.dumps(c)} for p, c in sorted(todo.items())]
 
+    target = cfg.compact_target_bytes
+
     def compact_one(batch: pa.Table) -> pa.Table:
         # task-side write (write_piece_local): the task already holds
         # the resolved state, so shipping it through the object store to
@@ -789,7 +798,24 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
                 cols = {c: pa.array([None], pa.string()) for c in LAKE_COLS}
                 cols["bucket"] = pa.array([part], pa.int32())
                 state = pa.table(cols)
-            rows.append(write_piece_local(lake_root, epoch, part, state, "full"))
+            # target-size split: slice the rewritten base into ~equal
+            # row ranges sized by in-memory bytes; each slice is its own
+            # content-addressed piece, folded into ONE multi-file part
+            # entry by _commit_manifest_rows (readers are unchanged —
+            # read_chain reads every file of a link). Deterministic
+            # given the chain, so retries stay idempotent.
+            n_pieces = 1
+            if target and state.num_rows and state.nbytes > target:
+                n_pieces = min(state.num_rows, -(-state.nbytes // target))
+            if n_pieces == 1:
+                rows.append(write_piece_local(lake_root, epoch, part, state, "full"))
+            else:
+                step = -(-state.num_rows // n_pieces)
+                for off in range(0, state.num_rows, step):
+                    rows.append(write_piece_local(
+                        lake_root, epoch, part,
+                        state.slice(off, step), "full",
+                    ))
         return pa.Table.from_pylist(rows)
 
     rows_ds = rd.from_items(items, override_num_blocks=len(items)).map_batches(

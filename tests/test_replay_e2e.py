@@ -206,6 +206,37 @@ def test_compact_collapses_chains_preserving_state(fixture_small, tmp_path):
     assert compact(cfg)["skipped"] is True
 
 
+def test_compact_target_bytes_splits_bases_preserving_state(fixture_small, tmp_path):
+    """compact_target_bytes splits each rewritten base into multiple
+    content-addressed pieces under ONE multi-file part entry: the data
+    model (PartEntry.files tuple) and every reader are unchanged, the
+    state sha is identical, and vacuum keeps all referenced pieces —
+    the 100 TB answer to multi-TB single-file bases."""
+    from etl_reconciliate_ray.pipelines.replay import compact, lake_table, vacuum
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_split", manifest)
+    cfg.pipeline_epochs = 4
+    replay(fixture_dir, cfg)
+    before = lake_state_hash(cfg.lake_root)
+    rows_before = lake_table(cfg.lake_root).num_rows
+
+    cfg.compact_target_bytes = 4096  # tiny: force several pieces per bucket
+    m = compact(cfg)
+    assert not m["skipped"]
+    log = CommitLog.open(cfg.lake_root)
+    chains = log.part_chains()
+    assert all(len(c) == 1 and c[0].kind == "full" for c in chains.values())
+    multi = [c[0] for c in chains.values() if len(c[0].files) > 1]
+    assert multi, "tiny target must split at least one bucket's base"
+    assert lake_state_hash(cfg.lake_root) == before
+    assert lake_table(cfg.lake_root).num_rows == rows_before
+    # vacuum must keep every referenced piece and reads stay exact
+    vacuum(cfg)
+    assert lake_state_hash(cfg.lake_root) == before
+    assert compact(cfg)["skipped"] is True
+
+
 def test_delta_chain_kinds_and_resume_pipelined(fixture_small, tmp_path):
     """Sequential auto-mode writes deltas under the threshold; a
     pipelined run killed mid-stream resumes to the converged state."""
