@@ -493,16 +493,51 @@ def follow_stream(
     return out
 
 
+_INT_WIDTH = {pa.int8(): 8, pa.int16(): 16, pa.int32(): 32, pa.int64(): 64}
+_UINT_WIDTH = {pa.uint8(): 8, pa.uint16(): 16, pa.uint32(): 32, pa.uint64(): 64}
+_FLOAT_WIDTH = {pa.float16(): 16, pa.float32(): 32, pa.float64(): 64}
+
+
+def _safe_widen(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
+    """The LOSSLESS common type of two evolved column types, or None if
+    no safe promotion exists. Same-kind widening only (Debezium-style
+    additive type evolution): signed↔signed / unsigned↔unsigned /
+    float↔float width bumps, (large_)string and (large_)binary offset
+    widening, decimal128 precision growth at the SAME scale. Signed vs
+    unsigned, int vs float (int64→float64 loses above 2^53), and
+    timestamp unit changes stay refused."""
+    for widths in (_INT_WIDTH, _UINT_WIDTH, _FLOAT_WIDTH):
+        if a in widths and b in widths:
+            return a if widths[a] >= widths[b] else b
+    strs = (pa.string(), pa.large_string())
+    if a in strs and b in strs:
+        return pa.large_string()
+    bins = (pa.binary(), pa.large_binary())
+    if a in bins and b in bins:
+        return pa.large_binary()
+    if (
+        pa.types.is_decimal128(a)
+        and pa.types.is_decimal128(b)
+        and a.scale == b.scale
+    ):
+        return pa.decimal128(max(a.precision, b.precision), a.scale)
+    return None
+
+
 def _binlog_scan_schema(files: list[str], drop: tuple[str, ...] = ("ts",)) -> "pa.Schema":
     """Unified scan schema across binlog files — the schema-evolution
     contract: a payload column ADDED mid-stream appears in the unified
     schema (older files surface it as nulls via the explicit
     ``schema=`` read); a column absent from later files likewise reads
-    as null there. A TYPE change for an existing column is refused
-    loudly (silently coercing CDC payloads corrupts the lake). ``drop``
-    columns (``ts``: dead weight in replay — LWW orders on seq) are
-    pruned at the scan. Field order is first-appearance, so the
-    pre-evolution prefix stays stable.
+    as null there. A type change for an existing column unifies to the
+    LOSSLESS wider type when one exists (``_safe_widen`` — int/float
+    width bumps, string/binary offset widening, decimal precision
+    growth; the parquet scanner casts narrower fragments up, and the
+    lake's chain resolution already promotes permissively) and is
+    refused loudly otherwise (silently coercing CDC payloads corrupts
+    the lake). ``drop`` columns (``ts``: dead weight in replay — LWW
+    orders on seq) are pruned at the scan. Field order is
+    first-appearance, so the pre-evolution prefix stays stable.
 
     Without this, ``read_parquet(files)`` infers the schema from the
     FIRST fragment and a column added in a later epoch of the same
@@ -523,11 +558,14 @@ def _binlog_scan_schema(files: list[str], drop: tuple[str, ...] = ("ts",)) -> "p
                 if pa.types.is_null(prev.type):
                     fields[fld.name] = fld
                 elif not pa.types.is_null(fld.type):
-                    raise ValueError(
-                        f"binlog schema evolution changed the TYPE of column "
-                        f"{fld.name!r} ({prev.type} -> {fld.type} in {f}); "
-                        "type changes must be rewritten upstream, refusing"
-                    )
+                    wide = _safe_widen(prev.type, fld.type)
+                    if wide is None:
+                        raise ValueError(
+                            f"binlog schema evolution changed the TYPE of column "
+                            f"{fld.name!r} ({prev.type} -> {fld.type} in {f}) with "
+                            "no lossless promotion; rewrite upstream, refusing"
+                        )
+                    fields[fld.name] = pa.field(fld.name, wide)
     return pa.schema(list(fields.values()))
 
 

@@ -120,6 +120,74 @@ def test_binlog_scan_schema_refuses_type_change(tmp_path):
     assert sch.field("extra").type == pa.int64() and len(sch) == 3
 
 
+def test_safe_widen_lattice():
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.pipelines.replay import _safe_widen
+
+    assert _safe_widen(pa.int32(), pa.int64()) == pa.int64()
+    assert _safe_widen(pa.int64(), pa.int8()) == pa.int64()
+    assert _safe_widen(pa.uint16(), pa.uint32()) == pa.uint32()
+    assert _safe_widen(pa.float32(), pa.float64()) == pa.float64()
+    assert _safe_widen(pa.string(), pa.large_string()) == pa.large_string()
+    assert _safe_widen(pa.binary(), pa.large_binary()) == pa.large_binary()
+    assert _safe_widen(pa.decimal128(10, 2), pa.decimal128(20, 2)) == pa.decimal128(20, 2)
+    # lossy corners stay refused
+    assert _safe_widen(pa.int32(), pa.uint32()) is None
+    assert _safe_widen(pa.int64(), pa.float64()) is None
+    assert _safe_widen(pa.string(), pa.int64()) is None
+    assert _safe_widen(pa.decimal128(10, 2), pa.decimal128(10, 4)) is None
+    assert _safe_widen(pa.timestamp("us"), pa.timestamp("ms")) is None
+
+
+def test_schema_evolution_type_widening_replay(tmp_path, ray_session):
+    """A column whose type WIDENS mid-stream (int32 -> int64, the
+    Debezium ALTER COLUMN BIGINT case) replays losslessly: the unified
+    scan schema takes the wider type, narrower fragments cast up, and
+    pipelined == sequential state with post-widening values that
+    genuinely need 64 bits."""
+    import os
+
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.pipelines.replay import ReplayConfig, replay_stream
+
+    binlog = str(tmp_path / "binlog_widen")
+    os.makedirs(binlog)
+    big = 5_000_000_000  # > int32
+    pq.write_table(pa.table({
+        "seq": pa.array([1, 2], pa.int64()),
+        "op": pa.array(["I", "I"]),
+        "repo": pa.array(["r", "r"]),
+        "path": pa.array(["a", "b"]),
+        "content": pa.array(["x", "y"]),
+        "size": pa.array([10, 20], pa.int32()),
+    }), os.path.join(binlog, "epoch=00000.parquet"))
+    pq.write_table(pa.table({
+        "seq": pa.array([3, 4], pa.int64()),
+        "op": pa.array(["U", "I"]),
+        "repo": pa.array(["r", "r"]),
+        "path": pa.array(["a", "c"]),
+        "content": pa.array(["x2", "z"]),
+        "size": pa.array([big, big + 1], pa.int64()),
+    }), os.path.join(binlog, "epoch=00001.parquet"))
+
+    states = {}
+    for name, pipeline in (("seq", 1), ("pipe", 8)):
+        cfg = ReplayConfig(
+            lake_root=str(tmp_path / f"lake_widen_{name}"),
+            num_buckets=4, pipeline_epochs=pipeline,
+        )
+        replay_stream(binlog, cfg)
+        t = lake_table(cfg.lake_root)
+        states[name] = {
+            r["path"]: (r["content"], r["size"]) for r in t.to_pylist()
+        }
+        assert t.schema.field("size").type == pa.int64()
+    want = {"a": ("x2", big), "b": ("y", 20), "c": ("z", big + 1)}
+    assert states["seq"] == want and states["pipe"] == want
+
+
 def test_kill_restart_converges(fixture_small, tmp_path):
     fixture_dir, cfg_gen, manifest = fixture_small
     cfg_a = _cfg(tmp_path, "lake_uninterrupted", manifest)
