@@ -1539,6 +1539,89 @@ def lake_changelog(
     )
 
 
+def export_changelog(
+    cfg_or_root,
+    out_dir: str,
+    image_cols: list[str] | None = None,
+) -> dict:
+    """Durable, exactly-once spool of the outbound CDC feed for
+    NON-Ray consumers (the Debezium-outbox completion of the engine's
+    own ``lake_changelog``): each call exports the changes between the
+    consumer cursor and the lake's sealed head as a parquet segment
+    directory ``<out_dir>/feed/epochs=<from>-<to>/`` with a ``_SEALED``
+    marker, then atomically advances ``<out_dir>/_CURSOR``.
+
+    First call bootstraps Debezium-style: the FULL current state spools
+    as one ``'I'`` snapshot segment (a consumer needs a base to apply
+    deltas to). Later calls spool only the per-key diff between sealed
+    states — work O(changed buckets' chains), never a rescan of
+    unchanged history.
+
+    Exactly-once under crash/retry, mirroring the lake's own publish
+    discipline: segments are derived deterministically from SEALED
+    inputs, an unsealed leftover directory is rebuilt in place, and the
+    cursor only moves after the ``_SEALED`` marker lands — a consumer
+    that reads only sealed segments in name order sees each change
+    exactly once. Writes are distributed (``Dataset.write_parquet``);
+    nothing data-scale lands on the driver."""
+    import shutil as _shutil
+
+    root = _root_of(cfg_or_root)
+    log = CommitLog.open(root)
+    head = log.latest_sealed_epoch()
+    os.makedirs(os.path.join(out_dir, "feed"), exist_ok=True)
+    cursor_path = os.path.join(out_dir, "_CURSOR")
+    cur = None
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            cur = int(fh.read().strip())
+    if head is None or (cur is not None and head <= cur):
+        return {"skipped": True, "cursor": cur, "head": head}
+
+    if cur is None:
+        images = [c for c in (image_cols or []) if c not in ("repo", "path")]
+        cols = ["repo", "path", "content_sha256"] + [
+            c for c in images if c != "content_sha256"
+        ]
+        seg = os.path.join(out_dir, "feed", f"epochs=snapshot-{head:05d}")
+
+        def as_inserts(t: pa.Table) -> pa.Table:
+            out: dict[str, object] = {
+                "repo": t["repo"],
+                "path": t["path"],
+                "change": pa.array(["I"] * t.num_rows),
+                "content_sha256": t["content_sha256"],
+            }
+            for c in images:
+                out[f"{c}_old"] = pa.nulls(t.num_rows, t[c].type)
+                out[f"{c}_new"] = t[c]
+            return pa.table(out)
+
+        feed = lake_dataset(root, columns=cols, as_of_epoch=head).map_batches(
+            as_inserts, batch_format="pyarrow"
+        )
+    else:
+        seg = os.path.join(out_dir, "feed", f"epochs={cur:05d}-{head:05d}")
+        feed = lake_changelog(
+            root, from_epoch=cur, to_epoch=head, image_cols=image_cols
+        )
+    _shutil.rmtree(seg, ignore_errors=True)  # crashed unsealed attempt
+    feed.write_parquet(seg)
+    with open(os.path.join(seg, "_SEALED"), "w") as fh:
+        fh.write("ok\n")
+    tmp = cursor_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"{head}\n")
+    os.replace(tmp, cursor_path)
+    return {
+        "skipped": False,
+        "segment": seg,
+        "from_epoch": cur,
+        "to_epoch": head,
+        "snapshot": cur is None,
+    }
+
+
 def lake_state_hash(cfg_or_root) -> str:
     """Global order-insensitive sha256 of (repo, path -> content_sha256)
     — the kill/restart convergence invariant."""

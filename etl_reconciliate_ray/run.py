@@ -74,6 +74,11 @@ def main(argv: list[str] | None = None) -> dict:
                         "(state-sha-preserving rebucket; source lake untouched)")
     p.add_argument("--auto-salt-threshold", type=float, default=2.0,
                    help="max/mean chain-rows ratio that triggers --auto-salt")
+    p.add_argument("--export-feed", metavar="OUT_DIR", default=None,
+                   help="after replay, spool the outbound CDC feed to OUT_DIR "
+                        "(snapshot bootstrap, then sealed incremental parquet "
+                        "segments + atomic cursor; exactly-once for consumers "
+                        "reading sealed segments in order)")
     p.add_argument("--lookup", metavar="REPO[:PATH]", default=None,
                    help="read-only pruned keyed read of an existing lake "
                         "(no replay inputs, no Ray session): resolve only "
@@ -197,12 +202,21 @@ def main(argv: list[str] | None = None) -> dict:
 
         view_rows = maintain_repo_view(args.lake).num_rows
 
+    feed_seg = None
+    if args.export_feed:
+        from .pipelines.replay import export_changelog
+
+        fm = export_changelog(args.lake, args.export_feed)
+        feed_seg = fm.get("segment") if not fm["skipped"] else "skipped"
+
     if snapshot_path is None:
         summary = {"epochs": len(metrics), "lake_root": args.lake, "reconciled": False}
         if view_rows is not None:
             summary["view_repos"] = view_rows
         if vacuum_stats is not None:
             summary["vacuumed"] = vacuum_stats["deleted"]
+        if feed_seg is not None:
+            summary["feed_segment"] = feed_seg
         print(json.dumps(summary, sort_keys=True))
         return summary
 
@@ -233,6 +247,8 @@ def main(argv: list[str] | None = None) -> dict:
         meta["view_repos"] = view_rows
     if vacuum_stats is not None:
         meta["vacuumed"] = vacuum_stats["deleted"]
+    if feed_seg is not None:
+        meta["feed_segment"] = feed_seg
     summary = write_report(
         detail, rollup, counts, args.report or os.path.join(args.lake, "report"),
         meta=meta,

@@ -909,6 +909,88 @@ def test_changelog_between_epochs_matches_state_diff(fixture_small, tmp_path):
     assert lake_changelog(cfg, from_epoch=sealed, to_epoch=sealed).count() == 0
 
 
+def test_export_changelog_spool_exactly_once(fixture_small, tmp_path, ray_session):
+    """export_changelog: snapshot bootstrap, incremental segments,
+    crash-idempotent publish, and a consumer applying snapshot + deltas
+    reconstructs the final lake state exactly."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from etl_reconciliate_ray.pipelines.replay import (
+        ReplayConfig,
+        export_changelog,
+        replay_stream,
+    )
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    assert len(files) >= 4
+    tail = str(tmp_path / "spool_tail")
+    os.makedirs(tail)
+    for f in files[:2]:
+        shutil.copy(f, os.path.join(tail, os.path.basename(f)))
+    cfg = ReplayConfig(lake_root=str(tmp_path / "spool_lake"), num_buckets=8)
+    replay_stream(tail, cfg, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    out = str(tmp_path / "spool_out")
+
+    m1 = export_changelog(cfg.lake_root, out)
+    assert not m1["skipped"] and m1["snapshot"]
+    assert os.path.exists(os.path.join(m1["segment"], "_SEALED"))
+    snap = pd.concat([
+        _pq.read_table(f).to_pandas()
+        for f in glob.glob(os.path.join(m1["segment"], "*.parquet"))
+    ])
+    state_a = lake_table(cfg.lake_root).to_pandas()
+    assert (snap["change"] == "I").all()
+    assert set(zip(snap.repo, snap.path, snap.content_sha256)) == set(
+        zip(state_a.repo, state_a.path, state_a.content_sha256)
+    )
+    # nothing new -> no-op, cursor stable
+    assert export_changelog(cfg.lake_root, out)["skipped"]
+
+    for f in files[2:]:
+        shutil.copy(f, os.path.join(tail, os.path.basename(f)))
+    replay_stream(tail, cfg, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    # crash sim: a leftover unsealed attempt of the upcoming segment
+    # must be rebuilt in place, not double-published
+    from etl_reconciliate_ray.state.commitlog import CommitLog as _CL
+
+    head = _CL.open(cfg.lake_root).latest_sealed_epoch()
+    stale = os.path.join(out, "feed", f"epochs={m1['to_epoch']:05d}-{head:05d}")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    m2 = export_changelog(cfg.lake_root, out)
+    assert not m2["skipped"] and not m2["snapshot"] and m2["segment"] == stale
+    assert not os.path.exists(os.path.join(stale, "junk.parquet"))
+    assert os.path.exists(os.path.join(stale, "_SEALED"))
+
+    # consumer replay: snapshot + delta segments == final lake state
+    applied: dict[tuple, str] = {
+        (r.repo, r.path): r.content_sha256 for r in snap.itertuples()
+    }
+    delta = pd.concat([
+        _pq.read_table(f).to_pandas()
+        for f in glob.glob(os.path.join(m2["segment"], "*.parquet"))
+    ])
+    assert len(delta) > 0
+    for r in delta.itertuples():
+        if r.change == "D":
+            applied.pop((r.repo, r.path), None)
+        else:
+            applied[(r.repo, r.path)] = r.content_sha256
+    final = lake_table(cfg.lake_root).to_pandas()
+    assert applied == {
+        (r.repo, r.path): r.content_sha256 for r in final.itertuples()
+    }
+    # a third export with no new epochs: no-op again
+    assert export_changelog(cfg.lake_root, out)["skipped"]
+
+
 def test_changelog_refuses_inverted_bounds(fixture_small, tmp_path):
     import pytest
 
