@@ -836,6 +836,14 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
                 cols = {c: pa.array([None], pa.string()) for c in LAKE_COLS}
                 cols["bucket"] = pa.array([part], pa.int32())
                 state = pa.table(cols)
+            # rewritten bases are SORTED by key: parquet row-group
+            # min/max stats then prune point/repo lookups to O(one row
+            # group) (read_chain key_filter), pieces sliced below get
+            # tight disjoint key ranges, and sorted content compresses
+            # better. All state digests are order-insensitive
+            # (table_state_sha256 canonicalizes), so this is free.
+            if state.num_rows > 1:
+                state = state.sort_by([("repo", "ascending"), ("path", "ascending")])
             # target-size split: slice the rewritten base into ~equal
             # row ranges sized by in-memory bytes; each slice is its own
             # content-addressed piece, folded into ONE multi-file part
@@ -1355,7 +1363,7 @@ def lake_lookup(
         chain = chains.get(p)
         if not chain:
             continue
-        t = read_chain(chain, columns=need, part=p)
+        t = read_chain(chain, columns=need, part=p, key_filter=(repo, path))
         if t is None or t.num_rows == 0:
             continue
         mask = pc.equal(t["repo"], repo)

@@ -247,6 +247,7 @@ def read_chain(
     chain: list[dict],
     columns: list[str] | None = None,
     part: int | None = None,
+    key_filter: tuple[str, str | None] | None = None,
 ) -> pa.Table | None:
     """Read + resolve one bucket's chain of ``{"epoch", "files"}`` dicts
     (kind is implied by position: resolution is kind-agnostic).
@@ -257,13 +258,26 @@ def read_chain(
     ``bucket == part`` parquet filter: direct-mode delta files hold one
     row group per bucket slice, so the filter prunes at row-group
     granularity and a file shared by many partitions is only decoded
-    for the rows that matter."""
+    for the rows that matter.
+
+    ``key_filter`` = (repo, path|None) pushes a point/repo equality
+    predicate into the whole-file reads: compaction writes bases
+    SORTED by (repo, path), so parquet row-group min/max stats skip
+    every non-matching group/piece — a point lookup on a compacted
+    bucket decodes O(one row group), not the bucket. Purely an
+    optimization: callers still row-filter the result (parquet stats
+    pruning is conservative, never wrong)."""
     if not chain:
         return None
     need = None
     if columns is not None:
         need = set(columns) | {"repo", "path", "op", "seq"}
     filters = [("bucket", "=", part)] if part is not None else None
+    if key_filter is not None:
+        kf = [("repo", "=", key_filter[0])]
+        if key_filter[1] is not None:
+            kf.append(("path", "=", key_filter[1]))
+        filters = (filters or []) + kf
     tagged = []
     for link in chain:
         rgs = link.get("rgs") or [-1] * len(link["files"])

@@ -71,13 +71,21 @@ def test_point_lookup_equals_full_state_filter(fixture_small, tmp_path):
         m = state.filter(pc.equal(state["repo"], hot))
         if m.num_rows:
             probe.add((hot, m["path"][0].as_py()))
-    for repo, path in sorted(probe):
-        got = lake_lookup(cfg, repo, path)
-        want = state.filter(
-            pc.and_(pc.equal(state["repo"], repo), pc.equal(state["path"], path))
-        )
-        assert got.num_rows == want.num_rows == 1
-        assert _sig(got) == _sig(want)
+    def check():
+        for repo, path in sorted(probe):
+            got = lake_lookup(cfg, repo, path)
+            want = state.filter(
+                pc.and_(pc.equal(state["repo"], repo), pc.equal(state["path"], path))
+            )
+            assert got.num_rows == want.num_rows == 1
+            assert _sig(got) == _sig(want)
+
+    check()  # merge-on-read chains
+    from etl_reconciliate_ray.pipelines.replay import compact
+
+    cfg.compact_target_bytes = 4096
+    compact(cfg)  # sorted multi-piece bases + key_filter pushdown path
+    check()
 
 
 def test_repo_lookup_covers_salted_monorepo(fixture_small, tmp_path):

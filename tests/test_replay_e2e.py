@@ -297,6 +297,18 @@ def test_compact_target_bytes_splits_bases_preserving_state(fixture_small, tmp_p
     assert all(len(c) == 1 and c[0].kind == "full" for c in chains.values())
     multi = [c[0] for c in chains.values() if len(c[0].files) > 1]
     assert multi, "tiny target must split at least one bucket's base"
+    # sorted compaction: pieces carry tight DISJOINT key ranges, the
+    # precondition for parquet-stats pruning of keyed lookups
+    for entry in multi:
+        ranges = []
+        for f in entry.files:
+            t = pq.read_table(f, columns=["repo", "path"])
+            if t.num_rows:
+                keys = sorted(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+                ranges.append((keys[0], keys[-1]))
+        ranges.sort()
+        for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, "piece key ranges must be disjoint and ordered"
     assert lake_state_hash(cfg.lake_root) == before
     assert lake_table(cfg.lake_root).num_rows == rows_before
     # vacuum must keep every referenced piece and reads stay exact
