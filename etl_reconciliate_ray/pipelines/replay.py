@@ -463,6 +463,7 @@ def follow_stream(
     lake_seed: str | None = None,
     poll_sec: float = 1.0,
     idle_polls: int = 5,
+    on_batch=None,
 ) -> list[dict]:
     """Continuous-tail mode (the reference's cron/trigger surface,
     ``ReconciliationController.java:41-42``): poll ``binlog_dir`` for
@@ -470,7 +471,12 @@ def follow_stream(
     ``_EOS`` marker file appears or ``idle_polls`` consecutive polls
     find nothing new. Polling is control-plane only — the data path
     stays deterministic (epoch content + commit log define the state,
-    never the wall clock)."""
+    never the wall clock).
+
+    ``on_batch(cfg)``: called after each fresh batch is replayed and
+    sealed — the downstream-consumer hook (advance a ``MaintainedView``,
+    spool ``export_changelog``); exceptions propagate (the lake state
+    is already committed, so a crashed hook resumes cleanly)."""
     out: list[dict] = []
     seen: set[str] = set()
     idle = 0
@@ -481,6 +487,8 @@ def follow_stream(
             idle = 0
             out.extend(_replay_epoch_descs(descs, cfg, lake_seed))
             seen.update(d["file"] for d in descs)
+            if on_batch is not None:
+                on_batch(cfg)
         else:
             idle += 1
         if os.path.exists(os.path.join(binlog_dir, "_EOS")):

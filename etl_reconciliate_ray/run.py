@@ -168,7 +168,23 @@ def main(argv: list[str] | None = None) -> dict:
     if args.fixture:
         metrics = replay(args.fixture, cfg)
     elif args.follow:
-        metrics = follow_stream(args.binlog_dir, cfg, lake_seed=args.lake_seed)
+        # continuous consumers ride the tail: each sealed batch advances
+        # the maintained view / spools the outbound feed incrementally
+        on_batch = None
+        if args.view or args.export_feed:
+            def on_batch(c):  # noqa: E306
+                if args.view:
+                    from .pipelines.incremental import maintain_repo_view
+
+                    maintain_repo_view(c.lake_root)
+                if args.export_feed:
+                    from .pipelines.replay import export_changelog
+
+                    export_changelog(c.lake_root, args.export_feed)
+
+        metrics = follow_stream(
+            args.binlog_dir, cfg, lake_seed=args.lake_seed, on_batch=on_batch
+        )
     else:
         metrics = replay_stream(args.binlog_dir, cfg, lake_seed=args.lake_seed)
 

@@ -562,6 +562,69 @@ def test_follow_stream_eos(fixture_small, tmp_path):
     assert lake_state_hash(cfg.lake_root) == want
 
 
+def test_follow_stream_on_batch_hook_spools_feed(fixture_small, tmp_path):
+    """The follow-mode on_batch hook fires once per sealed batch; wired
+    to export_changelog it spools snapshot + incremental segments whose
+    consumer replay equals the final lake state — the continuous CDC
+    loop end to end."""
+    import glob
+    import os
+    import shutil
+    import threading
+    import time as _time
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from etl_reconciliate_ray.pipelines.replay import export_changelog, follow_stream
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    tail_dir = str(tmp_path / "hook_binlog")
+    os.makedirs(tail_dir)
+    for f in files[:2]:
+        shutil.copy(f, os.path.join(tail_dir, os.path.basename(f)))
+    out = str(tmp_path / "hook_feed")
+    calls = []
+
+    def on_batch(c):
+        calls.append(1)
+        export_changelog(c.lake_root, out)
+
+    def complete_later():
+        _time.sleep(0.6)
+        for f in files[2:]:
+            shutil.copy(f, os.path.join(tail_dir, os.path.basename(f)))
+        open(os.path.join(tail_dir, "_EOS"), "w").close()
+
+    t = threading.Thread(target=complete_later)
+    t.start()
+    cfg = _cfg(tmp_path, "lake_hook", manifest)
+    follow_stream(tail_dir, cfg, lake_seed=f"{fixture_dir}/lake_seed.parquet",
+                  poll_sec=0.05, on_batch=on_batch)
+    t.join()
+    assert len(calls) >= 2  # one per fresh batch
+    segs = sorted(glob.glob(os.path.join(out, "feed", "epochs=*")))
+    assert len(segs) >= 2
+    assert sum("snapshot" in os.path.basename(s) for s in segs) == 1
+    applied: dict[tuple, str] = {}
+    # apply segments in export order: snapshot first, then deltas
+    ordered = sorted(segs, key=lambda s: (0 if "snapshot" in s else 1, s))
+    for seg in ordered:
+        assert os.path.exists(os.path.join(seg, "_SEALED"))
+        part_files = glob.glob(os.path.join(seg, "*.parquet"))
+        df = pd.concat([_pq.read_table(f).to_pandas() for f in part_files])
+        for r in df.itertuples():
+            if r.change == "D":
+                applied.pop((r.repo, r.path), None)
+            else:
+                applied[(r.repo, r.path)] = r.content_sha256
+    final = lake_table(cfg.lake_root).to_pandas()
+    assert applied == {
+        (r.repo, r.path): r.content_sha256 for r in final.itertuples()
+    }
+
+
 def test_parquet_filter_pushdown_prunes_row_groups(tmp_path):
     """catalog.read_table(filter=...) must (a) return exactly the
     post-filter rows and (b) let the scanner PRUNE row groups via
