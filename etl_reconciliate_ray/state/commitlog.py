@@ -196,6 +196,67 @@ class CommitLog:
             self._tail_seals = 0  # everything sealed now lives in the snapshot
             return len(live)
 
+    def _rewrite_all(self) -> None:
+        """Persist the COMPLETE in-memory state (layout, sealed set,
+        floor, every entry — history included, nothing pruned) into the
+        snapshot file and truncate the tail. Unlike ``write_snapshot``
+        this does NOT advance the time-travel floor or drop pre-base
+        entries; it exists so ``drop_unsealed_epoch`` can remove records
+        from an append-only log without side effects on retention.
+        Caller must hold ``_lock``. Crash-safe: snapshot publish is
+        atomic and replaying a stale tail over it is idempotent."""
+        recs: list[dict] = []
+        if self._layout is not None:
+            recs.append({"type": "LAYOUT", "layout": self._layout})
+        recs.append({
+            "type": "SNAPSHOT_SEALED",
+            "sealed": sorted(self._sealed),
+            "floor": self._floor,
+        })
+        recs += [
+            self._entry_rec(e)
+            for e in sorted(self._entries.values(), key=lambda x: (x.epoch, x.part))
+        ]
+        tmp = self.snapshot_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("".join(json.dumps(r, sort_keys=True) + "\n" for r in recs))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.snapshot_path)
+        with open(self.path + ".tmp", "w") as fh:
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(self.path + ".tmp", self.path)  # truncate tail
+        self._tail_seals = 0
+
+    def drop_unsealed_epoch(self, epoch: int) -> list[str]:
+        """Remove every committed entry of an UNSEALED epoch from the
+        log (multi-table transaction abort). Sealing is the visibility
+        point, so dropping an unsealed epoch never changes what any
+        reader can resolve — but it MUST happen before any later epoch
+        seals, because ``part_chains(upto)`` admits every entry with
+        ``epoch <= upto`` and a later seal would otherwise leak the
+        aborted writes. Returns the data files referenced ONLY by the
+        dropped entries (orphans the caller may delete)."""
+        with self._lock:
+            if epoch in self._sealed:
+                raise ValueError(f"epoch {epoch} is sealed; cannot drop committed-visible state")
+            newest = max((e for e, _ in self._entries), default=None)
+            if newest is not None and newest > epoch:
+                raise ValueError(
+                    f"epoch {epoch} has later committed epochs (newest={newest}); "
+                    "aborting out of order would reorder the merge-on-read chains"
+                )
+            dropped = [e for (ep, _), e in self._entries.items() if ep == epoch]
+            if not dropped:
+                return []
+            for e in dropped:
+                del self._entries[(epoch, e.part)]
+            dropped_files = {f for e in dropped for f in e.files}
+            survivors = {f for e in self._entries.values() for f in e.files}
+            self._rewrite_all()
+            return sorted(dropped_files - survivors)
+
     def _append(self, rec: dict) -> None:
         self._append_many([rec])
 
@@ -261,6 +322,14 @@ class CommitLog:
                     f"lake at {self.root} was written under layout {self._layout}; "
                     f"refusing to resume with {layout} — bucket routing would change"
                 )
+
+    def unsealed_epochs(self) -> list[int]:
+        """Epochs with committed entries but no seal — either a txn
+        currently staging, or a crash leftover. New writes at such an
+        epoch would silently reuse its fenced partitions (old content
+        wins the fence), so writers must resume or drop it explicitly."""
+        with self._lock:
+            return sorted({ep for (ep, _) in self._entries if ep not in self._sealed})
 
     def is_committed(self, epoch: int, part: int) -> bool:
         return (epoch, part) in self._entries

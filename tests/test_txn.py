@@ -1,0 +1,222 @@
+"""Multi-table atomic transactions (state/txn.py) — chaos coverage.
+
+Parity anchor: the reference's whole job commits through ONE Spring
+Batch metadata store (springbatch-schema.sql:1-76); here each table is
+an independent lake, and the coordinator must make N lakes flip
+visibility atomically. Covered crash points: before PREPARE, between
+PREPARE and COMMIT (both roll-forward and abort), and between COMMIT
+and the participant seals.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from etl_reconciliate_ray.pipelines.replay import ReplayConfig, bootstrap, lake_table
+from etl_reconciliate_ray.state.commitlog import CommitLog
+from etl_reconciliate_ray.state.txn import TxnCoordinator, read_snapshot
+
+
+def _events_ds(fixture_dir: str, epoch: int):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(fixture_dir, "binlog", f"epoch={epoch:05d}.parquet"))
+
+
+@pytest.fixture()
+def two_lakes(fixture_small, tmp_path, ray_session):
+    """Two independent lakes bootstrapped from the same seed (stand-ins
+    for two tables of one logical database), plus a coordinator."""
+    fixture_dir, _, manifest = fixture_small
+    cfgs = {}
+    for name in ("orders", "files"):
+        cfg = ReplayConfig(
+            lake_root=str(tmp_path / name),
+            num_buckets=4,
+            salt_for_repo=manifest["salt_hot_repos"],
+            writer_concurrency=2,
+        )
+        bootstrap(os.path.join(fixture_dir, "lake_seed.parquet"), cfg)
+        cfgs[name] = cfg
+    co = TxnCoordinator.open(str(tmp_path / "txn"))
+    return fixture_dir, cfgs, co
+
+
+def _heads(cfgs):
+    return {n: CommitLog.open(c.lake_root).latest_sealed_epoch() for n, c in cfgs.items()}
+
+
+def test_commit_flips_both_tables_atomically(two_lakes):
+    fixture_dir, cfgs, co = two_lakes
+    before = _heads(cfgs)
+    rows_before = {n: lake_table(c).num_rows for n, c in cfgs.items()}
+
+    txn = co.begin()
+    m1 = txn.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    m2 = txn.stage("files", cfgs["files"], _events_ds(fixture_dir, 1))
+    assert m1["parts_committed"] > 0 and m2["parts_committed"] > 0
+
+    # staged-but-uncommitted: durable, yet INVISIBLE in both lakes
+    assert _heads(cfgs) == before
+    assert {n: lake_table(c).num_rows for n, c in cfgs.items()} == rows_before
+
+    res = txn.commit()
+    assert set(res["tables"]) == {"orders", "files"}
+    after = _heads(cfgs)
+    assert all(after[n] == before[n] + 1 for n in cfgs)
+    # snapshot cut pins exactly the committed epochs
+    cut = co.snapshot_epochs()
+    assert {n: s["epoch"] for n, s in cut.items()} == after
+
+
+def test_crash_before_prepare_abort_cleans_files(two_lakes):
+    fixture_dir, cfgs, co = two_lakes
+    txn = co.begin()
+    txn.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    log = CommitLog.open(cfgs["orders"].lake_root)
+    staged_epoch = log.unsealed_epochs()[0]
+    staged_files = [
+        f for (ep, _), e in log._entries.items() if ep == staged_epoch for f in e.files
+    ]
+    assert staged_files and all(os.path.exists(f) for f in staged_files)
+
+    res = txn.abort()
+    assert res["files_removed"] == len(set(staged_files))
+    assert not any(os.path.exists(f) for f in staged_files)
+    log2 = CommitLog.open(cfgs["orders"].lake_root)
+    assert log2.unsealed_epochs() == []
+    # a fresh txn can now stage the same epoch cleanly
+    txn2 = co.begin()
+    txn2.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    txn2.commit()
+    assert CommitLog.open(cfgs["orders"].lake_root).latest_sealed_epoch() == staged_epoch
+
+
+def test_crash_between_prepare_and_commit_roll_forward(two_lakes):
+    fixture_dir, cfgs, co = two_lakes
+    txn = co.begin()
+    txn.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    txn.stage("files", cfgs["files"], _events_ds(fixture_dir, 0))
+    txn.prepare()  # "crash" here: PREPARE durable, no COMMIT mark
+
+    co2 = TxnCoordinator.open(co.root)  # restart
+    rep = co2.recover()
+    assert rep["sealed"] == [] and rep["in_doubt"] == [txn.txn_id]
+    # while in doubt, new txns must not stack epochs on those lakes
+    blocked = co2.begin()
+    with pytest.raises(ValueError, match="in-doubt"):
+        blocked.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 1))
+
+    # roll forward: PREPARE implies all staging finished, so the resumed
+    # handle commits directly — no re-staging, no data movement
+    fwd = co2.resume_in_doubt(co2.in_doubt()[0])
+    fwd.commit()
+    assert co2.in_doubt() == []
+    heads = _heads(cfgs)
+    assert heads["orders"] == heads["files"] == 1
+
+
+def test_unprepared_crash_leftovers_resume_via_fence(two_lakes):
+    fixture_dir, cfgs, co = two_lakes
+    txn = co.begin()
+    txn.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    del txn  # "crash" before prepare: no coordinator record at all
+
+    txn2 = co.begin()
+    # default stage refuses the epoch with fenced leftovers
+    with pytest.raises(ValueError, match="committed-unsealed"):
+        txn2.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    # resume=True rolls the identical deterministic content forward:
+    # every partition is already fenced, so nothing recommits
+    m = txn2.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0), resume=True)
+    assert m["parts_committed"] == 0
+    txn2.commit()
+    assert _heads(cfgs)["orders"] == 1
+
+
+def test_crash_between_prepare_and_commit_abort(two_lakes):
+    fixture_dir, cfgs, co = two_lakes
+    txn = co.begin()
+    txn.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    txn.stage("files", cfgs["files"], _events_ds(fixture_dir, 0))
+    txn.prepare()
+
+    co2 = TxnCoordinator.open(co.root)
+    res = co2.abort_prepared(co2.in_doubt()[0])
+    assert res["files_removed"] > 0
+    assert co2.in_doubt() == []
+    for c in cfgs.values():
+        assert CommitLog.open(c.lake_root).unsealed_epochs() == []
+        assert CommitLog.open(c.lake_root).latest_sealed_epoch() == 0  # bootstrap only
+
+
+def test_crash_between_commit_mark_and_seals(two_lakes):
+    fixture_dir, cfgs, co = two_lakes
+    txn = co.begin()
+    txn.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    txn.stage("files", cfgs["files"], _events_ds(fixture_dir, 0))
+    txn.prepare()
+    co._record_decision(txn.txn_id, "COMMIT")  # "crash": decision durable, seals missing
+    assert all(h == 0 for h in _heads(cfgs).values())
+
+    co2 = TxnCoordinator.open(co.root)
+    rep = co2.recover()
+    assert sorted(t for _, t, _ in rep["sealed"]) == ["files", "orders"]
+    assert all(h == 1 for h in _heads(cfgs).values())
+    assert co2.recover()["sealed"] == []  # idempotent
+
+
+def test_snapshot_reads_are_consistent_across_txns(two_lakes):
+    fixture_dir, cfgs, co = two_lakes
+    t1 = co.begin()
+    t1.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    t1.stage("files", cfgs["files"], _events_ds(fixture_dir, 0))
+    t1.commit()
+    cut1 = co.snapshot_epochs()
+
+    # second txn touches only one table; the cut must advance just that one
+    t2 = co.begin()
+    t2.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 1))
+    t2.commit()
+    cut2 = co.snapshot_epochs()
+    assert cut2["orders"]["epoch"] == cut1["orders"]["epoch"] + 1
+    assert cut2["files"]["epoch"] == cut1["files"]["epoch"]
+
+    # pinned reads resolve at the cut even though "orders" moved on:
+    # a coordinator reopened from cut1-era state sees cut1 everywhere
+    snaps = read_snapshot(co, columns={"orders": ["repo", "path"], "files": ["repo", "path"]})
+    got = {n: ds.count() for n, ds in snaps.items()}
+
+    import pandas as pd
+
+    from etl_reconciliate_ray.datagen import oracle_replay
+
+    lake = pq.read_table(os.path.join(fixture_dir, "lake_seed.parquet")).to_pandas()
+
+    parts = [
+        pq.read_table(f).to_pandas()
+        for f in sorted(glob.glob(os.path.join(fixture_dir, "binlog", "*.parquet")))
+    ]
+    binlog = pd.concat(parts, ignore_index=True)
+    with open(os.path.join(fixture_dir, "fixture.json")) as fh:
+        fx = json.load(fh)
+    e0_hi, e1_hi = fx["epochs"][0]["seq_range"][1], fx["epochs"][1]["seq_range"][1]
+    assert got["files"] == len(oracle_replay(lake, binlog, upto_seq=e0_hi))
+    assert got["orders"] == len(oracle_replay(lake, binlog, upto_seq=e1_hi))
+
+
+def test_txnlog_survives_reopen(two_lakes):
+    fixture_dir, cfgs, co = two_lakes
+    t1 = co.begin()
+    t1.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    t1.commit()
+    co2 = TxnCoordinator.open(co.root)
+    assert co2.snapshot_epochs() == co.snapshot_epochs()
+    # ids keep advancing after reopen (no reuse)
+    t2 = co2.begin()
+    assert t2.txn_id != t1.txn_id
