@@ -41,8 +41,10 @@ regardless of ongoing writes. Holds for tables written through the
 coordinator (direct unilateral seals are outside any txn by
 definition).
 
-Scale shape: the coordinator log is O(txns) driver-side metadata (and
-can be snapshot-truncated like the lake logs); all data movement stays
+Scale shape: the coordinator log is O(txns) driver-side metadata,
+snapshot-truncated like the lake logs (``write_snapshot`` folds
+finished txns into one cumulative-cut record, so a long-lived stream
+carries O(in-doubt txns), not O(all txns ever)); all data movement stays
 in the per-lake replay engine — staging N tables is N independent
 Dataset pipelines that may run concurrently.
 """
@@ -79,34 +81,100 @@ class TxnCoordinator:
     _txns: dict[str, TxnRecord] = field(default_factory=dict)
     _order: list[str] = field(default_factory=list)  # append order of PREPAREs
     _seq: int = 0
+    #: committed cut folded in by the last snapshot (decided txns are
+    #: then dropped from the log — same growth bound as the lake logs'
+    #: chains snapshot: O(in-doubt txns + 1), not O(all txns ever)
+    _base_cut: dict[str, dict] = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
 
     @property
     def path(self) -> str:
         return os.path.join(self.root, "txnlog.jsonl")
 
+    @property
+    def snapshot_path(self) -> str:
+        return os.path.join(self.root, "txnlog.snapshot.jsonl")
+
+    def _apply_file(self, path: str) -> None:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec["type"] == "PREPARE":
+                    self._txns[rec["txn_id"]] = TxnRecord(
+                        txn_id=rec["txn_id"], tables=rec["tables"], status="prepared"
+                    )
+                    if rec["txn_id"] not in self._order:
+                        self._order.append(rec["txn_id"])
+                    self._seq = max(self._seq, int(rec.get("seq", 0)))
+                elif rec["type"] in ("COMMIT", "ABORT"):
+                    t = self._txns.get(rec["txn_id"])
+                    if t is not None:
+                        t.status = "committed" if rec["type"] == "COMMIT" else "aborted"
+                elif rec["type"] == "TXN_SNAPSHOT":
+                    self._base_cut = {k: dict(v) for k, v in rec["cut"].items()}
+                    self._seq = max(self._seq, int(rec.get("seq", 0)))
+
     @classmethod
     def open(cls, root: str) -> "TxnCoordinator":
         co = cls(root=root)
         os.makedirs(root, exist_ok=True)
+        # snapshot first, then the tail — replaying a stale tail over the
+        # snapshot is idempotent (decided txns re-decide to the same state)
+        if os.path.exists(co.snapshot_path):
+            co._apply_file(co.snapshot_path)
         if os.path.exists(co.path):
-            with open(co.path) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    rec = json.loads(line)
-                    if rec["type"] == "PREPARE":
-                        co._txns[rec["txn_id"]] = TxnRecord(
-                            txn_id=rec["txn_id"], tables=rec["tables"], status="prepared"
-                        )
-                        co._order.append(rec["txn_id"])
-                        co._seq = max(co._seq, int(rec.get("seq", 0)))
-                    elif rec["type"] in ("COMMIT", "ABORT"):
-                        t = co._txns.get(rec["txn_id"])
-                        if t is not None:
-                            t.status = "committed" if rec["type"] == "COMMIT" else "aborted"
+            co._apply_file(co.path)
         return co
+
+    def write_snapshot(self) -> int:
+        """Bound log growth: fold every DECIDED txn into the cumulative
+        committed cut, keep in-doubt (prepared) txns verbatim, truncate
+        the tail. Crash-safe ordering as in ``CommitLog``: the snapshot
+        publishes atomically before the truncate. Returns the number of
+        in-doubt txns carried over."""
+        with self._lock:
+            cut = dict(self._base_cut)
+            carried: list[TxnRecord] = []
+            for txn_id in self._order:
+                t = self._txns[txn_id]
+                if t.status == "committed":
+                    # fold only FINISHED txns: a committed txn with a
+                    # participant seal still missing (crash window) must
+                    # stay in the log verbatim or recover() could never
+                    # find it to finish the seals
+                    if all(
+                        CommitLog.open(spec["root"]).is_sealed(spec["epoch"])
+                        for spec in t.tables.values()
+                    ):
+                        cut.update({k: dict(v) for k, v in t.tables.items()})
+                    else:
+                        carried.append(t)
+                elif t.status == "prepared":
+                    carried.append(t)
+            recs: list[dict] = [{"type": "TXN_SNAPSHOT", "cut": cut, "seq": self._seq}]
+            for t in carried:
+                recs.append(
+                    {"type": "PREPARE", "txn_id": t.txn_id, "seq": self._seq, "tables": t.tables}
+                )
+                if t.status == "committed":
+                    recs.append({"type": "COMMIT", "txn_id": t.txn_id})
+            tmp = self.snapshot_path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write("".join(json.dumps(r, sort_keys=True) + "\n" for r in recs))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self.snapshot_path)
+            with open(self.path + ".tmp", "w") as fh:
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(self.path + ".tmp", self.path)  # truncate tail
+            self._base_cut = cut
+            self._txns = {t.txn_id: t for t in carried}
+            self._order = [t.txn_id for t in carried]
+            return len(carried)
 
     def _append(self, rec: dict) -> None:
         with open(self.path, "a") as fh:
@@ -214,7 +282,7 @@ class TxnCoordinator:
         coordinator-log order, yielding name -> {"root", "epoch"} at
         the latest atomic decision. Tables untouched by the newest txn
         keep their epoch from the last txn that wrote them."""
-        cut: dict[str, dict] = {}
+        cut: dict[str, dict] = {k: dict(v) for k, v in self._base_cut.items()}
         for txn_id in self._order:
             t = self._txns[txn_id]
             if t.status == "committed":

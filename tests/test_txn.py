@@ -220,3 +220,49 @@ def test_txnlog_survives_reopen(two_lakes):
     # ids keep advancing after reopen (no reuse)
     t2 = co2.begin()
     assert t2.txn_id != t1.txn_id
+
+
+def test_coordinator_snapshot_bounds_log_growth(two_lakes):
+    fixture_dir, cfgs, co = two_lakes
+    for i in range(3):
+        t = co.begin()
+        t.stage("orders", cfgs["orders"], _events_ds(fixture_dir, i))
+        t.commit()
+    cut_before = co.snapshot_epochs()
+    carried = co.write_snapshot()
+    assert carried == 0  # all txns finished -> all folded
+    assert os.path.getsize(co.path) == 0  # tail truncated
+    with open(co.snapshot_path) as fh:
+        assert sum(1 for _ in fh) == 1  # one cumulative-cut record
+    co2 = TxnCoordinator.open(co.root)
+    assert co2.snapshot_epochs() == cut_before
+    # the cut keeps advancing after the snapshot
+    t = co2.begin()
+    t.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 3))
+    t.commit()
+    assert co2.snapshot_epochs()["orders"]["epoch"] == cut_before["orders"]["epoch"] + 1
+
+
+def test_coordinator_snapshot_carries_unfinished_txns(two_lakes):
+    fixture_dir, cfgs, co = two_lakes
+    # txn A: committed but seals missing (crash window)
+    a = co.begin()
+    a.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    a.prepare()
+    co._record_decision(a.txn_id, "COMMIT")
+    # txn B: in doubt
+    b = co.begin()
+    b.stage("files", cfgs["files"], _events_ds(fixture_dir, 0))
+    b.prepare()
+
+    assert co.write_snapshot() == 2  # neither may fold
+    co2 = TxnCoordinator.open(co.root)
+    rep = co2.recover()  # finishes txn A's seal from the carried record
+    assert [(t, n) for t, n, _ in rep["sealed"]] == [(a.txn_id, "orders")]
+    assert rep["in_doubt"] == [b.txn_id]
+    co2.abort_prepared(b.txn_id)
+    # now everything is decided+finished: the next snapshot folds it all
+    assert co2.write_snapshot() == 0
+    co3 = TxnCoordinator.open(co.root)
+    assert co3.snapshot_epochs()["orders"]["epoch"] == 1
+    assert "files" not in co3.snapshot_epochs()
