@@ -370,31 +370,19 @@ def q_lake_keyed_lookup(sf_dir: str):
     return pa.concat_tables(parts, promote_options="default")
 
 
-def q_ivm_repo_stats(sf_dir: str):
-    """Incremental view maintenance over the lake's own CDC feed
-    (graft-added — the reference only INGESTS change feeds; this
-    completes the loop by EMITTING one and keeping a downstream
-    aggregate view current from it, Debezium/Materialize-style).
-
-    Fixture: a 3-epoch I/U/D binlog derived deterministically from
-    ``events`` — epoch = contiguous event_id third (so seq order ==
-    epoch order and the LWW winner is simply max seq), repo =
-    user_id%5, path = event_id % (id_range/2) (a key space epoch 1 only
-    half-covers at EVERY scale ⇒ the feed deterministically carries
-    genuine 'I' rows alongside 'U' collisions and 'D' tombstones), and epoch-2 rows with user_id%11==3 are 'D' tombstones.
-    The query aggregates the EPOCH-1 lake state per repo (count of
-    live paths + total content length), then MAINTAINS that view to
-    epoch 3 purely from ``lake_changelog(1, 3,
-    image_cols=['content'])`` signed deltas (``stages/ivm.py``) —
-    never rescanning the later state. The oracle recomputes the final
-    state directly in DuckDB, certifying base + deltas == recompute
-    including U-value moves and groups deleted down to zero."""
+def _ivm_lake(sf_dir: str) -> str:
+    """Build (cached) the 3-epoch I/U/D lake both ``ivm_repo_stats``
+    and ``key_history_lake`` read: binlog derived deterministically
+    from ``events`` — epoch = contiguous event_id third (so seq order
+    == epoch order and the LWW winner is simply max seq), repo =
+    user_id%5, path = event_id % (id_range/2) (a key space epoch 1
+    only half-covers at EVERY scale ⇒ the feed deterministically
+    carries genuine 'I' rows alongside 'U' collisions and 'D'
+    tombstones); epoch-2 rows with user_id%11==3 are 'D' tombstones.
+    Returns the lake root."""
     import pyarrow.parquet as _pq
 
-    from ..pipelines.replay import (
-        ReplayConfig, lake_changelog, lake_dataset, replay_stream,
-    )
-    from ..stages.ivm import maintain_aggregate
+    from ..pipelines.replay import ReplayConfig, replay_stream
 
     ev = _pq.read_table(
         table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
@@ -432,7 +420,27 @@ def q_ivm_repo_stats(sf_dir: str):
         )
 
     work = _claimed_cache_dir(sf_dir, "ivm", _build)
-    root = os.path.join(work, "lake")
+    return os.path.join(work, "lake")
+
+
+def q_ivm_repo_stats(sf_dir: str):
+    """Incremental view maintenance over the lake's own CDC feed
+    (graft-added — the reference only INGESTS change feeds; this
+    completes the loop by EMITTING one and keeping a downstream
+    aggregate view current from it, Debezium/Materialize-style).
+
+    Fixture: the shared 3-epoch I/U/D lake (``_ivm_lake``).
+    The query aggregates the EPOCH-1 lake state per repo (count of
+    live paths + total content length), then MAINTAINS that view to
+    epoch 3 purely from ``lake_changelog(1, 3,
+    image_cols=['content'])`` signed deltas (``stages/ivm.py``) —
+    never rescanning the later state. The oracle recomputes the final
+    state directly in DuckDB, certifying base + deltas == recompute
+    including U-value moves and groups deleted down to zero."""
+    from ..pipelines.replay import lake_changelog, lake_dataset
+    from ..stages.ivm import maintain_aggregate
+
+    root = _ivm_lake(sf_dir)
 
     def base_rows(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -449,6 +457,37 @@ def q_ivm_repo_stats(sf_dir: str):
         base, feed, keys=["repo"], count_name="n_paths",
         sums={"content_len": ("content", "utf8_length")},
     )
+
+
+def q_key_history_lake(sf_dir: str):
+    """Key-level audit history (``replay.key_history``): the full
+    per-epoch change record of sampled keys over the shared 3-epoch
+    I/U/D lake — each call walks ONE bucket's surviving log entries
+    with row-group-pruned key-filtered reads, O(key's writes) driver
+    work on a lake of any size (the audit/debug read every CDC store
+    grows; the reference's closest analogue is its per-key JDBC SELECT,
+    LoadJpatBatchesTasklet.java:91, which only sees the CURRENT row).
+    Keys: paths '1'..'20' across all 5 repos (the derived key space is
+    ~half the id range, so each sampled path has O(1) events at every
+    scale — the result stays driver-sized). The oracle recomputes each
+    epoch's LWW winner for the same keys straight from the derived
+    binlog, certifying attribution (epoch), op and payload."""
+    from ..pipelines.replay import key_history
+
+    root = _ivm_lake(sf_dir)
+    parts = []
+    for repo in ("0", "1", "2", "3", "4"):
+        for path in [str(i) for i in range(1, 21)]:
+            t = key_history(root, repo, path, columns=["content"])
+            if t.num_rows:
+                parts.append(t)
+    if not parts:
+        return pa.table({
+            "epoch": pa.array([], pa.int64()), "op": pa.array([], pa.string()),
+            "repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
+            "content": pa.array([], pa.string()),
+        })
+    return pa.concat_tables(parts, promote_options="default")
 
 
 # ---------------------------------------------------------------- sort/limit
@@ -3454,6 +3493,7 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "ivm_repo_stats": q_ivm_repo_stats,
     "lake_keyed_lookup": q_lake_keyed_lookup,
+    "key_history_lake": q_key_history_lake,
     "watermark_window_events": q_watermark_window_events,
     "filter_project": q_filter_project,
     "groupby_sum": q_groupby_sum,
@@ -4375,6 +4415,32 @@ ORACLE_SQL["lake_keyed_lookup"] = (
     "SELECT repo, path, content, sha256(content) AS content_sha256 "
     "FROM w WHERE rn = 1 AND (repo = '3' "
     "OR (repo = '1' AND path = '7') OR (repo = '5' AND path = '100'))"
+)
+
+# Key history: the oracle re-derives the 3-epoch I/U/D binlog from
+# events (same construction as _ivm_lake) and picks each (key, epoch)'s
+# LWW winner — exactly the row a delta entry stores — certifying the
+# engine's bucket-pruned per-entry walk: attribution epoch, op, payload.
+ORACLE_SQL["key_history_lake"] = (
+    "WITH ev AS ("
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE user_id IS NOT NULL AND event_type IS NOT NULL"
+    "), hi AS (SELECT CAST(MAX(event_id)+1 AS BIGINT) AS hi FROM ev"
+    "), b AS ("
+    "SELECT CAST(event_id AS BIGINT) AS seq, "
+    "CAST((event_id*3)//hi.hi AS BIGINT)+1 AS epoch, "
+    "CASE WHEN (event_id*3)//hi.hi = 2 AND user_id%11 = 3 "
+    "THEN 'D' ELSE 'I' END AS op, "
+    "CAST(user_id%5 AS VARCHAR) AS repo, "
+    "CAST(event_id % GREATEST(hi.hi//2, 1) AS VARCHAR) AS path, "
+    "event_type AS content FROM ev, hi"
+    "), w AS ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path, epoch "
+    "ORDER BY seq DESC) AS rn FROM b) "
+    "SELECT epoch, op, repo, path, content FROM w "
+    "WHERE rn = 1 AND path IN "
+    "('1','2','3','4','5','6','7','8','9','10','11','12','13','14',"
+    "'15','16','17','18','19','20')"
 )
 
 # Watermark windows: the oracle replays the identical epoch-granularity

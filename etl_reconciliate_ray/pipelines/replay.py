@@ -1388,6 +1388,81 @@ def lake_lookup(
     return out
 
 
+def key_history(cfg_or_root, repo: str, path: str, columns: list[str] | None = None) -> pa.Table:
+    """Version history of ONE ``(repo, path)`` key — every change the
+    commit log can still answer, one row per epoch that wrote the key,
+    in epoch order: ``(epoch, op, repo, path, *columns)`` with op ∈
+    {'I','U','D'} as recorded by the ingest events (the key-level
+    audit/debug read every CDC store grows: "who changed this row,
+    when, to what").
+
+    How: the key routes to exactly one bucket (``buckets_for_key`` over
+    the layout fence); every surviving log entry of that bucket is read
+    key-filtered (row-group stats pruning via the same pushdown as
+    ``lake_lookup``). A delta entry carries exactly its own epoch's LWW
+    winner for the key (direct-mode partial pieces may overlap — those
+    carry ``seq`` and resolve by max seq, the engine's own read-time
+    rule); a FULL entry (bootstrap / compacted base) carries collapsed
+    state with no per-event op, surfacing as 'I' at the base's epoch —
+    exactly the horizon time travel can still reconstruct; older
+    history is gone by the same retention ``time_travel_floor``
+    enforces.
+
+    Scale shape: O(entries of ONE bucket) small pruned reads, driver
+    work O(this key's writes) — independent of lake size. Each epoch
+    stores only its LWW winner, so intra-epoch overwrites are
+    pre-collapsed by the engine's own semantics."""
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import buckets_for_key
+    from ..stages.merge import _pqfile, _schema_names
+
+    log = CommitLog.open(_root_of(cfg_or_root))
+    num_buckets, salt = _layout_of(log)
+    [part] = buckets_for_key(repo, path, num_buckets, salt)
+    payload = [c for c in (columns or []) if c not in ("repo", "path", "op")]
+    need = {"repo", "path", "op", "seq", *payload}
+
+    by_epoch: dict[int, list[dict]] = {}
+    for entry in log.entries_for_part(part):
+        rgs = entry.rgs or (-1,) * len(entry.files)
+        for f, rg in zip(entry.files, rgs):
+            cols = [c for c in _schema_names(f) if c in need]
+            if rg is not None and int(rg) >= 0:
+                t = _pqfile(f).read_row_group(int(rg), columns=cols)
+            else:
+                t = pq.read_table(
+                    f, columns=cols,
+                    filters=[("repo", "=", repo), ("path", "=", path)],
+                )
+            t = t.filter(pc.and_(pc.equal(t["repo"], repo), pc.equal(t["path"], path)))
+            if t.num_rows:
+                by_epoch.setdefault(entry.epoch, []).extend(t.to_pylist())
+
+    rows = []
+    for epoch in sorted(by_epoch):
+        cands = by_epoch[epoch]
+        # direct-mode overlapping partials carry seq: max seq is the
+        # epoch winner (the engine's read-time rule); collapsed files
+        # have no seq and hold exactly one winner row already
+        win = max(cands, key=lambda r: (r.get("seq") is not None, r.get("seq") or 0))
+        rows.append({
+            "epoch": int(epoch),
+            "op": win.get("op") or "I",
+            "repo": repo,
+            "path": path,
+            **{c: win.get(c) for c in payload},
+        })
+    fields = ["epoch", "op", "repo", "path", *payload]
+    if not rows:
+        return pa.table({
+            "epoch": pa.array([], pa.int64()), "op": pa.array([], pa.string()),
+            "repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
+            **{c: pa.array([], pa.string()) for c in payload},
+        })
+    return pa.Table.from_pylist(rows).select(fields)
+
+
 def lake_table(cfg_or_root, as_of_epoch: int | None = None) -> pa.Table:
     """Driver-side full lake state (schema-unified, chain-resolved),
     current or AS OF a past sealed epoch. Small scales / tests only —

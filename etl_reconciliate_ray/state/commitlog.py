@@ -420,6 +420,22 @@ class CommitLog:
                 files.extend(entry.files)
         return sorted(files)
 
+    def entries_for_part(self, part: int, upto_epoch: int | None = None) -> list[PartEntry]:
+        """Every SURVIVING log entry of one partition (epoch ascending,
+        sealed horizon by default) — the raw per-epoch write record a
+        keyed history read walks. Includes pre-base entries still in
+        the log (they answer time travel until a snapshot truncates
+        them), unlike ``part_chains`` which returns only the current
+        merge-on-read chain."""
+        if upto_epoch is None:
+            upto_epoch = self.latest_sealed_epoch()
+            if upto_epoch is None:
+                return []
+        with self._lock:
+            out = [e for (ep, p), e in self._entries.items() if p == part and ep <= upto_epoch]
+        out.sort(key=lambda x: x.epoch)
+        return out
+
     def referenced_files(self) -> set[str]:
         """Every data file ANY surviving log entry references — not just
         the current chains: pre-base entries still in the log serve

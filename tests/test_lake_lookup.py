@@ -199,3 +199,90 @@ def test_lookup_refuses_layoutless_lake(tmp_path):
     # no ensure_layout; an empty log has no layout either
     with pytest.raises(ValueError, match="layout"):
         lake_lookup(root, "r", "p")
+
+
+def test_key_history_matches_binlog_oracle(fixture_small, tmp_path):
+    """key_history over a DIRECT-mode pipelined replay (overlapping
+    partial pieces carry seq — the max-seq winner rule) must equal a
+    pandas re-derivation from the raw binlog: per (key, epoch) winner
+    by max seq, epoch-attributed, op preserved."""
+    import glob as _glob
+    import json as _json
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from etl_reconciliate_ray.pipelines.replay import key_history
+
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_hist", manifest)
+    cfg.merge_strategy = "direct"
+    cfg.pipeline_epochs = 4
+    replay(fixture_dir, cfg)
+
+    parts = [
+        _pq.read_table(f).to_pandas()
+        for f in sorted(_glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    ]
+    with open(f"{fixture_dir}/fixture.json") as fh:
+        epochs = _json.load(fh)["epochs"]
+    binlog = pd.concat(parts, ignore_index=True)
+    lo = pd.Series({e["epoch"]: e["seq_range"][0] for e in epochs})
+    # engine epoch = binlog epoch + 1 (0 is the bootstrap)
+    binlog["epoch"] = binlog["seq"].map(
+        lambda s: int((lo <= s).sum())  # count of epochs starting at/below s
+    )
+    # the most-rewritten keys exercise multi-epoch histories
+    key_counts = binlog.groupby(["repo", "path"]).size().sort_values()
+    seed = _pq.read_table(f"{fixture_dir}/lake_seed.parquet").to_pandas()
+    for (repo, path) in list(key_counts.index[-5:]):
+        got = key_history(cfg, repo, path, columns=["content"]).to_pandas()
+        ev = binlog[(binlog["repo"] == repo) & (binlog["path"] == path)]
+        # drop_duplicates, NOT groupby().last(): .last() skips NaN per
+        # column and would splice an earlier non-null content into a
+        # D-winner row (whose content is genuinely null)
+        want = ev.sort_values("seq").drop_duplicates(["epoch"], keep="last")[
+            ["epoch", "op", "content"]
+        ]
+        in_seed = ((seed["repo"] == repo) & (seed["path"] == path)).any()
+        if in_seed:  # bootstrap epoch 0 surfaces as an 'I' row
+            want = pd.concat(
+                [pd.DataFrame([{"epoch": 0, "op": "I", "content": None}]), want],
+                ignore_index=True,
+            )
+        assert list(got["epoch"]) == list(want["epoch"]), (repo, path)
+        assert list(got["op"]) == list(want["op"]), (repo, path)
+        # content matches wherever the event carried one (D rows are null;
+        # the bootstrap row's content comes from the seed, not the binlog)
+        for g, w, ep in zip(got["content"], want["content"], want["epoch"]):
+            if ep == 0 or w is None or (isinstance(w, float) and pd.isna(w)):
+                continue
+            assert g == w, (repo, path, ep)
+
+
+def test_key_history_collapses_after_compaction_snapshot(fixture_small, tmp_path):
+    """After compact + log snapshot the pre-base entries are gone:
+    history collapses to ONE row at the base epoch ('I', final
+    content) — exactly the horizon time travel can still answer."""
+    import pyarrow.compute as _pc
+
+    from etl_reconciliate_ray.pipelines.replay import compact, key_history
+    from etl_reconciliate_ray.state.commitlog import CommitLog
+
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_hist2", manifest)
+    replay(fixture_dir, cfg)
+    state = lake_table(cfg)
+    repo, path = state["repo"][0].as_py(), state["path"][0].as_py()
+    pre = key_history(cfg, repo, path, columns=["content"])
+    assert pre.num_rows >= 1
+
+    compact(cfg)
+    CommitLog.open(cfg.lake_root).write_snapshot()
+    post = key_history(cfg, repo, path, columns=["content"])
+    assert post.num_rows == 1
+    assert post["op"][0].as_py() == "I"
+    want = state.filter(
+        _pc.and_(_pc.equal(state["repo"], repo), _pc.equal(state["path"], path))
+    )
+    assert post["content"][0].as_py() == want["content"][0].as_py()
