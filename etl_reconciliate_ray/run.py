@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> dict:
                         "print the committed rows as JSON")
     p.add_argument("--as-of", type=int, default=None,
                    help="with --lookup: time-travel the read to this sealed epoch")
+    p.add_argument("--history", metavar="REPO:PATH", default=None,
+                   help="read-only key audit: per-epoch change record of one "
+                        "(repo, path) key from the surviving commit-log entries "
+                        "(replay.key_history); like --lookup, no Ray session")
     p.add_argument("--num-cpus", type=int, default=None, help="only used if Ray is not initialised")
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="serve the reference's REST trigger instead of running "
@@ -107,6 +111,24 @@ def main(argv: list[str] | None = None) -> dict:
             "repo": repo,
             "path": path or None,
             "rows": t.num_rows,
+            "records": t.to_pylist(),
+        }
+        print(json.dumps(out, sort_keys=True, default=str))
+        return out
+
+    if args.history is not None:
+        if args.fixture or args.binlog_dir:
+            p.error("--history is a read-only mode; drop --fixture/--binlog-dir")
+        from .pipelines.replay import key_history
+
+        repo, sep, path = args.history.partition(":")
+        if not sep or not path:
+            p.error("--history needs REPO:PATH (a point key)")
+        t = key_history(args.lake, repo, path, columns=["content"])
+        out = {
+            "repo": repo,
+            "path": path,
+            "changes": t.num_rows,
             "records": t.to_pylist(),
         }
         print(json.dumps(out, sort_keys=True, default=str))

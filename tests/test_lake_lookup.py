@@ -286,3 +286,24 @@ def test_key_history_collapses_after_compaction_snapshot(fixture_small, tmp_path
         _pc.and_(_pc.equal(state["repo"], repo), _pc.equal(state["path"], path))
     )
     assert post["content"][0].as_py() == want["content"][0].as_py()
+
+
+def test_cli_history_mode(fixture_small, tmp_path, ray_session, capsys):
+    """--history REPO:PATH is a read-only CLI mode mirroring --lookup:
+    prints the key's per-epoch change record as JSON."""
+    import json
+
+    from etl_reconciliate_ray.pipelines.replay import key_history
+    from etl_reconciliate_ray.run import main
+
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_cli_hist", manifest)
+    replay(fixture_dir, cfg)
+    state = lake_table(cfg)
+    repo, path = state["repo"][0].as_py(), state["path"][0].as_py()
+    out = main(["--lake", cfg.lake_root, "--history", f"{repo}:{path}"])
+    want = key_history(cfg, repo, path, columns=["content"])
+    assert out["changes"] == want.num_rows >= 1
+    assert [r["epoch"] for r in out["records"]] == want["epoch"].to_pylist()
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["changes"] == out["changes"]
