@@ -1126,6 +1126,152 @@ def auto_rebucket(cfg_or_root, dest_root: str, skew_threshold: float = 2.0,
     return {"skipped": False, "plan": plan, "salt_for_repo": merged, **m}
 
 
+def _erase_rewrite_file(src: str, dst: str, repo: str, path: str | None) -> dict:
+    """Rewrite one parquet file with every row of the target key
+    removed, PRESERVING row-group count and order (0-row groups are
+    written for fully-erased slices) so entries that address this file
+    by row-group ordinal stay valid. Atomic publish via tmp + rename.
+    Runs as a Ray task when a session exists (files are independent)."""
+    import pyarrow.parquet as _pq
+
+    f = _pq.ParquetFile(src)
+    tmp = dst + ".tmp"
+    erased = 0
+    rg_rows = []
+    writer = _pq.ParquetWriter(tmp, f.schema_arrow)
+    try:
+        for i in range(f.num_row_groups):
+            t = f.read_row_group(i)
+            keep = pc.invert(pc.equal(t["repo"], repo))
+            if path is not None:
+                keep = pc.or_(keep, pc.invert(pc.equal(t["path"], path)))
+            kept = t.filter(pc.fill_null(keep, True))
+            erased += t.num_rows - kept.num_rows
+            writer.write_table(kept, row_group_size=max(kept.num_rows, 1))
+            rg_rows.append(kept.num_rows)
+    finally:
+        writer.close()
+    with open(tmp, "rb") as fh:
+        os.fsync(fh.fileno())
+    os.replace(tmp, dst)
+    return {"src": src, "dst": dst, "erased": erased, "rg_rows": rg_rows}
+
+
+def erase_key(cfg_or_root, repo: str, path: str | None = None) -> dict:
+    """PHYSICAL erasure (right-to-be-forgotten): remove every surviving
+    stored version of one ``(repo, path)`` key — or a whole repo — from
+    the lake's data files, across bases, merge-on-read deltas and the
+    still-answerable time-travel history. A logical delete (a 'D'
+    event) hides a key from the current state but keeps its bytes in
+    older epochs; GDPR/CCPA erasure demands the bytes themselves go.
+
+    How: candidate buckets via the layout fence (O(salt) buckets, not
+    O(lake)); their entries' files are probed with a pushed-down key
+    filter; each affected file is rewritten WITHOUT the key's rows,
+    preserving row-group count/order (0-row groups keep ordinal
+    addressing valid for every entry sharing the file — direct-mode
+    files hold one group per bucket). Every log entry referencing a
+    rewritten file is then atomically REPLACEd (same (epoch, part)
+    slot, new files/rows/sha — ``CommitLog.replace_entries``), and the
+    old files are deleted once nothing references them.
+
+    Crash-safety: rewrites publish atomically and the REPLACE batch is
+    one fsynced append BEFORE any old file is deleted; a crash earlier
+    leaves the lake untouched plus orphan rewrite files (vacuum
+    collects them), a re-run converges (the probe no longer matches
+    erased files). Erasure intentionally changes history: as-of reads
+    and ``key_history`` see the redacted state, ``lake_state_hash``
+    changes, and downstream copies (changelog export spools, maintained
+    views) must be erased by their own owners."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import buckets_for_key, table_state_sha256
+
+    log = CommitLog.open(_root_of(cfg_or_root))
+    num_buckets, salt = _layout_of(log)
+    cands = set(buckets_for_key(repo, path, num_buckets, salt))
+
+    # probe: which files actually hold the key (pushdown; candidate
+    # buckets only — a file shared across buckets can only hold the key
+    # in a candidate bucket's rows)
+    kf = [("repo", "=", repo)] + ([("path", "=", path)] if path is not None else [])
+    affected: list[str] = []
+    seen: set[str] = set()
+    for entry in log.all_entries():
+        if entry.part not in cands:
+            continue
+        for f in entry.files:
+            if f in seen:
+                continue
+            seen.add(f)
+            t = pq.read_table(f, columns=["repo"], filters=kf)
+            if t.num_rows:
+                affected.append(f)
+    if not affected:
+        return {"files_rewritten": 0, "rows_erased": 0, "entries_replaced": 0,
+                "files_deleted": 0}
+
+    renames: dict[str, str] = {}
+    for f in affected:
+        tag = hashlib.sha256(f"{os.path.basename(f)}|{repo}|{path}".encode()).hexdigest()[:16]
+        renames[f] = os.path.join(os.path.dirname(f), f"erased-{tag}.parquet")
+
+    import ray
+
+    jobs = [(f, renames[f]) for f in affected]
+    if ray.is_initialized():
+        task = ray.remote(_erase_rewrite_file)
+        results = ray.get([task.remote(src, dst, repo, path) for src, dst in jobs])
+    else:
+        results = [_erase_rewrite_file(src, dst, repo, path) for src, dst in jobs]
+    rows_erased = sum(r["erased"] for r in results)
+
+    # rebuild every entry that references a rewritten file: new names,
+    # recounted rows, recomputed state sha (per-piece digest combined in
+    # file order — the same scheme _commit_manifest_rows commits)
+    replaced: list[PartEntry] = []
+    for entry in log.all_entries():
+        if not any(f in renames for f in entry.files):
+            continue
+        new_files = tuple(renames.get(f, f) for f in entry.files)
+        rgs = entry.rgs or (-1,) * len(entry.files)
+        pieces = []
+        total = 0
+        for f, rg in zip(new_files, rgs):
+            if rg is not None and int(rg) >= 0:
+                piece = pq.ParquetFile(f).read_row_group(int(rg))
+            else:
+                piece = pq.read_table(f)
+            total += piece.num_rows
+            pieces.append((f, table_state_sha256(piece, ("repo", "path"), "content_sha256")))
+        pieces.sort(key=lambda x: x[0])
+        combined = hashlib.sha256("".join(s for _, s in pieces).encode()).hexdigest()
+        replaced.append(PartEntry(
+            epoch=entry.epoch, part=entry.part, files=new_files, rows=total,
+            state_sha256=combined, input_seq=entry.input_seq, kind=entry.kind,
+            rgs=entry.rgs,
+        ))
+    log.replace_entries(replaced)
+
+    still = log.referenced_files()
+    deleted = 0
+    for f in affected:
+        if f not in still and os.path.exists(f):
+            os.remove(f)
+            deleted += 1
+    _write_lineage(_root_of(cfg_or_root), log, {
+        "erase": {"repo": repo, "path": path, "rows_erased": rows_erased},
+    })
+    return {
+        "files_rewritten": len(affected),
+        "rows_erased": rows_erased,
+        "entries_replaced": len(replaced),
+        "files_deleted": deleted,
+    }
+
+
 def vacuum(cfg_or_root, dry_run: bool = False) -> dict:
     """Lake garbage collection: delete data files no commit-log entry
     references any more. ``CommitLog.write_snapshot`` (run after every

@@ -90,6 +90,10 @@ def main(argv: list[str] | None = None) -> dict:
                    help="read-only key audit: per-epoch change record of one "
                         "(repo, path) key from the surviving commit-log entries "
                         "(replay.key_history); like --lookup, no Ray session")
+    p.add_argument("--erase", metavar="REPO[:PATH]", default=None,
+                   help="PHYSICAL erasure (right-to-be-forgotten): rewrite every "
+                        "surviving data file without the key's rows — current "
+                        "state, deltas and time-travel history (replay.erase_key)")
     p.add_argument("--num-cpus", type=int, default=None, help="only used if Ray is not initialised")
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="serve the reference's REST trigger instead of running "
@@ -132,6 +136,17 @@ def main(argv: list[str] | None = None) -> dict:
             "records": t.to_pylist(),
         }
         print(json.dumps(out, sort_keys=True, default=str))
+        return out
+
+    if args.erase is not None:
+        if args.fixture or args.binlog_dir:
+            p.error("--erase is a maintenance mode; drop --fixture/--binlog-dir")
+        from .pipelines.replay import erase_key
+
+        repo, _, path = args.erase.partition(":")
+        out = erase_key(args.lake, repo, path or None)
+        print(json.dumps({"erase": {"repo": repo, "path": path or None}, **out},
+                         sort_keys=True))
         return out
 
     if (args.fixture is None) == (args.binlog_dir is None):

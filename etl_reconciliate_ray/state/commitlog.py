@@ -116,6 +116,23 @@ class CommitLog:
                     self._floor = max(self._floor, int(rec.get("floor", 0)))
                 elif rec.get("type") == "LAYOUT":
                     self._layout = rec["layout"]
+                elif rec.get("type") == "REPLACE":
+                    # in-place entry rewrite (physical erasure): same
+                    # (epoch, part) slot, new files/rows/sha — applied
+                    # AFTER the original record in log order, so the
+                    # overwrite is deterministic on every replay
+                    body = {k: v for k, v in rec.items() if k != "type"}
+                    e = PartEntry(
+                        epoch=body["epoch"],
+                        part=body["part"],
+                        files=tuple(body["files"]),
+                        rows=body["rows"],
+                        state_sha256=body["state_sha256"],
+                        input_seq=tuple(body["input_seq"]) if body.get("input_seq") else None,
+                        kind=body.get("kind", "full"),
+                        rgs=tuple(body.get("rgs") or ()),
+                    )
+                    self._entries[(e.epoch, e.part)] = e
                 else:
                     e = PartEntry(
                         epoch=rec["epoch"],
@@ -419,6 +436,32 @@ class CommitLog:
             for entry in chain:
                 files.extend(entry.files)
         return sorted(files)
+
+    def all_entries(self) -> list[PartEntry]:
+        """Every surviving entry, (epoch, part) order — maintenance ops
+        (erasure, vacuum planning) need the full reference map, not one
+        partition's chain."""
+        with self._lock:
+            return [self._entries[k] for k in sorted(self._entries)]
+
+    def replace_entries(self, entries: list[PartEntry]) -> int:
+        """Overwrite EXISTING (epoch, part) slots in place (physical
+        erasure rewrote their files). The inverse fence of
+        ``commit_parts``: every slot must already exist — replacing an
+        uncommitted slot would fabricate history. One durable append."""
+        with self._lock:
+            missing = [e for e in entries if (e.epoch, e.part) not in self._entries]
+            if missing:
+                raise ValueError(
+                    f"replace_entries: {[(e.epoch, e.part) for e in missing]} "
+                    "not in the log — cannot replace what was never committed"
+                )
+            self._append_many(
+                [{"type": "REPLACE", **self._entry_rec(e)} for e in entries]
+            )
+            for e in entries:
+                self._entries[(e.epoch, e.part)] = e
+            return len(entries)
 
     def entries_for_part(self, part: int, upto_epoch: int | None = None) -> list[PartEntry]:
         """Every SURVIVING log entry of one partition (epoch ascending,
