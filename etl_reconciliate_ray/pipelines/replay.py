@@ -1272,6 +1272,40 @@ def erase_key(cfg_or_root, repo: str, path: str | None = None) -> dict:
     }
 
 
+def erase_key_from_feed(out_dir: str, repo: str, path: str | None = None) -> dict:
+    """Scrub one key from an ``export_changelog`` spool at rest — the
+    downstream half of ``erase_key``: the lake's own files forget the
+    key, but a spooled CDC feed still carries its images until the
+    owner scrubs it. Every parquet file in every segment (sealed or
+    in-flight) is rewritten in place without the key's rows (atomic
+    tmp+rename; segment names, ``_SEALED`` markers and the ``_CURSOR``
+    are untouched, so consumer positioning is unaffected — consumers
+    that already applied the rows must erase their own sinks)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    feed = os.path.join(out_dir, "feed")
+    rows_erased = 0
+    files_rewritten = 0
+    for f in sorted(_glob.glob(os.path.join(feed, "**", "*.parquet"), recursive=True)):
+        t = pq.read_table(f)
+        keep = pc.invert(pc.equal(t["repo"], repo))
+        if path is not None:
+            keep = pc.or_(keep, pc.invert(pc.equal(t["path"], path)))
+        kept = t.filter(pc.fill_null(keep, True))
+        if kept.num_rows == t.num_rows:
+            continue
+        tmp = f + ".tmp"
+        pq.write_table(kept, tmp)
+        with open(tmp, "rb") as fh:
+            os.fsync(fh.fileno())
+        os.replace(tmp, f)
+        rows_erased += t.num_rows - kept.num_rows
+        files_rewritten += 1
+    return {"feed_files_rewritten": files_rewritten, "feed_rows_erased": rows_erased}
+
+
 def vacuum(cfg_or_root, dry_run: bool = False) -> dict:
     """Lake garbage collection: delete data files no commit-log entry
     references any more. ``CommitLog.write_snapshot`` (run after every
@@ -1785,8 +1819,10 @@ def export_changelog(
     NON-Ray consumers (the Debezium-outbox completion of the engine's
     own ``lake_changelog``): each call exports the changes between the
     consumer cursor and the lake's sealed head as a parquet segment
-    directory ``<out_dir>/feed/epochs=<from>-<to>/`` with a ``_SEALED``
-    marker, then atomically advances ``<out_dir>/_CURSOR``.
+    directory ``<out_dir>/feed/epochs=<from>-<to>/`` (bootstrap:
+    ``epochs=0-snapshot-<to>``, which sorts FIRST) with a ``_SEALED``
+    marker, then atomically advances ``<out_dir>/_CURSOR``. Folding all
+    sealed segments in plain name order reproduces the lake state.
 
     First call bootstraps Debezium-style: the FULL current state spools
     as one ``'I'`` snapshot segment (a consumer needs a base to apply
@@ -1820,7 +1856,11 @@ def export_changelog(
         cols = ["repo", "path", "content_sha256"] + [
             c for c in images if c != "content_sha256"
         ]
-        seg = os.path.join(out_dir, "feed", f"epochs=snapshot-{head:05d}")
+        # "0-snapshot": the '-' byte sorts below every digit, so the
+        # bootstrap segment is FIRST in name order regardless of later
+        # delta names — dumb consumers can fold the feed with a plain
+        # lexicographic walk (snapshot, then deltas, in apply order)
+        seg = os.path.join(out_dir, "feed", f"epochs=0-snapshot-{head:05d}")
 
         def as_inserts(t: pa.Table) -> pa.Table:
             out: dict[str, object] = {

@@ -141,10 +141,12 @@ def main(argv: list[str] | None = None) -> dict:
     if args.erase is not None:
         if args.fixture or args.binlog_dir:
             p.error("--erase is a maintenance mode; drop --fixture/--binlog-dir")
-        from .pipelines.replay import erase_key
+        from .pipelines.replay import erase_key, erase_key_from_feed
 
         repo, _, path = args.erase.partition(":")
         out = erase_key(args.lake, repo, path or None)
+        if args.export_feed:  # scrub the spooled CDC feed too
+            out.update(erase_key_from_feed(args.export_feed, repo, path or None))
         print(json.dumps({"erase": {"repo": repo, "path": path or None}, **out},
                          sort_keys=True))
         return out

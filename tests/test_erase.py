@@ -184,3 +184,66 @@ def test_cli_erase_mode(fixture_small, tmp_path, ray_session, capsys):
     assert after.filter(
         pc.and_(pc.equal(after["repo"], repo), pc.equal(after["path"], path))
     ).num_rows == 0
+
+
+def test_erase_scrubs_export_feed(fixture_small, tmp_path, ray_session):
+    """erase_key_from_feed: the spooled CDC feed forgets the key too —
+    segments rewritten in place, markers/cursor untouched, and a
+    consumer replay of the scrubbed feed equals the erased lake."""
+    import json
+
+    from etl_reconciliate_ray.pipelines.replay import (
+        erase_key_from_feed,
+        export_changelog,
+    )
+
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_feed_erase", manifest)
+    replay(fixture_dir, cfg, stop_after_epoch=2)
+    out = str(tmp_path / "spool")
+    m1 = export_changelog(cfg.lake_root, out)  # snapshot segment
+    replay(fixture_dir, cfg)
+    m2 = export_changelog(cfg.lake_root, out)  # delta segment
+    assert not m1["skipped"] and not m2["skipped"]
+
+    state = lake_table(cfg)
+    repo = path = None
+    for r, p in zip(state["repo"].to_pylist(), state["path"].to_pylist()):
+        if key_history(cfg, r, p).num_rows >= 2:
+            repo, path = r, p
+            break
+    assert repo is not None
+    with open(os.path.join(out, "_CURSOR")) as fh:
+        cursor_before = fh.read()
+
+    erase_key(cfg, repo, path)
+    res = erase_key_from_feed(out, repo, path)
+    assert res["feed_rows_erased"] >= 1
+
+    # markers and cursor untouched
+    with open(os.path.join(out, "_CURSOR")) as fh:
+        assert fh.read() == cursor_before
+    segs = sorted(glob.glob(os.path.join(out, "feed", "epochs=*")))
+    assert all(os.path.exists(os.path.join(s, "_SEALED")) for s in segs)
+
+    # consumer replay of the scrubbed feed == the erased lake state
+    applied = {}
+    for seg in segs:
+        for f in sorted(glob.glob(os.path.join(seg, "*.parquet"))):
+            t = pq.read_table(f)
+            assert t.filter(pc.and_(
+                pc.equal(t["repo"], repo), pc.equal(t["path"], path)
+            )).num_rows == 0  # the key never appears
+            for r in t.to_pylist():
+                if r["change"] == "D":
+                    applied.pop((r["repo"], r["path"]), None)
+                else:
+                    applied[(r["repo"], r["path"])] = r["content_sha256"]
+    final = lake_table(cfg)
+    want = {
+        (r, p): s for r, p, s in zip(final["repo"].to_pylist(),
+                                     final["path"].to_pylist(),
+                                     final["content_sha256"].to_pylist())
+    }
+    assert applied == want
+    json  # keep import referenced
