@@ -490,6 +490,20 @@ def q_key_history_lake(sf_dir: str):
     return pa.concat_tables(parts, promote_options="default")
 
 
+def q_schema_history_lake(sf_dir: str):
+    """Schema-evolution audit (``replay.lake_schema_history``): which
+    epoch introduced which column, read from commit-log entries' parquet
+    footers only — O(files) metadata reads, no data. Over the shared
+    two-epoch evolving lake: epoch 1 carries the base payload schema,
+    epoch 2 adds ``size_bytes`` mid-stream. The oracle is the fixture's
+    deterministic construction itself (scale-invariant by design), so
+    the driver hash certifies the footer walk attributes every column
+    to the right epoch with the right Arrow type."""
+    from ..pipelines.replay import lake_schema_history
+
+    return lake_schema_history(_schema_evo_lake(sf_dir))
+
+
 # ---------------------------------------------------------------- sort/limit
 def q_topk_orders(sf_dir: str):
     """Top-k by sort with deterministic tie-break (SURVEY.md §2.6:
@@ -3494,6 +3508,7 @@ QUERIES = {
     "ivm_repo_stats": q_ivm_repo_stats,
     "lake_keyed_lookup": q_lake_keyed_lookup,
     "key_history_lake": q_key_history_lake,
+    "schema_history_lake": q_schema_history_lake,
     "watermark_window_events": q_watermark_window_events,
     "filter_project": q_filter_project,
     "groupby_sum": q_groupby_sum,
@@ -4441,6 +4456,21 @@ ORACLE_SQL["key_history_lake"] = (
     "WHERE rn = 1 AND path IN "
     "('1','2','3','4','5','6','7','8','9','10','11','12','13','14',"
     "'15','16','17','18','19','20')"
+)
+
+# Schema history: the evolving fixture's construction is deterministic
+# and scale-invariant (epoch 1 = base payload columns, epoch 2 adds
+# size_bytes), so the oracle IS that construction as a constant table —
+# the engine side still has to walk the log's footers and attribute
+# every column to its first epoch with the right Arrow type.
+ORACLE_SQL["schema_history_lake"] = (
+    "SELECT * FROM (VALUES "
+    "(CAST(1 AS BIGINT), 'content', 'string'), "
+    "(CAST(1 AS BIGINT), 'content_sha256', 'string'), "
+    "(CAST(1 AS BIGINT), 'path', 'string'), "
+    "(CAST(1 AS BIGINT), 'repo', 'string'), "
+    "(CAST(2 AS BIGINT), 'size_bytes', 'int64')"
+    ") AS t(epoch, \"column\", dtype)"
 )
 
 # Watermark windows: the oracle replays the identical epoch-granularity

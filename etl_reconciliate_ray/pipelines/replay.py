@@ -1899,6 +1899,39 @@ def export_changelog(
     }
 
 
+def lake_schema_history(cfg_or_root) -> pa.Table:
+    """Schema evolution audit: for every sealed epoch that introduced a
+    column, one row ``(epoch, column, dtype)`` — read from the commit
+    log's surviving entries' parquet FOOTERS only (O(files) metadata
+    reads, no data). The first epoch lists the base schema; later rows
+    are the additive/widened columns the evolving stream brought in.
+    Engine-internal columns (``bucket``, ``op``, ``seq``) are elided —
+    they are the merge machinery, not the table's logical schema.
+    History truncated by compaction collapses into the base's epoch,
+    like every other still-answerable read."""
+    import pyarrow.parquet as pq
+
+    log = CommitLog.open(_root_of(cfg_or_root))
+    head = log.latest_sealed_epoch()
+    seen: dict[str, tuple[int, str]] = {}
+    for entry in sorted(log.all_entries(), key=lambda e: (e.epoch, e.part)):
+        if head is not None and entry.epoch > head:
+            continue
+        for f in entry.files:
+            schema = pq.read_schema(f)
+            for name, typ in zip(schema.names, schema.types):
+                if name in ("bucket", "op", "seq"):
+                    continue
+                if name not in seen:
+                    seen[name] = (entry.epoch, str(typ))
+    rows = sorted(seen.items(), key=lambda kv: (kv[1][0], kv[0]))
+    return pa.table({
+        "epoch": pa.array([e for _, (e, _) in rows], pa.int64()),
+        "column": pa.array([c for c, _ in rows], pa.string()),
+        "dtype": pa.array([t for _, (_, t) in rows], pa.string()),
+    })
+
+
 def lake_state_hash(cfg_or_root) -> str:
     """Global order-insensitive sha256 of (repo, path -> content_sha256)
     — the kill/restart convergence invariant."""
