@@ -90,6 +90,9 @@ def main(argv: list[str] | None = None) -> dict:
                    help="read-only key audit: per-epoch change record of one "
                         "(repo, path) key from the surviving commit-log entries "
                         "(replay.key_history); like --lookup, no Ray session")
+    p.add_argument("--schema-history", action="store_true",
+                   help="read-only: which epoch introduced which column "
+                        "(replay.lake_schema_history, footer metadata only)")
     p.add_argument("--erase", metavar="REPO[:PATH]", default=None,
                    help="PHYSICAL erasure (right-to-be-forgotten): rewrite every "
                         "surviving data file without the key's rows — current "
@@ -136,6 +139,14 @@ def main(argv: list[str] | None = None) -> dict:
             "records": t.to_pylist(),
         }
         print(json.dumps(out, sort_keys=True, default=str))
+        return out
+
+    if args.schema_history:
+        from .pipelines.replay import lake_schema_history
+
+        t = lake_schema_history(args.lake)
+        out = {"columns": t.to_pylist()}
+        print(json.dumps(out, sort_keys=True))
         return out
 
     if args.erase is not None:

@@ -307,3 +307,19 @@ def test_cli_history_mode(fixture_small, tmp_path, ray_session, capsys):
     assert [r["epoch"] for r in out["records"]] == want["epoch"].to_pylist()
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["changes"] == out["changes"]
+
+
+def test_cli_schema_history_mode(fixture_small, tmp_path, ray_session, capsys):
+    import json
+
+    from etl_reconciliate_ray.run import main
+
+    fixture_dir, _, manifest = fixture_small
+    cfg = _cfg(tmp_path, "lake_cli_sh", manifest)
+    replay(fixture_dir, cfg)
+    out = main(["--lake", cfg.lake_root, "--schema-history"])
+    cols = {r["column"] for r in out["columns"]}
+    assert {"repo", "path", "content", "content_sha256"} <= cols
+    assert "bucket" not in cols and "op" not in cols
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed == out
