@@ -439,6 +439,7 @@ def run_nodes() -> dict:
     return summary
 
 
+_XWIN_MARKER = "## Cross-window replication (single-node 8 -> 32 core ratio)"
 _NODES_MARKER = "## Measured 1-node vs 2-node scaling"
 _STRESS_MARKER = "## sf1 stress: one order of magnitude above the per-round bench"
 _DOCS_MARKER = "## docs-path stress: dedup family at corpus scale"
@@ -771,7 +772,7 @@ def _write_bench_md(results: dict, summary: dict) -> None:
     tail = ""
     if os.path.exists("BENCH/BASELINE.md"):
         old = open("BENCH/BASELINE.md").read()
-        for m in (_NODES_MARKER, _STRESS_MARKER, _DOCS_MARKER):
+        for m in (_XWIN_MARKER, _NODES_MARKER, _STRESS_MARKER, _DOCS_MARKER):
             if m in old:
                 tail = "\n" + old[old.index(m):].rstrip() + "\n"
                 break
