@@ -1914,8 +1914,14 @@ def lake_schema_history(cfg_or_root) -> pa.Table:
     log = CommitLog.open(_root_of(cfg_or_root))
     head = log.latest_sealed_epoch()
     seen: dict[str, tuple[int, str]] = {}
+    if head is None:  # nothing sealed: no visible schema yet
+        return pa.table({
+            "epoch": pa.array([], pa.int64()),
+            "column": pa.array([], pa.string()),
+            "dtype": pa.array([], pa.string()),
+        })
     for entry in sorted(log.all_entries(), key=lambda e: (e.epoch, e.part)):
-        if head is not None and entry.epoch > head:
+        if entry.epoch > head:
             continue
         for f in entry.files:
             schema = pq.read_schema(f)
