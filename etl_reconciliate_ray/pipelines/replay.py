@@ -457,6 +457,76 @@ def _replay_epoch_descs(
     return out
 
 
+def replay_multiplexed(
+    binlog_dir: str,
+    tables: dict[str, ReplayConfig],
+    coordinator_root: str,
+    table_col: str = "tbl",
+    stop_mid_epoch: int | None = None,
+) -> list[dict]:
+    """Ingest a MULTIPLEXED CDC stream — one binlog carrying N logical
+    tables (the shape a Debezium/WAL feed actually has) — into N
+    independent lakes with per-epoch CROSS-TABLE atomic visibility via
+    the transaction coordinator (``state/txn.py``).
+
+    Per epoch file: each table's slice stages UNSEALED through the
+    normal replay engine (``read_parquet`` with a pushed-down
+    ``table_col == name`` filter — a table-sorted epoch file prunes at
+    row-group granularity, so N tables do not mean N full scans), then
+    ONE coordinator COMMIT flips all N lakes together. A reader joining
+    orders to order_lines therefore never sees epoch k of one table
+    against epoch k-1 of the other — the consistency the reference gets
+    free from its single metadata store (springbatch-schema.sql:1-76).
+
+    Resumable at every crash point: completed epochs skip via the
+    per-lake seals; an in-doubt txn (PREPARE without COMMIT) rolls
+    forward through ``recover()``/``resume_in_doubt`` (staging is
+    deterministic); un-prepared leftovers resume through the
+    (epoch, part) fence (``stage(resume=True)``).
+
+    ``stop_mid_epoch``: chaos hook — crash after staging (and
+    preparing) epoch k's tables but before the COMMIT mark.
+    """
+    import ray.data as rd
+
+    from ..state.txn import TxnCoordinator
+
+    co = TxnCoordinator.open(coordinator_root)
+    rep = co.recover()
+    for txn_id in rep["in_doubt"]:
+        co.resume_in_doubt(txn_id).commit()  # staging finished => roll forward
+
+    out: list[dict] = []
+    for ep in _discover_epochs(binlog_dir):
+        engine_epoch = ep["epoch"] + 1  # 0 is reserved for bootstrap
+        todo = {
+            name: cfg for name, cfg in tables.items()
+            if not CommitLog.open(cfg.lake_root).is_sealed(engine_epoch)
+        }
+        if not todo:
+            out.append({"epoch": engine_epoch, "skipped": True})
+            continue
+        txn = co.begin()
+        for name in sorted(todo):
+            cfg = todo[name]
+            import pyarrow.dataset as pads
+
+            slice_ds = rd.read_parquet(
+                ep["file"], filter=pads.field(table_col) == name
+            ).drop_columns([table_col])
+            txn.stage(
+                name, cfg, slice_ds, epoch=engine_epoch,
+                input_seq=tuple(ep["seq_range"]) if ep.get("seq_range") else None,
+                resume=True,  # un-prepared crash leftovers: fence skips them
+            )
+        txn.prepare()
+        if stop_mid_epoch is not None and engine_epoch >= stop_mid_epoch:
+            return out  # chaos: in-doubt txn left behind
+        res = txn.commit()
+        out.append({"epoch": engine_epoch, "skipped": False, "tables": res["tables"]})
+    return out
+
+
 def follow_stream(
     binlog_dir: str,
     cfg: ReplayConfig,

@@ -1,0 +1,106 @@
+"""Multiplexed CDC ingest (replay_multiplexed): one binlog carrying N
+logical tables lands in N lakes with per-epoch cross-table ATOMIC
+visibility through the txn coordinator. Equality oracle: each lake must
+be sha-identical to an independent plain replay of its demultiplexed
+stream; chaos: a crash between PREPARE and COMMIT leaves both lakes at
+the PREVIOUS epoch (never mixed) and the next run rolls forward.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from etl_reconciliate_ray.pipelines.replay import (
+    ReplayConfig,
+    lake_state_hash,
+    replay_multiplexed,
+    replay_stream,
+)
+from etl_reconciliate_ray.state.commitlog import CommitLog
+from etl_reconciliate_ray.state.txn import TxnCoordinator
+
+
+def _build_mux(fixture_dir: str, out: str) -> tuple[str, str, str]:
+    """Two logical tables interleaved in one binlog: 'files' = the
+    fixture rows verbatim, 'orders' = same keys with distinct content.
+    Also writes the demultiplexed control streams."""
+    mux = os.path.join(out, "mux")
+    ctrl_f = os.path.join(out, "plain_files")
+    ctrl_o = os.path.join(out, "plain_orders")
+    for d in (mux, ctrl_f, ctrl_o):
+        os.makedirs(d, exist_ok=True)
+    for f in sorted(glob.glob(os.path.join(fixture_dir, "binlog", "*.parquet"))):
+        t = pq.read_table(f)
+        files = t.append_column("tbl", pa.array(["files"] * t.num_rows))
+        ocontent = pc.binary_join_element_wise(
+            pa.array(["O"] * t.num_rows), pc.fill_null(t["content"], ""), ""
+        )
+        # deletes must stay deletes (null content) in the derived table
+        ocontent = pc.if_else(pc.equal(t["op"], "D"), pa.nulls(t.num_rows, pa.string()), ocontent)
+        orders = t.set_column(
+            t.column_names.index("content"), "content", ocontent
+        ).append_column("tbl", pa.array(["orders"] * t.num_rows))
+        name = os.path.basename(f)
+        # table-sorted so the tbl == name read filter prunes row groups
+        both = pa.concat_tables([files, orders], promote_options="default")
+        both = both.sort_by([("tbl", "ascending"), ("seq", "ascending")])
+        pq.write_table(both, os.path.join(mux, name), row_group_size=max(t.num_rows, 1))
+        pq.write_table(files.drop_columns(["tbl"]), os.path.join(ctrl_f, name))
+        pq.write_table(orders.drop_columns(["tbl"]), os.path.join(ctrl_o, name))
+    return mux, ctrl_f, ctrl_o
+
+
+def _cfg(tmp_path, name, manifest):
+    return ReplayConfig(
+        lake_root=str(tmp_path / name),
+        num_buckets=4,
+        salt_for_repo=manifest["salt_hot_repos"],
+        writer_concurrency=2,
+    )
+
+
+def test_multiplexed_equals_independent_replays(fixture_small, tmp_path, ray_session):
+    fixture_dir, _, manifest = fixture_small
+    mux, ctrl_f, ctrl_o = _build_mux(fixture_dir, str(tmp_path / "streams"))
+    cfgs = {"files": _cfg(tmp_path, "mx_files", manifest),
+            "orders": _cfg(tmp_path, "mx_orders", manifest)}
+    out = replay_multiplexed(mux, cfgs, str(tmp_path / "mx_txn"))
+    assert all(not m["skipped"] for m in out)
+
+    for name, ctrl in (("files", ctrl_f), ("orders", ctrl_o)):
+        control = _cfg(tmp_path, f"ctrl_{name}", manifest)
+        replay_stream(ctrl, control)
+        assert lake_state_hash(cfgs[name].lake_root) == lake_state_hash(control.lake_root), name
+
+    # idempotent re-run: everything sealed, nothing restaged
+    out2 = replay_multiplexed(mux, cfgs, str(tmp_path / "mx_txn"))
+    assert all(m["skipped"] for m in out2)
+
+
+def test_multiplexed_crash_mid_epoch_is_atomic(fixture_small, tmp_path, ray_session):
+    fixture_dir, _, manifest = fixture_small
+    mux, ctrl_f, ctrl_o = _build_mux(fixture_dir, str(tmp_path / "streams2"))
+    cfgs = {"files": _cfg(tmp_path, "cx_files", manifest),
+            "orders": _cfg(tmp_path, "cx_orders", manifest)}
+    txn_root = str(tmp_path / "cx_txn")
+
+    # crash after staging+preparing epoch 2, before its COMMIT mark
+    replay_multiplexed(mux, cfgs, txn_root, stop_mid_epoch=2)
+    heads = {n: CommitLog.open(c.lake_root).latest_sealed_epoch() for n, c in cfgs.items()}
+    # ATOMIC: both tables stand at epoch 1 — never one at 2 and one at 1
+    assert heads == {"files": 1, "orders": 1}
+    assert TxnCoordinator.open(txn_root).in_doubt()  # the crash left evidence
+
+    # restart rolls the in-doubt txn forward and finishes the stream
+    out = replay_multiplexed(mux, cfgs, txn_root)
+    assert [m["epoch"] for m in out if not m.get("skipped")]
+    for name, ctrl in (("files", ctrl_f), ("orders", ctrl_o)):
+        control = _cfg(tmp_path, f"cctrl_{name}", manifest)
+        replay_stream(ctrl, control)
+        assert lake_state_hash(cfgs[name].lake_root) == lake_state_hash(control.lake_root), name
+    assert TxnCoordinator.open(txn_root).in_doubt() == []
