@@ -490,6 +490,109 @@ def q_key_history_lake(sf_dir: str):
     return pa.concat_tables(parts, promote_options="default")
 
 
+def _txn_lakes(sf_dir: str) -> tuple[str, str, str]:
+    """Build (cached) TWO lakes fed by one MULTIPLEXED 3-epoch binlog
+    through ``replay_multiplexed`` — per-epoch cross-table atomic
+    commits via the txn coordinator. Same keyed derivation as
+    ``_ivm_lake`` (so the LWW/tombstone structure is shared); table
+    'a' carries the raw content, table 'b' the 'B:'-prefixed content.
+    Returns (root_a, root_b, coordinator_root)."""
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.replay import ReplayConfig, replay_multiplexed
+
+    ev = _pq.read_table(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    ev = ev.filter(
+        pc.and_(pc.is_valid(ev["user_id"]), pc.is_valid(ev["event_type"]))
+    )
+    eid = ev["event_id"].to_numpy(zero_copy_only=False)
+    uid = ev["user_id"].to_numpy(zero_copy_only=False)
+    hi = int(eid.max()) + 1
+    pmod = max(hi // 2, 1)
+
+    def _build(work_dir: str) -> None:
+        epoch = (eid * 3) // hi
+        op = np.where((epoch == 2) & (uid % 11 == 3), "D", "I")
+        base = pa.table({
+            "seq": pa.array(eid, pa.int64()),
+            "op": pa.array(op),
+            "repo": pc.cast(pa.array(uid % 5), pa.string()),
+            "path": pc.cast(pa.array(eid % pmod), pa.string()),
+            "content": ev["event_type"],
+        })
+        b_content = pc.binary_join_element_wise(
+            pa.array(["B:"] * len(eid)), pc.fill_null(base["content"], ""), ""
+        )
+        binlog = os.path.join(work_dir, "binlog")
+        os.makedirs(binlog, exist_ok=True)
+        for e in range(3):
+            m = pa.array(epoch == e)
+            a = base.filter(m).append_column("tbl", pa.array(["a"] * int((epoch == e).sum())))
+            b = base.set_column(
+                base.column_names.index("content"), "content", b_content
+            ).filter(m).append_column("tbl", pa.array(["b"] * int((epoch == e).sum())))
+            both = pa.concat_tables([a, b]).sort_by(
+                [("tbl", "ascending"), ("seq", "ascending")]
+            )
+            _pq.write_table(
+                both, os.path.join(binlog, f"epoch={e:05d}.parquet"),
+                row_group_size=max(a.num_rows, 1),
+            )
+        replay_multiplexed(
+            binlog,
+            {
+                "a": ReplayConfig(lake_root=os.path.join(work_dir, "lake_a"), num_buckets=8),
+                "b": ReplayConfig(lake_root=os.path.join(work_dir, "lake_b"), num_buckets=8),
+            },
+            os.path.join(work_dir, "txn"),
+        )
+
+    work = _claimed_cache_dir(sf_dir, "txnmux", _build)
+    return (
+        os.path.join(work, "lake_a"),
+        os.path.join(work, "lake_b"),
+        os.path.join(work, "txn"),
+    )
+
+
+def q_txn_snapshot_join(sf_dir: str):
+    """Cross-table consistent read over the transactionally-ingested
+    lakes: the coordinator's committed cut pins BOTH lakes' epochs
+    (``state.txn.read_snapshot``), the two pinned states hash-join on
+    (repo, path), and the result aggregates per repo. Because every
+    epoch committed atomically across the two tables, the join is
+    loss-free by construction — the oracle recomputes both final LWW
+    states from the shared derivation and certifies counts and summed
+    content lengths."""
+    from ..stages.joins import hash_join
+    from ..state.txn import TxnCoordinator, read_snapshot
+
+    root_a, root_b, txn_root = _txn_lakes(sf_dir)
+    co = TxnCoordinator.open(txn_root)
+    snaps = read_snapshot(co, columns={"a": ["repo", "path", "content"],
+                                       "b": ["repo", "path", "content"]})
+    joined = hash_join(snaps["a"], snaps["b"], on=["repo", "path"],
+                       how="inner", num_buckets=8)
+
+    def agg(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"],
+            "n_keys": pa.array([1] * t.num_rows, pa.int64()),
+            "len_a": pc.cast(pc.utf8_length(t["content_l"]), pa.int64()),
+            "len_b": pc.cast(pc.utf8_length(t["content_r"]), pa.int64()),
+        })
+
+    from ..stages.agg import preagg_groupby
+
+    return preagg_groupby(
+        joined.map_batches(agg, batch_format="pyarrow"),
+        keys=["repo"],
+        sums={"n_keys": "n_keys", "len_a": "len_a", "len_b": "len_b"},
+    )
+
+
 def q_schema_history_lake(sf_dir: str):
     """Schema-evolution audit (``replay.lake_schema_history``): which
     epoch introduced which column, read from commit-log entries' parquet
@@ -3509,6 +3612,7 @@ QUERIES = {
     "lake_keyed_lookup": q_lake_keyed_lookup,
     "key_history_lake": q_key_history_lake,
     "schema_history_lake": q_schema_history_lake,
+    "txn_snapshot_join": q_txn_snapshot_join,
     "watermark_window_events": q_watermark_window_events,
     "filter_project": q_filter_project,
     "groupby_sum": q_groupby_sum,
@@ -4456,6 +4560,33 @@ ORACLE_SQL["key_history_lake"] = (
     "WHERE rn = 1 AND path IN "
     "('1','2','3','4','5','6','7','8','9','10','11','12','13','14',"
     "'15','16','17','18','19','20')"
+)
+
+# Txn snapshot join: both lakes derive from the SAME keyed event stream
+# (table b = 'B:'-prefixed content), so the oracle recomputes one final
+# LWW state (tombstones excluded) and aggregates both length sums from
+# it — certifying the multiplexed atomic ingest, the coordinator's
+# pinned cross-table cut, and the distributed hash join in one hash.
+ORACLE_SQL["txn_snapshot_join"] = (
+    "WITH ev AS ("
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE user_id IS NOT NULL AND event_type IS NOT NULL"
+    "), hi AS (SELECT MAX(event_id) + 1 AS m FROM ev"
+    "), keyed AS ("
+    "SELECT CAST(user_id % 5 AS VARCHAR) AS repo, "
+    "CAST(event_id % GREATEST(m // 2, 1) AS VARCHAR) AS path, "
+    "event_type AS content, event_id AS seq, "
+    "CASE WHEN (event_id * 3) // m = 2 AND user_id % 11 = 3 "
+    "THEN 'D' ELSE 'I' END AS op "
+    "FROM ev, hi"
+    "), w AS ("
+    "SELECT repo, path, content, op FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path "
+    "ORDER BY seq DESC) AS rn FROM keyed) WHERE rn = 1"
+    ") SELECT repo, COUNT(*) AS n_keys, "
+    "CAST(SUM(length(content)) AS BIGINT) AS len_a, "
+    "CAST(SUM(length(content) + 2) AS BIGINT) AS len_b "
+    "FROM w WHERE op = 'I' GROUP BY repo"
 )
 
 # Schema history: the evolving fixture's construction is deterministic
