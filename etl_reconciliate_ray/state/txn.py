@@ -27,9 +27,9 @@ Crash matrix:
   is cheap (the (epoch, part) fence skips committed partitions) or the
   caller aborts (``drop_unsealed_epoch`` + orphan-file delete).
 - after PREPARE, before COMMIT: ``recover()`` reports the txn as
-  in-doubt; the caller either re-stages + commits (roll forward — the
-  merge is deterministic, so re-staged content is identical) or calls
-  ``abort_prepared()``.
+  in-doubt; PREPARE is only written once every stage finished, so
+  ``resume_in_doubt(txn_id).commit()`` rolls forward with no
+  re-staging, or the caller ``abort_prepared()``s.
 - after COMMIT, before all seals: ``recover()`` finishes the seals —
   the decision was already durable, so this always rolls forward.
 
