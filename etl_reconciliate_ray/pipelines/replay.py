@@ -571,6 +571,51 @@ def follow_stream(
     return out
 
 
+def follow_multiplexed(
+    binlog_dir: str,
+    tables: dict[str, ReplayConfig],
+    coordinator_root: str,
+    table_col: str = "tbl",
+    poll_sec: float = 1.0,
+    idle_polls: int = 5,
+    on_batch=None,
+) -> list[dict]:
+    """Continuous-tail mode for a MULTIPLEXED stream: poll for new
+    epoch files and land each batch through ``replay_multiplexed`` —
+    per-epoch cross-table atomic commits, resumable at every crash
+    point (replay_multiplexed re-derives everything from the seals, the
+    coordinator log and the fences, so each poll is just a re-entry).
+    Stops on ``_EOS`` (after draining) or ``idle_polls`` empty polls.
+
+    ``on_batch(tables)``: downstream hook after each fresh atomic batch
+    (advance views, spool feeds); exceptions propagate — the commits
+    are already durable, so a crashed hook resumes cleanly."""
+    out: list[dict] = []
+    seen: set[str] = set()
+    idle = 0
+    while True:
+        descs = _discover_epochs(binlog_dir, stop_at_unreadable=True)
+        fresh = [d for d in descs if d["file"] not in seen]
+        if fresh:
+            idle = 0
+            out.extend(replay_multiplexed(
+                binlog_dir, tables, coordinator_root, table_col=table_col
+            ))
+            seen.update(d["file"] for d in descs)
+            if on_batch is not None:
+                on_batch(tables)
+        else:
+            idle += 1
+        if os.path.exists(os.path.join(binlog_dir, "_EOS")):
+            descs = _discover_epochs(binlog_dir, stop_at_unreadable=True)
+            if all(d["file"] in seen for d in descs):
+                break
+        elif idle >= idle_polls:
+            break
+        time.sleep(poll_sec)
+    return out
+
+
 _INT_WIDTH = {pa.int8(): 8, pa.int16(): 16, pa.int32(): 32, pa.int64(): 64}
 _UINT_WIDTH = {pa.uint8(): 8, pa.uint16(): 16, pa.uint32(): 32, pa.uint64(): 64}
 _FLOAT_WIDTH = {pa.float16(): 16, pa.float32(): 32, pa.float64(): 64}

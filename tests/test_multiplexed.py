@@ -104,3 +104,51 @@ def test_multiplexed_crash_mid_epoch_is_atomic(fixture_small, tmp_path, ray_sess
         replay_stream(ctrl, control)
         assert lake_state_hash(cfgs[name].lake_root) == lake_state_hash(control.lake_root), name
     assert TxnCoordinator.open(txn_root).in_doubt() == []
+
+
+def test_follow_multiplexed_drains_growing_stream(fixture_small, tmp_path, ray_session):
+    """Epoch files land while following; each batch commits atomically
+    across tables; _EOS stops the loop after draining; final state ==
+    one-shot multiplexed replay of the same stream."""
+    import shutil
+    import threading
+    import time as _time
+
+    from etl_reconciliate_ray.pipelines.replay import follow_multiplexed
+
+    fixture_dir, _, manifest = fixture_small
+    mux, _, _ = _build_mux(fixture_dir, str(tmp_path / "streams3"))
+    grow = str(tmp_path / "grow")
+    os.makedirs(grow)
+    files = sorted(glob.glob(os.path.join(mux, "*.parquet")))
+    shutil.copy(files[0], os.path.join(grow, os.path.basename(files[0])))
+
+    cfgs = {"files": _cfg(tmp_path, "fm_files", manifest),
+            "orders": _cfg(tmp_path, "fm_orders", manifest)}
+    batches = []
+
+    def feeder():
+        for f in files[1:]:
+            _time.sleep(0.4)
+            shutil.copy(f, os.path.join(grow, os.path.basename(f)))
+        open(os.path.join(grow, "_EOS"), "w").close()
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    out = follow_multiplexed(
+        grow, cfgs, str(tmp_path / "fm_txn"), poll_sec=0.2, idle_polls=100,
+        on_batch=lambda tabs: batches.append(
+            {n: CommitLog.open(c.lake_root).latest_sealed_epoch() for n, c in tabs.items()}
+        ),
+    )
+    t.join()
+    assert len(batches) >= 2  # the stream actually grew mid-follow
+    # every observed batch boundary was cross-table ATOMIC
+    for heads in batches:
+        assert heads["files"] == heads["orders"]
+
+    control = {"files": _cfg(tmp_path, "fmc_files", manifest),
+               "orders": _cfg(tmp_path, "fmc_orders", manifest)}
+    replay_multiplexed(mux, control, str(tmp_path / "fmc_txn"))
+    for n in cfgs:
+        assert lake_state_hash(cfgs[n].lake_root) == lake_state_hash(control[n].lake_root)
