@@ -593,6 +593,20 @@ def q_txn_snapshot_join(sf_dir: str):
     )
 
 
+def q_lm_quality_docs(sf_dir: str):
+    """CCNet/KenLM-style perplexity quality filter
+    (``stages/textstage.trigram_lm_scores``): each document's mean
+    negative log-likelihood under the corpus's own char-trigram LM
+    (add-1 smoothing), e4-rounded. Distributed counts → one tiny
+    groupby → broadcast model → map-only scoring. The DuckDB oracle
+    enumerates the identical trigrams with substr + generate_series and
+    recomputes the same smoothed averages."""
+    from ..stages.textstage import trigram_lm_scores
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return trigram_lm_scores(ds)
+
+
 def q_schema_history_lake(sf_dir: str):
     """Schema-evolution audit (``replay.lake_schema_history``): which
     epoch introduced which column, read from commit-log entries' parquet
@@ -3613,6 +3627,7 @@ QUERIES = {
     "key_history_lake": q_key_history_lake,
     "schema_history_lake": q_schema_history_lake,
     "txn_snapshot_join": q_txn_snapshot_join,
+    "lm_quality_docs": q_lm_quality_docs,
     "watermark_window_events": q_watermark_window_events,
     "filter_project": q_filter_project,
     "groupby_sum": q_groupby_sum,
@@ -4560,6 +4575,25 @@ ORACLE_SQL["key_history_lake"] = (
     "WHERE rn = 1 AND path IN "
     "('1','2','3','4','5','6','7','8','9','10','11','12','13','14',"
     "'15','16','17','18','19','20')"
+)
+
+# Trigram LM quality: the oracle enumerates the IDENTICAL character
+# trigrams (substr over generate_series positions) and recomputes the
+# same add-1-smoothed mean NLL; e4 rounding absorbs the float-sum-order
+# difference between numpy and DuckDB (the BM25 contract).
+ORACLE_SQL["lm_quality_docs"] = (
+    "WITH docs AS (SELECT doc_id, text FROM documents "
+    "WHERE text IS NOT NULL AND length(text) >= 3"
+    "), tri AS ("
+    "SELECT doc_id, substr(text, CAST(i AS INT), 3) AS t3, "
+    "substr(text, CAST(i AS INT), 2) AS p2 "
+    "FROM docs, LATERAL (SELECT unnest(generate_series(1, length(text)-2)) AS i) g"
+    "), c3 AS (SELECT t3, CAST(COUNT(*) AS DOUBLE) AS n3 FROM tri GROUP BY t3"
+    "), c2 AS (SELECT p2, CAST(COUNT(*) AS DOUBLE) AS n2 FROM tri GROUP BY p2"
+    "), sc AS ("
+    "SELECT tri.doc_id, AVG(-ln((n3 + 1) / (n2 + 256))) AS nll "
+    "FROM tri JOIN c3 USING (t3) JOIN c2 USING (p2) GROUP BY tri.doc_id) "
+    "SELECT doc_id, CAST(ROUND(nll * 10000) AS BIGINT) AS nll_e4 FROM sc"
 )
 
 # Txn snapshot join: both lakes derive from the SAME keyed event stream

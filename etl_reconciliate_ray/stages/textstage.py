@@ -791,3 +791,127 @@ def bm25_topk(
         .sort(["score_e4", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+# ------------------------------------------------------- trigram LM scoring
+_TRI_M = 0x110001  # > max unicode codepoint: a trigram id fits int64 (M^3 < 2^63)
+
+
+def _trigram_ids(texts, np):
+    """Vectorized char-trigram ids for a batch of documents: ONE
+    utf-32 decode of the joined batch, one fused multiply-add over the
+    codepoint array, seam windows masked by POSITION (not separator
+    value, so a genuine separator char inside a text cannot corrupt
+    the stream). Returns (ids, doc_of) for every in-document trigram."""
+    lens = np.array([len(s) for s in texts], dtype=np.int64)
+    joined = " ".join(texts)
+    cps = np.frombuffer(joined.encode("utf-32-le"), "<u4").astype(np.int64)
+    if len(cps) < 3:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ids = cps[:-2] * (_TRI_M * _TRI_M) + cps[1:-1] * _TRI_M + cps[2:]
+    # doc i occupies [start_i, start_i + len_i); +1 per separator
+    starts = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+    ends = starts + lens
+    pos = np.arange(len(cps) - 2, dtype=np.int64)
+    doc_of = np.minimum(np.searchsorted(ends, pos, side="right"), len(ends) - 1)
+    # window fully inside its doc: starts-at-separator windows (pos ==
+    # starts[doc]-1) and end-crossing windows are both excluded
+    valid = (pos >= starts[doc_of]) & (pos + 2 < ends[doc_of])
+    return ids[valid], doc_of[valid]
+
+
+class TrigramCounts:
+    """Per-batch partial char-trigram counts (tri, n) — the count pass
+    of the CCNet/KenLM-style n-gram LM quality scorer."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = [s for s in batch[self.text_col].to_pylist() if s and len(s) >= 3]
+        if not texts:
+            return pa.table({"tri": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ids, _ = _trigram_ids(texts, np)
+        tri, n = np.unique(ids, return_counts=True)
+        return pa.table({"tri": pa.array(tri), "n": pa.array(n.astype(np.int64))})
+
+
+class TrigramLMScore:
+    """Score pass: mean negative log-likelihood per document under the
+    corpus char-trigram LM with add-1 smoothing over a 256-char
+    third-position alphabet: p(c3|c1c2) = (c3_count+1)/(c2_count+256).
+    The broadcast model (sorted trigram ids + counts + derived prefix
+    counts) is fetched ONCE per actor in ``__init__`` via its object
+    ref; every scored trigram was seen by the count pass (same
+    corpus), so lookups always hit."""
+
+    def __init__(self, model_ref, text_col: str = "text", doc_id_col: str = "doc_id"):
+        import numpy as np
+
+        import ray
+
+        tri, n = ray.get(model_ref)
+        self.tri, self.n = tri, n
+        pref = tri // _TRI_M
+        cuts = np.concatenate(([0], np.flatnonzero(np.diff(pref)) + 1))
+        self.pref = pref[cuts]
+        self.pref_n = np.add.reduceat(n, cuts)
+        self.text_col, self.doc_id_col = text_col, doc_id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rows = batch[self.text_col].to_pylist()
+        doc_ids = batch[self.doc_id_col].to_pylist()
+        keep = [i for i, s in enumerate(rows) if s and len(s) >= 3]
+        if not keep:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "nll_e4": pa.array([], pa.int64())})
+        texts = [rows[i] for i in keep]
+        ids, doc_of = _trigram_ids(texts, np)
+        c3 = self.n[np.searchsorted(self.tri, ids)]
+        c2 = self.pref_n[np.searchsorted(self.pref, ids // _TRI_M)]
+        logp = np.log((c3 + 1.0) / (c2 + 256.0))
+        sums = np.bincount(doc_of, weights=-logp, minlength=len(texts))
+        cnts = np.bincount(doc_of, minlength=len(texts))
+        nll = sums / np.maximum(cnts, 1)
+        return pa.table({
+            "doc_id": pa.array([int(doc_ids[i]) for i in keep], pa.int64()),
+            "nll_e4": pa.array(np.round(nll * 1e4).astype(np.int64)),
+        })
+
+
+def trigram_lm_scores(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
+    """CCNet-style n-gram LM quality scoring, oracle-backed: two passes
+    over the corpus — (1) distributed partial trigram counts reduced
+    through one tiny groupby (the distinct-trigram table is bounded by
+    the alphabet cubed, ~1e5-1e6 rows for real text, broadcast once via
+    ``ray.put``), then (2) a map-only score pass emitting each
+    document's e4-rounded mean negative log-likelihood. High nll =
+    improbable character sequences (boilerplate, encoding garbage,
+    non-language) — the classic perplexity filter for pretraining
+    corpora, here with the LM trained on the corpus itself."""
+    import numpy as np
+
+    import ray
+
+    from ..stages.agg import preagg_groupby
+
+    counts = preagg_groupby(
+        ds.map_batches(TrigramCounts(text_col), batch_format="pyarrow"),
+        keys=["tri"], sums={"n": "n"},
+    ).take_all()  # bounded: the alphabet's trigrams, not corpus rows
+    tri = np.array([r["tri"] for r in counts], dtype=np.int64)
+    order = np.argsort(tri)
+    n = np.array([r["n"] for r in counts], dtype=np.float64)[order]
+    model_ref = ray.put((tri[order], n))
+    return ds.map_batches(
+        TrigramLMScore,
+        fn_constructor_kwargs={"model_ref": model_ref, "text_col": text_col,
+                               "doc_id_col": doc_id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

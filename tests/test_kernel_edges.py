@@ -221,3 +221,27 @@ def test_media_corrupt_payload_falls_back_per_row():
     good = Image.open(io.BytesIO(r["payload"].to_pylist()[0]))
     assert good.size == (4, 3)
     assert len(r["payload"].to_pylist()[1]) > 0  # fake bytes, not a crash
+
+
+def test_trigram_kernel_seam_masking():
+    """No trigram may cross a document seam, leak the separator, or
+    mis-attribute its doc — including the starts-at-separator window."""
+    import numpy as np
+
+    from etl_reconciliate_ray.stages.textstage import _TRI_M, _trigram_ids
+
+    def decode(i):
+        return "".join(chr(c) for c in (i // (_TRI_M * _TRI_M),
+                                        (i // _TRI_M) % _TRI_M, i % _TRI_M))
+
+    ids, doc_of = _trigram_ids(["abcd", "xyz"], np)
+    got = sorted(zip(doc_of.tolist(), [decode(i) for i in ids]))
+    assert got == [(0, "abc"), (0, "bcd"), (1, "xyz")]
+
+    # short docs produce nothing; separator windows are fully masked
+    ids, doc_of = _trigram_ids(["ab", "cd", "ef"], np)
+    assert len(ids) == 0
+
+    # genuine spaces INSIDE a doc are real trigrams, not seams
+    ids, doc_of = _trigram_ids(["a bc"], np)
+    assert sorted(decode(i) for i in ids) == [" bc", "a b"]
