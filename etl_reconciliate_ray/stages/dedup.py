@@ -215,6 +215,7 @@ def verify_pairs_distributed(
     shingle_k: int = 5,
     num_buckets: int = 16,
     bloom_bits_log2: int = 23,
+    pair_budget: int = 10_000,
 ):
     """Exact shingle-Jaccard verification of candidate pairs, fully
     distributed: the corpus is first PRUNED to (approximately) the
@@ -229,8 +230,18 @@ def verify_pairs_distributed(
     joined batch verifies rows with a per-batch shingle cache (a doc
     repeated across many pairs in one batch is shingled once).
 
+    ``pair_budget``: candidate sets at or under this size skip the
+    Bloom + two-shuffle machinery entirely — ONE distributed map
+    shingles just the endpoint docs and the O(pairs) jaccards compute
+    driver-side (driver memory O(endpoint shingles), bounded by the
+    budget; the choice is logged). At bench scale the dup tail is a few
+    hundred pairs and the fixed cost of three exchanges dominates the
+    whole pipeline; at 100 TB the distributed path engages unchanged.
+
     Returns Dataset(doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
+    import logging
+
     import ray
 
     from ..functions.bloom import bloom_contains, build_bloom
@@ -238,6 +249,13 @@ def verify_pairs_distributed(
 
     # O(pairs) narrow rows; consumed twice (bloom pass + join input)
     pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs <= pair_budget:
+        logging.getLogger(__name__).info(
+            "verify_pairs: %d pairs <= budget %d — small-side fast path",
+            n_pairs, pair_budget,
+        )
+        return _verify_pairs_small(pairs_ds, docs_ds, threshold, shingle_k)
     # size the join fan-out to the candidate volume: a sparse pair set
     # through a fixed 16-way exchange is pure scheduling overhead, a
     # dense one still gets the full fan-out (caller's num_buckets caps)
@@ -293,6 +311,58 @@ def verify_pairs_distributed(
         )
 
     return j2.map_batches(verify, batch_format="pandas")
+
+
+def _verify_pairs_small(pairs_ds, docs_ds, threshold: float, shingle_k: int):
+    """Small-side verify: broadcast the endpoint-id set, shingle ONLY
+    the endpoint docs in one distributed map, compute the O(pairs)
+    jaccards driver-side. Byte-identical output to the distributed
+    path (same shingle kernel, same rounding)."""
+    import ray
+    import ray.data as rd
+
+    plist = pairs_ds.take_all()
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+    if not plist:
+        return rd.from_arrow(empty)
+    endpoints = frozenset(
+        int(r["doc_a"]) for r in plist
+    ) | frozenset(int(r["doc_b"]) for r in plist)
+    ep_ref = ray.put(endpoints)
+
+    def endpoint_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        eps = ray.get(ep_ref)
+        m = df["doc_id"].astype("int64").isin(eps)
+        sel = df[m]
+        return pd.DataFrame({
+            "doc_id": sel["doc_id"].astype("int64"),
+            "sh": [
+                np.unique(T.char_shingles(t, shingle_k)) for t in sel["text"]
+            ],
+        })
+
+    sh_rows = docs_ds.map_batches(endpoint_shingles, batch_format="pandas").take_all()
+    sh = {int(r["doc_id"]): r["sh"] for r in sh_rows}
+    rows = []
+    for r in plist:
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        sa, sb = sh.get(a), sh.get(b)
+        if sa is None or sb is None:
+            continue
+        j = T.jaccard(set(np.asarray(sa).tolist()), set(np.asarray(sb).tolist()))
+        if j >= threshold:
+            rows.append((a, b, round(float(j), 6)))
+    if not rows:
+        return rd.from_arrow(empty)
+    return rd.from_arrow(pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+    }))
 
 
 def _cc_driver_union_find(nodes_ds, edges_sym):
