@@ -423,6 +423,106 @@ def _ivm_lake(sf_dir: str) -> str:
     return os.path.join(work, "lake")
 
 
+def _replica_lake(sf_dir: str) -> str:
+    """Build (cached) a lake-to-lake REPLICATION of the 3-epoch I/U/D
+    derivation: the source lake replays epochs 0-1, exports a
+    full-fidelity snapshot segment (``image_cols="all"``), replays
+    epoch 2 (with an ADDED ``size_hint`` column — the feed spans a
+    mid-stream schema evolution), exports the delta segment, and
+    ``replicate_feed`` applies both into a replica lake with a
+    DIFFERENT bucket layout (4 vs 8 — replication is logical, not a
+    file copy). Returns the replica root."""
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.replay import (
+        ReplayConfig,
+        export_changelog,
+        replay_stream,
+        replicate_feed,
+    )
+
+    ev = _pq.read_table(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    ev = ev.filter(
+        pc.and_(pc.is_valid(ev["user_id"]), pc.is_valid(ev["event_type"]))
+    )
+    eid = ev["event_id"].to_numpy(zero_copy_only=False)
+    uid = ev["user_id"].to_numpy(zero_copy_only=False)
+    hi = int(eid.max()) + 1
+    pmod = max(hi // 2, 1)
+
+    def _build(work_dir: str) -> None:
+        epoch = (eid * 3) // hi
+        op = np.where((epoch == 2) & (uid % 11 == 3), "D", "I")
+        base = pa.table({
+            "seq": pa.array(eid, pa.int64()),
+            "op": pa.array(op),
+            "repo": pc.cast(pa.array(uid % 5), pa.string()),
+            "path": pc.cast(pa.array(eid % pmod), pa.string()),
+            "content": ev["event_type"],
+        })
+        binlog = os.path.join(work_dir, "binlog")
+        os.makedirs(binlog, exist_ok=True)
+        src = ReplayConfig(
+            lake_root=os.path.join(work_dir, "src_lake"), num_buckets=8
+        )
+        feed = os.path.join(work_dir, "feed")
+        for e in range(2):
+            _pq.write_table(
+                base.filter(pa.array(epoch == e)),
+                os.path.join(binlog, f"epoch={e:05d}.parquet"),
+            )
+        replay_stream(binlog, src)
+        export_changelog(src.lake_root, feed, image_cols="all")  # snapshot
+        m2 = epoch == 2
+        _pq.write_table(
+            base.filter(pa.array(m2)).append_column(
+                "size_hint", pa.array(uid[m2], pa.int64())
+            ),
+            os.path.join(binlog, "epoch=00002.parquet"),
+        )
+        replay_stream(binlog, src)
+        export_changelog(src.lake_root, feed, image_cols="all")  # delta
+        rep = ReplayConfig(
+            lake_root=os.path.join(work_dir, "replica"), num_buckets=4
+        )
+        replicate_feed(feed, rep)
+
+    work = _claimed_cache_dir(sf_dir, "replica", _build)
+    return os.path.join(work, "replica")
+
+
+def q_replica_state(sf_dir: str):
+    """Lake-to-lake CDC replication end-to-end (graft-added — the
+    reference's downstream is a human report; a 100 TB deployment's
+    downstream is another lake): snapshot + delta feed segments,
+    spanning a mid-stream schema evolution, applied through the normal
+    replay engine into a replica with a different bucket layout
+    (``replicate_feed``). Returns the REPLICA's full state; the oracle
+    recomputes the source's LWW winners straight from the shared
+    derivation, so one driver hash certifies export fidelity + replay
+    application + evolution handling + layout independence."""
+    from ..pipelines.replay import lake_dataset
+
+    root = _replica_lake(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        sz = t["size_hint"] if "size_hint" in t.column_names else pa.nulls(
+            t.num_rows, pa.int64()
+        )
+        return pa.table({
+            "repo": t["repo"],
+            "path": t["path"],
+            "content": t["content"],
+            "content_sha256": t["content_sha256"],
+            # -1 sentinel keeps int64 through the pandas compare
+            "size_hint": pc.fill_null(pc.cast(sz, pa.int64()), -1),
+        })
+
+    return lake_dataset(root).map_batches(project, batch_format="pyarrow")
+
+
 def q_ivm_repo_stats(sf_dir: str):
     """Incremental view maintenance over the lake's own CDC feed
     (graft-added — the reference only INGESTS change feeds; this
@@ -3627,6 +3727,7 @@ QUERIES = {
     "key_history_lake": q_key_history_lake,
     "schema_history_lake": q_schema_history_lake,
     "txn_snapshot_join": q_txn_snapshot_join,
+    "replica_state": q_replica_state,
     "lm_quality_docs": q_lm_quality_docs,
     "watermark_window_events": q_watermark_window_events,
     "filter_project": q_filter_project,
@@ -4696,6 +4797,34 @@ ORACLE_SQL["ivm_repo_stats"] = (
     ") SELECT repo, COUNT(*) AS n_paths, "
     "CAST(SUM(length(content)) AS BIGINT) AS content_len "
     "FROM w WHERE op = 'I' GROUP BY repo"
+)
+
+# Replication certification: the Ray side is the REPLICA's state after
+# snapshot + delta feed segments (spanning the epoch-2 ``size_hint``
+# schema evolution) applied through replicate_feed into a different
+# bucket layout; the oracle recomputes the SOURCE's LWW winners straight
+# from the shared derivation. A match certifies export fidelity, replay
+# application, evolution handling and layout independence in one hash.
+ORACLE_SQL["replica_state"] = (
+    "WITH ev AS ("
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE user_id IS NOT NULL AND event_type IS NOT NULL"
+    "), hi AS (SELECT MAX(event_id) + 1 AS m FROM ev"
+    "), keyed AS ("
+    "SELECT CAST(user_id % 5 AS VARCHAR) AS repo, "
+    "CAST(event_id % GREATEST(m // 2, 1) AS VARCHAR) AS path, "
+    "event_type AS content, event_id AS seq, user_id, "
+    "(event_id * 3) // m AS ep, "
+    "CASE WHEN (event_id * 3) // m = 2 AND user_id % 11 = 3 "
+    "THEN 'D' ELSE 'I' END AS op "
+    "FROM ev, hi"
+    "), w AS ("
+    "SELECT * FROM (SELECT *, ROW_NUMBER() OVER ("
+    "PARTITION BY repo, path ORDER BY seq DESC) AS rn FROM keyed) "
+    "WHERE rn = 1"
+    ") SELECT repo, path, content, sha256(content) AS content_sha256, "
+    "CAST(CASE WHEN ep = 2 THEN user_id ELSE -1 END AS BIGINT) AS size_hint "
+    "FROM w WHERE op = 'I'"
 )
 
 # EWMA recursion e_i = 0.3*v_i + 0.7*e_{i-1} per user, ordered by

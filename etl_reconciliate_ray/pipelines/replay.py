@@ -1775,11 +1775,37 @@ def lake_table(cfg_or_root, as_of_epoch: int | None = None) -> pa.Table:
     return tbl if tbl is not None else pa.table({})
 
 
+def _payload_schema(log: CommitLog, upto_epoch: int | None) -> dict[str, pa.DataType]:
+    """The lake's unified logical payload schema at ``upto_epoch``, from
+    surviving entries' parquet FOOTERS only (O(files) metadata reads —
+    the same discipline as ``lake_schema_history``). Engine-internal
+    columns are elided; types that widened mid-stream unify via
+    ``_safe_widen`` (newest wins when no lossless widening exists,
+    matching what chain resolution itself produces)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, pa.DataType] = {}
+    for entry in sorted(log.all_entries(), key=lambda e: (e.epoch, e.part)):
+        if upto_epoch is not None and entry.epoch > upto_epoch:
+            continue
+        for f in entry.files:
+            schema = pq.read_schema(f)
+            for name, typ in zip(schema.names, schema.types):
+                if name in ("bucket", "op", "seq", "ts", "epoch"):
+                    continue
+                prev = out.get(name)
+                if prev is None or prev.equals(typ):
+                    out[name] = typ
+                else:
+                    out[name] = _safe_widen(prev, typ) or typ
+    return out
+
+
 def lake_changelog(
     cfg_or_root,
     from_epoch: int,
     to_epoch: int | None = None,
-    image_cols: list[str] | None = None,
+    image_cols: list[str] | str | None = None,
 ):
     """CDC feed OUT of the lake: the per-key changes between two sealed
     states, as a streaming Dataset of ``(repo, path, change,
@@ -1794,7 +1820,12 @@ def lake_changelog(
     incremental view maintainer (``stages.ivm``) needs to apply signed
     deltas without re-reading either state. Request only the columns
     the view consumes: images ride the feed, so an unpruned request
-    ships the whole payload twice.
+    ships the whole payload twice. ``"all"`` expands to the lake's
+    full payload schema (footer-derived) — the full-fidelity feed a
+    lake-to-lake replica (``replicate_feed``) consumes. Columns absent
+    from one side of the diff (mid-stream schema evolution) surface as
+    typed nulls, so a feed spanning an evolution stays one schema per
+    segment.
 
     Scale shape: both states' chains share the SAME bucket layout, so
     the diff is one task per partition over its own two chains — no
@@ -1823,27 +1854,37 @@ def lake_changelog(
         }
         for p in parts
     ]
+    if image_cols == "all":
+        image_cols = sorted(_payload_schema(log, upto_to))
     images = [c for c in (image_cols or []) if c not in ("repo", "path")]
     cols = ["repo", "path", "content_sha256"] + [
         c for c in images if c != "content_sha256"
     ]
+    # image types resolved driver-side from footers (metadata-only):
+    # a bucket whose state predates an evolved column null-fills it at
+    # this exact type, so every diff block shares one schema
+    img_types: dict[str, pa.DataType] = {}
+    if images:
+        sch = _payload_schema(log, upto_to)
+        img_types = {c: sch.get(c, pa.string()) for c in images}
 
     def diff_part(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         out = []
-        ref_schema: pa.Schema | None = None
         for rec in batch.to_pylist():
             part = int(rec["part"])
 
             def state(chain_json: str) -> "pd.DataFrame":
-                nonlocal ref_schema
                 t = read_chain(json.loads(chain_json), columns=cols, part=part)
                 if t is None or t.num_rows == 0:
                     return pd.DataFrame(columns=cols)
                 t = t.filter(pa.compute.is_valid(t["repo"]))
-                if ref_schema is None:
-                    ref_schema = t.select(cols).schema
+                for c in cols:
+                    if c not in t.column_names:
+                        t = t.append_column(
+                            c, pa.nulls(t.num_rows, img_types.get(c, pa.string()))
+                        )
                 return t.select(cols).to_pandas()
 
             a, b = state(rec["old"]), state(rec["new"])
@@ -1853,9 +1894,16 @@ def lake_changelog(
             )
             ins = m["_merge"] == "right_only"
             del_ = m["_merge"] == "left_only"
-            upd = (m["_merge"] == "both") & (
-                m["content_sha256_old"] != m["content_sha256_new"]
-            )
+            changed = m["content_sha256_old"] != m["content_sha256_new"]
+            # sha covers `content` only — a payload/image column can
+            # change under an unchanged content (e.g. a mid-stream
+            # added column landing its first value). A feed that
+            # carries images must surface those as 'U' too, or image
+            # consumers (IVM views, replicas) silently miss the change.
+            for c in images:
+                a, b = m[f"{c}_old"], m[f"{c}_new"]
+                changed |= (a != b) & ~(a.isna() & b.isna())
+            upd = (m["_merge"] == "both") & changed
             frames = []
             for mask, tag, sha_col in (
                 (ins, "I", "content_sha256_new"),
@@ -1880,7 +1928,7 @@ def lake_changelog(
                 t = pa.Table.from_pandas(
                     pd.concat(frames, ignore_index=True), preserve_index=False
                 )
-                if ref_schema is not None and images:
+                if images:
                     # pandas' outer merge floats nulled numeric images
                     # (missing side AND genuine lake nulls both become
                     # NaN); restore null-ness BEFORE casting back to
@@ -1889,7 +1937,7 @@ def lake_changelog(
                     # genuine NaN float payload is indistinguishable
                     # from null after pandas and surfaces as null.)
                     for c in images:
-                        typ = ref_schema.field(c).type
+                        typ = img_types[c]
                         for side in (f"{c}_old", f"{c}_new"):
                             i = t.column_names.index(side)
                             col = t[side]
@@ -1911,10 +1959,7 @@ def lake_changelog(
                 "content_sha256": pa.array([], pa.string()),
             }
             for c in images:
-                typ = (
-                    ref_schema.field(c).type if ref_schema is not None
-                    else pa.string()
-                )
+                typ = img_types[c]
                 empty[f"{c}_old"] = pa.array([], typ)
                 empty[f"{c}_new"] = pa.array([], typ)
             return pa.table(empty)
@@ -1928,7 +1973,7 @@ def lake_changelog(
 def export_changelog(
     cfg_or_root,
     out_dir: str,
-    image_cols: list[str] | None = None,
+    image_cols: list[str] | str | None = None,
 ) -> dict:
     """Durable, exactly-once spool of the outbound CDC feed for
     NON-Ray consumers (the Debezium-outbox completion of the engine's
@@ -1967,10 +2012,14 @@ def export_changelog(
         return {"skipped": True, "cursor": cur, "head": head}
 
     if cur is None:
+        sch = _payload_schema(log, head)
+        if image_cols == "all":
+            image_cols = sorted(sch)
         images = [c for c in (image_cols or []) if c not in ("repo", "path")]
         cols = ["repo", "path", "content_sha256"] + [
             c for c in images if c != "content_sha256"
         ]
+        img_types = {c: sch.get(c, pa.string()) for c in images}
         # "0-snapshot": the '-' byte sorts below every digit, so the
         # bootstrap segment is FIRST in name order regardless of later
         # delta names — dumb consumers can fold the feed with a plain
@@ -1985,8 +2034,14 @@ def export_changelog(
                 "content_sha256": t["content_sha256"],
             }
             for c in images:
-                out[f"{c}_old"] = pa.nulls(t.num_rows, t[c].type)
-                out[f"{c}_new"] = t[c]
+                typ = img_types[c]
+                col = (
+                    pc.cast(t[c], typ, safe=False)
+                    if c in t.column_names
+                    else pa.nulls(t.num_rows, typ)
+                )
+                out[f"{c}_old"] = pa.nulls(t.num_rows, typ)
+                out[f"{c}_new"] = col
             return pa.table(out)
 
         feed = lake_dataset(root, columns=cols, as_of_epoch=head).map_batches(
@@ -2012,6 +2067,156 @@ def export_changelog(
         "to_epoch": head,
         "snapshot": cur is None,
     }
+
+
+def _feed_segments(out_dir: str) -> list[str]:
+    """SEALED segments of an ``export_changelog`` spool in apply order.
+    Name order IS apply order by construction (the snapshot's ``-``
+    byte sorts below every digit; delta names embed their monotone
+    from-epoch), so a plain sorted listdir is the whole protocol."""
+    feed = os.path.join(out_dir, "feed")
+    if not os.path.isdir(feed):
+        return []
+    return sorted(
+        os.path.join(feed, d)
+        for d in os.listdir(feed)
+        if d.startswith("epochs=")
+        and os.path.exists(os.path.join(feed, d, "_SEALED"))
+    )
+
+
+def _feed_to_events(t: pa.Table) -> pa.Table:
+    """One feed row -> one binlog event: ``change`` D stays a delete,
+    I/U become upserts; ``*_new`` image columns carry the payload under
+    their own names (``*_old`` and ``change`` are consumer-diagnostic
+    only). ``seq`` is constant 0 — a changelog segment is a keyed diff
+    between two sealed states, so each key appears at most once and
+    epoch order alone decides the winner."""
+    out: dict[str, object] = {
+        "repo": t["repo"],
+        "path": t["path"],
+        "op": pc.if_else(
+            pc.equal(t["change"], "D"), pa.scalar("D"), pa.scalar("U")
+        ),
+        "seq": pa.array([0] * t.num_rows, pa.int64()),
+        "content_sha256": t["content_sha256"],
+    }
+    for c in t.column_names:
+        if c.endswith("_new") and c[:-4] not in out:
+            out[c[:-4]] = t[c]
+    return pa.table(out)
+
+
+def replicate_feed(
+    out_dir: str,
+    replica_cfg: ReplayConfig,
+    max_segments: int | None = None,
+) -> dict:
+    """Apply an ``export_changelog`` spool into a REPLICA lake through
+    the normal replay engine — the consumer half of the CDC loop (the
+    reference system's downstream is a human report; a lake-to-lake
+    replica is what a 100 TB deployment actually runs). Each sealed
+    segment becomes one replica epoch (epoch number = the segment's
+    position in apply order, which is stable because the feed only
+    appends); ``run_epoch``'s idempotence makes the replica's own
+    commit log the consumer cursor, so crash/retry re-applies nothing
+    and a partially-applied segment completes under the (epoch, part)
+    fence. Replication is exactly-once end to end with NO coordination
+    between producer and consumer beyond the segment ``_SEALED``
+    markers.
+
+    The replica is an independent lake: its own bucket count/salting,
+    its own compaction/vacuum schedule, full read surface (lookups,
+    time travel at segment granularity, its own changelog/export —
+    feeds can be chained). Requires the feed to have been exported with
+    ``image_cols`` covering the payload columns the replica should
+    carry (``content_sha256`` always flows; a sha-only feed replicates
+    a sha-only lake).
+
+    ``max_segments`` bounds one call (chaos tests / incremental
+    draining); returns per-segment metrics and the replica head."""
+    from glob import glob as _glob
+
+    import ray.data as rd
+
+    log = CommitLog.open(replica_cfg.lake_root)
+    log.ensure_layout(replica_cfg.layout())
+    writers = make_writer_pool(
+        replica_cfg.lake_root, replica_cfg.writer_concurrency
+    )
+    segs = _feed_segments(out_dir)
+    applied: list[dict] = []
+    feed_map: dict[str, dict] = {}
+    map_path = os.path.join(replica_cfg.lake_root, "feed_map.json")
+    if os.path.exists(map_path):
+        with open(map_path) as fh:
+            feed_map = json.load(fh)
+    for idx, seg in enumerate(segs):
+        if log.is_sealed(idx):
+            continue
+        if max_segments is not None and len(applied) >= max_segments:
+            break
+        files = sorted(_glob(os.path.join(seg, "*.parquet")))
+        if not files:  # an all-quiet delta window: seal the empty epoch
+            _commit_manifest_rows(log, idx, [], None, seal=True)
+            m = {"epoch": idx, "skipped": False, "parts_committed": 0}
+        else:
+            ds = rd.read_parquet(files).map_batches(
+                _feed_to_events, batch_format="pyarrow"
+            )
+            m = run_epoch(ds, idx, replica_cfg, log=log, writers=writers)
+        m["segment"] = os.path.basename(seg)
+        applied.append(m)
+        feed_map[str(idx)] = {"segment": os.path.basename(seg)}
+        tmp = map_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(feed_map, fh, indent=1)
+        os.replace(tmp, map_path)
+    return {
+        "applied": applied,
+        "segments_seen": len(segs),
+        "replica_head": log.latest_sealed_epoch(),
+    }
+
+
+def follow_feed(
+    out_dir: str,
+    replica_cfg: ReplayConfig,
+    poll_sec: float = 1.0,
+    idle_polls: int = 5,
+    on_batch=None,
+) -> list[dict]:
+    """Continuous replica: poll the export spool for newly SEALED
+    segments and apply each batch as it lands (the consumer mirror of
+    ``follow_stream`` — a producer running ``--follow --export-feed``
+    plus a consumer running ``follow_feed`` is live lake-to-lake
+    replication with no shared state). Stops when ``<out_dir>/_EOS``
+    appears and the feed is drained, or after ``idle_polls`` empty
+    polls. ``on_batch(replica_cfg)`` fires after each applied batch
+    (advance a view on the REPLICA, chain another export); exceptions
+    propagate — the replica commits are already durable."""
+    out: list[dict] = []
+    idle = 0
+    while True:
+        res = replicate_feed(out_dir, replica_cfg)
+        if res["applied"]:
+            idle = 0
+            out.extend(res["applied"])
+            if on_batch is not None:
+                on_batch(replica_cfg)
+        else:
+            idle += 1
+        if os.path.exists(os.path.join(out_dir, "_EOS")):
+            drain = replicate_feed(out_dir, replica_cfg)
+            if not drain["applied"]:
+                break
+            out.extend(drain["applied"])
+            if on_batch is not None:
+                on_batch(replica_cfg)
+        elif idle >= idle_polls:
+            break
+        time.sleep(poll_sec)
+    return out
 
 
 def lake_schema_history(cfg_or_root) -> pa.Table:

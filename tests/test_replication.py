@@ -1,0 +1,151 @@
+"""Lake-to-lake CDC replication over the export-feed spool.
+
+The consumer half of the engine's outbound feed (the reference's
+downstream is a human report — ``ReportGenerationTasklet``; a 100 TB
+deployment's downstream is another lake): ``replicate_feed`` applies
+an ``export_changelog`` spool into a REPLICA lake through the normal
+replay engine, exactly-once, resumable, across mid-stream schema
+evolution. ``follow_feed`` is the continuous-tail version.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+
+from etl_reconciliate_ray.pipelines.replay import (
+    ReplayConfig,
+    export_changelog,
+    follow_feed,
+    lake_state_hash,
+    lake_table,
+    replay_stream,
+    replicate_feed,
+)
+
+PAYLOAD = ["repo", "path", "commit", "lang", "content", "content_sha256"]
+
+
+def _state_df(root, cols) -> pd.DataFrame:
+    df = lake_table(root).to_pandas()
+    for c in cols:
+        if c not in df.columns:
+            df[c] = None
+    return df[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def _assert_replica_equal(src_root: str, rep_root: str) -> None:
+    assert lake_state_hash(src_root) == lake_state_hash(rep_root)
+    cols = PAYLOAD + ["size_bytes"]
+    a, b = _state_df(src_root, cols), _state_df(rep_root, cols)
+    assert len(a) == len(b) > 0
+    for c in PAYLOAD:
+        assert (a[c].values == b[c].values).all(), c
+    # evolved column: null pattern + values both survive the feed
+    assert a["size_bytes"].isna().equals(b["size_bytes"].isna())
+    assert a["size_bytes"].fillna(-1).astype("int64").equals(
+        b["size_bytes"].fillna(-1).astype("int64")
+    )
+
+
+def test_replicate_feed_lake_to_lake(fixture_small, tmp_path, ray_session):
+    """Snapshot + delta segments (spanning the fixture's mid-stream
+    ``size_bytes`` evolution) applied into a replica lake reproduce the
+    source state exactly; re-application is a no-op; a crash between
+    segments resumes from the replica's own commit log."""
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    assert len(files) >= 3
+    tail = str(tmp_path / "tail")
+    os.makedirs(tail)
+    shutil.copy(files[0], tail)
+    src = ReplayConfig(lake_root=str(tmp_path / "src_lake"), num_buckets=8)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    out = str(tmp_path / "feed_out")
+
+    m1 = export_changelog(src.lake_root, out, image_cols="all")
+    assert m1["snapshot"]
+    # pre-evolution snapshot carries no size_bytes images at all
+    import pyarrow.parquet as pq
+
+    snap_cols = pq.read_schema(
+        sorted(glob.glob(os.path.join(m1["segment"], "*.parquet")))[0]
+    ).names
+    assert "content_new" in snap_cols and "size_bytes_new" not in snap_cols
+
+    rep = ReplayConfig(lake_root=str(tmp_path / "replica"), num_buckets=4)
+    r1 = replicate_feed(out, rep)
+    assert len(r1["applied"]) == 1 and r1["replica_head"] == 0
+    assert lake_state_hash(src.lake_root) == lake_state_hash(rep.lake_root)
+
+    # rest of the stream (size_bytes appears) -> delta segment with the
+    # evolved column as typed images
+    for f in files[1:]:
+        shutil.copy(f, tail)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    m2 = export_changelog(src.lake_root, out, image_cols="all")
+    assert not m2["snapshot"]
+    delta_cols = pq.read_schema(
+        sorted(glob.glob(os.path.join(m2["segment"], "*.parquet")))[0]
+    ).names
+    assert "size_bytes_new" in delta_cols
+
+    r2 = replicate_feed(out, rep)
+    assert len(r2["applied"]) == 1 and r2["replica_head"] == 1
+    _assert_replica_equal(src.lake_root, rep.lake_root)
+
+    # exactly-once: nothing new -> nothing applied
+    assert replicate_feed(out, rep)["applied"] == []
+    # the audit map records segment -> replica epoch
+    import json
+
+    with open(os.path.join(rep.lake_root, "feed_map.json")) as fh:
+        fmap = json.load(fh)
+    assert fmap["0"]["segment"].startswith("epochs=0-snapshot")
+    assert fmap["1"]["segment"] == os.path.basename(m2["segment"])
+
+    # crash-sim consumer: apply one segment, "crash", resume applies
+    # only the rest (the replica's commit log is the cursor)
+    rep2 = ReplayConfig(lake_root=str(tmp_path / "replica2"), num_buckets=4)
+    first = replicate_feed(out, rep2, max_segments=1)
+    assert len(first["applied"]) == 1
+    rest = replicate_feed(out, rep2)
+    assert len(rest["applied"]) == 1  # snapshot NOT re-applied
+    _assert_replica_equal(src.lake_root, rep2.lake_root)
+
+
+def test_follow_feed_continuous_replica(fixture_small, tmp_path, ray_session):
+    """follow_feed drains a finished spool (``_EOS``) into a replica
+    identical to the source — the consumer mirror of follow_stream."""
+    fixture_dir, cfg_gen, manifest = fixture_small
+    src = ReplayConfig(lake_root=str(tmp_path / "f_src"), num_buckets=8)
+    tail = str(tmp_path / "f_tail")
+    os.makedirs(tail)
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    out = str(tmp_path / "f_out")
+    # producer: two export points -> snapshot + one delta segment
+    shutil.copy(files[0], tail)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    export_changelog(src.lake_root, out, image_cols="all")
+    for f in files[1:]:
+        shutil.copy(f, tail)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    export_changelog(src.lake_root, out, image_cols="all")
+    with open(os.path.join(out, "_EOS"), "w") as fh:
+        fh.write("done\n")
+
+    rep = ReplayConfig(lake_root=str(tmp_path / "f_replica"), num_buckets=4)
+    applied = follow_feed(out, rep, poll_sec=0.05, idle_polls=3)
+    assert len(applied) == 2
+    _assert_replica_equal(src.lake_root, rep.lake_root)
+
+    # replica is a full lake: it can chain its OWN export feed, and a
+    # second-hop replica converges to the same state
+    out2 = str(tmp_path / "f_out2")
+    export_changelog(rep.lake_root, out2, image_cols="all")
+    rep2 = ReplayConfig(lake_root=str(tmp_path / "f_replica2"), num_buckets=2)
+    replicate_feed(out2, rep2)
+    _assert_replica_equal(src.lake_root, rep2.lake_root)
