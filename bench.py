@@ -178,6 +178,34 @@ def run_bench() -> dict:
         compact(cfg)  # async housekeeping in production; measured separately
         qtimes["cdc_compact"] = round(time.monotonic() - t0, 3)
 
+        # lake-to-lake replication at bench scale: full-fidelity feed
+        # export (snapshot of the whole lake state) + replicate into a
+        # replica with a different bucket layout; exactness asserted by
+        # state-hash equality (folded into reconcile_exact)
+        from etl_reconciliate_ray.pipelines.replay import (
+            export_changelog,
+            lake_state_hash,
+            replicate_feed,
+        )
+
+        feed_dir = os.path.join(BENCH_CACHE, f"feed_cpu{ncpu}")
+        replica_root = os.path.join(BENCH_CACHE, f"replica_cpu{ncpu}")
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(replica_root, ignore_errors=True)
+        t0 = time.monotonic()
+        export_changelog(lake_root, feed_dir, image_cols="all")
+        replicate_feed(
+            feed_dir,
+            ReplayConfig(
+                lake_root=replica_root, num_buckets=32,
+                writer_concurrency=min(16, ncpu),
+            ),
+        )
+        qtimes["cdc_replicate"] = round(time.monotonic() - t0, 3)
+        sha_ok = sha_ok and lake_state_hash(lake_root) == lake_state_hash(replica_root)
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(replica_root, ignore_errors=True)
+
     # -- query suite over the sf dir -----------------------------------
     # (skipped in --stress mode: the query suite reads $GRAFT_SF_DIR and
     # doesn't scale with GRAFT_BENCH_EVENTS, so it would only add noise)

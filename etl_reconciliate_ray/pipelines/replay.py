@@ -2133,6 +2133,14 @@ def replicate_feed(
     carry (``content_sha256`` always flows; a sha-only feed replicates
     a sha-only lake).
 
+    Erasure (right-to-be-forgotten) does NOT propagate through the
+    feed: ``erase_key`` rewrites surviving history without advancing
+    the sealed head, so a later diff sees the key in neither state and
+    emits nothing. A compliant deployment erases at every hop —
+    ``erase_key`` on the source, ``erase_key_from_feed`` on each spool,
+    ``erase_key`` on each replica (each is O(key's buckets/segments),
+    never O(lake); see tests/test_replication.py).
+
     ``max_segments`` bounds one call (chaos tests / incremental
     draining); returns per-segment metrics and the replica head."""
     from glob import glob as _glob
@@ -2160,6 +2168,17 @@ def replicate_feed(
         if not files:  # an all-quiet delta window: seal the empty epoch
             _commit_manifest_rows(log, idx, [], None, seal=True)
             m = {"epoch": idx, "skipped": False, "parts_committed": 0}
+        elif replica_cfg.merge_strategy == "direct":
+            # fused read -> feed-to-events -> normalize -> direct
+            # partial-delta write: no shuffle, no object-store hop —
+            # the same fast path the flagship replay uses. seq is a
+            # constant 0 per segment (each key appears once), so the
+            # single-epoch seq_range (0, 1) maps every row to this
+            # segment's epoch.
+            m = _run_epoch_batch(
+                [(idx, {"file": seg, "seq_range": (0, 1)})],
+                replica_cfg, log, writers, prep_fn=_feed_to_events,
+            )[0]
         else:
             ds = rd.read_parquet(files).map_batches(
                 _feed_to_events, batch_format="pyarrow"

@@ -108,8 +108,13 @@ def test_replicate_feed_lake_to_lake(fixture_small, tmp_path, ray_session):
     assert fmap["1"]["segment"] == os.path.basename(m2["segment"])
 
     # crash-sim consumer: apply one segment, "crash", resume applies
-    # only the rest (the replica's commit log is the cursor)
-    rep2 = ReplayConfig(lake_root=str(tmp_path / "replica2"), num_buckets=4)
+    # only the rest (the replica's commit log is the cursor). Pinned to
+    # the shuffle strategy so the run_epoch fallback path stays covered
+    # (the replicas above exercise the default direct fast path).
+    rep2 = ReplayConfig(
+        lake_root=str(tmp_path / "replica2"), num_buckets=4,
+        merge_strategy="shuffle",
+    )
     first = replicate_feed(out, rep2, max_segments=1)
     assert len(first["applied"]) == 1
     rest = replicate_feed(out, rep2)
@@ -149,3 +154,87 @@ def test_follow_feed_continuous_replica(fixture_small, tmp_path, ray_session):
     rep2 = ReplayConfig(lake_root=str(tmp_path / "f_replica2"), num_buckets=2)
     replicate_feed(out2, rep2)
     _assert_replica_equal(src.lake_root, rep2.lake_root)
+
+
+def _readable_hits(root: str, text: str) -> int:
+    """Files under ``root`` holding a readable copy of ``text`` in any
+    string column (decoded scan — same discipline as test_erase)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    hits = 0
+    for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+        t = pq.read_table(f)
+        for col in t.columns:
+            if (
+                pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+            ) and pc.any(pc.match_substring(pc.fill_null(col, ""), text)).as_py():
+                hits += 1
+                break
+    return hits
+
+
+def test_erasure_propagates_across_replication_chain(
+    fixture_small, tmp_path, ray_session
+):
+    """Right-to-be-forgotten across the full replication chain: erasure
+    is physical history rewrite (it never advances the sealed head), so
+    it does NOT ride the changelog — a compliant deployment erases at
+    every hop: source lake, feed spool, replica lake. After the three
+    erasures no hop holds a readable copy, the states still agree on
+    every other key, and the chain keeps replicating afterwards."""
+    import pyarrow.compute as pc
+
+    from etl_reconciliate_ray.pipelines.replay import (
+        erase_key,
+        erase_key_from_feed,
+    )
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    tail = str(tmp_path / "e_tail")
+    os.makedirs(tail)
+    for f in files[:2]:
+        shutil.copy(f, tail)
+    src = ReplayConfig(lake_root=str(tmp_path / "e_src"), num_buckets=8)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    out = str(tmp_path / "e_out")
+    export_changelog(src.lake_root, out, image_cols="all")
+    rep = ReplayConfig(lake_root=str(tmp_path / "e_rep"), num_buckets=4)
+    replicate_feed(out, rep)
+
+    state = lake_table(src.lake_root)
+    repo = state["repo"][0].as_py()
+    path = state["path"][0].as_py()
+    content = state["content"][0].as_py()
+    needle = content[:48]
+    assert _readable_hits(src.lake_root, needle) >= 1
+    assert _readable_hits(out, needle) >= 1
+    assert _readable_hits(rep.lake_root, needle) >= 1
+
+    r_src = erase_key(src.lake_root, repo, path)
+    r_feed = erase_key_from_feed(out, repo, path)
+    r_rep = erase_key(rep.lake_root, repo, path)
+    assert r_src["rows_erased"] >= 1
+    assert r_rep["rows_erased"] >= 1
+    assert r_feed["feed_rows_erased"] >= 1
+
+    for root in (src.lake_root, out, rep.lake_root):
+        assert _readable_hits(root, needle) == 0, root
+    for root in (src.lake_root, rep.lake_root):
+        t = lake_table(root)
+        assert t.filter(
+            pc.and_(pc.equal(t["repo"], repo), pc.equal(t["path"], path))
+        ).num_rows == 0
+    assert lake_state_hash(src.lake_root) == lake_state_hash(rep.lake_root)
+
+    # the chain keeps working after erasure at every hop: later epochs
+    # replay, export and replicate; states converge again (the erased
+    # key may legitimately reappear if the stream rewrites it)
+    for f in files[2:]:
+        shutil.copy(f, tail)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    export_changelog(src.lake_root, out, image_cols="all")
+    replicate_feed(out, rep)
+    _assert_replica_equal(src.lake_root, rep.lake_root)
