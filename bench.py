@@ -516,7 +516,8 @@ def _append_stress_md(res: dict) -> None:
         "| stage | sec |",
         "|---|---|",
     ]
-    for k in ("cdc_replay", "cdc_reconcile", "cdc_reconcile_inc", "cdc_compact"):
+    for k in ("cdc_replay", "cdc_reconcile", "cdc_reconcile_inc",
+              "cdc_compact", "cdc_replicate"):
         if k in q:
             lines.append(f"| {k} | {q[k]} |")
     lines += [
@@ -526,7 +527,8 @@ def _append_stress_md(res: dict) -> None:
         "",
         f"**Exactness at this scale:** reconcile_exact="
         f"{res['reconcile_exact']} (status counts vs the generator's "
-        "expected counts, full + incremental)",
+        "expected counts, full + incremental, and lake-to-lake "
+        "replication state-hash equality)",
         "",
         "`python bench.py --stress` regenerates this section.",
     ]

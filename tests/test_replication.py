@@ -156,6 +156,83 @@ def test_follow_feed_continuous_replica(fixture_small, tmp_path, ray_session):
     _assert_replica_equal(src.lake_root, rep2.lake_root)
 
 
+def test_full_topology_ingest_feed_replica_view(fixture_small, tmp_path, ray_session):
+    """The production topology end to end, every hop exactly-once:
+    binlog tail -> source lake (follow_stream) -> export spool
+    (on_batch hook) -> replica lake (follow_feed) -> maintained
+    aggregate view advanced on the REPLICA (follow_feed's on_batch).
+    After two producer rounds (snapshot, then incremental delta) the
+    replica equals the source and the view equals a direct recompute
+    of the replica head — certifying the view really advanced from
+    changelog deltas of a lake that is itself fed by changelog
+    segments."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from etl_reconciliate_ray.pipelines.replay import follow_stream
+    from etl_reconciliate_ray.stages.ivm import MaintainedView
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    tail = str(tmp_path / "t_tail")
+    os.makedirs(tail)
+    src = ReplayConfig(lake_root=str(tmp_path / "t_src"), num_buckets=8)
+    out = str(tmp_path / "t_out")
+    rep = ReplayConfig(lake_root=str(tmp_path / "t_rep"), num_buckets=4)
+    view = MaintainedView(
+        str(tmp_path / "t_view"), keys=["repo"], count_name="n_paths",
+        sums={"content_len": ("content", "utf8_length")},
+    )
+    exporter = lambda cfg: export_changelog(  # noqa: E731
+        cfg.lake_root, out, image_cols="all"
+    )
+    viewer = lambda cfg: view.advance(cfg.lake_root)  # noqa: E731
+
+    # round 1: first epoch lands -> snapshot segment -> replica -> view
+    shutil.copy(files[0], tail)
+    follow_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet",
+                  poll_sec=0.05, idle_polls=1, on_batch=exporter)
+    applied = follow_feed(out, rep, poll_sec=0.05, idle_polls=1, on_batch=viewer)
+    assert len(applied) == 1
+    assert lake_state_hash(src.lake_root) == lake_state_hash(rep.lake_root)
+    epoch_after_snapshot = view.current_epoch()
+    assert epoch_after_snapshot == 0
+
+    # round 2: the rest of the stream -> one delta segment -> replica
+    # advances incrementally -> view advances from the replica deltas
+    for f in files[1:]:
+        shutil.copy(f, tail)
+    with open(os.path.join(tail, "_EOS"), "w") as fh:
+        fh.write("done\n")
+    follow_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet",
+                  poll_sec=0.05, idle_polls=3, on_batch=exporter)
+    with open(os.path.join(out, "_EOS"), "w") as fh:
+        fh.write("done\n")
+    applied = follow_feed(out, rep, poll_sec=0.05, idle_polls=3, on_batch=viewer)
+    assert len(applied) == 1
+    assert "snapshot" not in applied[0]["segment"]  # a true delta hop
+    _assert_replica_equal(src.lake_root, rep.lake_root)
+    assert view.current_epoch() == 1  # advanced, not re-bootstrapped
+
+    # the maintained view == a direct recompute of the replica head
+    got = (
+        view.state().to_pandas()[["repo", "n_paths", "content_len"]]
+        .sort_values("repo").reset_index(drop=True)
+    )
+    state = lake_table(rep.lake_root)
+    want = (
+        pd.DataFrame({
+            "repo": state["repo"].to_pylist(),
+            "content_len": pc.utf8_length(state["content"]).to_pylist(),
+        })
+        .groupby("repo", as_index=False)
+        .agg(n_paths=("content_len", "size"), content_len=("content_len", "sum"))
+        [["repo", "n_paths", "content_len"]]
+        .sort_values("repo").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def _readable_hits(root: str, text: str) -> int:
     """Files under ``root`` holding a readable copy of ``text`` in any
     string column (decoded scan — same discipline as test_erase)."""
