@@ -2116,11 +2116,13 @@ def replicate_feed(
     the normal replay engine — the consumer half of the CDC loop (the
     reference system's downstream is a human report; a lake-to-lake
     replica is what a 100 TB deployment actually runs). Each sealed
-    segment becomes one replica epoch (epoch number = the segment's
-    position in apply order, which is stable because the feed only
-    appends); ``run_epoch``'s idempotence makes the replica's own
-    commit log the consumer cursor, so crash/retry re-applies nothing
-    and a partially-applied segment completes under the (epoch, part)
+    segment becomes one replica epoch, assigned durably in
+    ``feed_map.json`` BEFORE the epoch seals (replica-side maintenance
+    epochs — compact/vacuum — interleave freely, so the assignment is
+    next-free-epoch at apply time, not list position);
+    ``run_epoch``'s idempotence makes the replica's own commit log the
+    consumer cursor, so crash/retry re-applies nothing and a
+    partially-applied segment completes under the (epoch, part)
     fence. Replication is exactly-once end to end with NO coordination
     between producer and consumer beyond the segment ``_SEALED``
     markers.
@@ -2154,20 +2156,44 @@ def replicate_feed(
     )
     segs = _feed_segments(out_dir)
     applied: list[dict] = []
-    feed_map: dict[str, dict] = {}
+    # the persisted feed map is the AUTHORITATIVE segment -> replica
+    # epoch assignment (not the segment's list position): replica-side
+    # maintenance epochs (compact) interleave with feed epochs, so a
+    # positional mapping would collide with a sealed maintenance epoch
+    # and silently skip a segment. The map is written BEFORE the epoch
+    # seals (durable intent): a crash between the two re-runs the
+    # recorded epoch idempotently on restart.
     map_path = os.path.join(replica_cfg.lake_root, "feed_map.json")
+    feed_map: dict[str, int] = {}
     if os.path.exists(map_path):
         with open(map_path) as fh:
             feed_map = json.load(fh)
-    for idx, seg in enumerate(segs):
-        if log.is_sealed(idx):
-            continue
+
+    def _publish_map() -> None:
+        tmp = map_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(feed_map, fh, indent=1)
+        os.replace(tmp, map_path)
+
+    for seg in segs:
+        name = os.path.basename(seg)
+        if name in feed_map and log.is_sealed(int(feed_map[name])):
+            continue  # applied in a previous call
         if max_segments is not None and len(applied) >= max_segments:
             break
+        if name in feed_map:
+            # crash between map publish and seal: finish this epoch
+            epoch = int(feed_map[name])
+        else:
+            taken = [log.latest_sealed_epoch(), *map(int, feed_map.values())]
+            live = [e for e in taken if e is not None]
+            epoch = 1 + max(live) if live else 0
+            feed_map[name] = epoch
+            _publish_map()
         files = sorted(_glob(os.path.join(seg, "*.parquet")))
         if not files:  # an all-quiet delta window: seal the empty epoch
-            _commit_manifest_rows(log, idx, [], None, seal=True)
-            m = {"epoch": idx, "skipped": False, "parts_committed": 0}
+            _commit_manifest_rows(log, epoch, [], None, seal=True)
+            m = {"epoch": epoch, "skipped": False, "parts_committed": 0}
         elif replica_cfg.merge_strategy == "direct":
             # fused read -> feed-to-events -> normalize -> direct
             # partial-delta write: no shuffle, no object-store hop —
@@ -2176,21 +2202,16 @@ def replicate_feed(
             # single-epoch seq_range (0, 1) maps every row to this
             # segment's epoch.
             m = _run_epoch_batch(
-                [(idx, {"file": seg, "seq_range": (0, 1)})],
+                [(epoch, {"file": seg, "seq_range": (0, 1)})],
                 replica_cfg, log, writers, prep_fn=_feed_to_events,
             )[0]
         else:
             ds = rd.read_parquet(files).map_batches(
                 _feed_to_events, batch_format="pyarrow"
             )
-            m = run_epoch(ds, idx, replica_cfg, log=log, writers=writers)
-        m["segment"] = os.path.basename(seg)
+            m = run_epoch(ds, epoch, replica_cfg, log=log, writers=writers)
+        m["segment"] = name
         applied.append(m)
-        feed_map[str(idx)] = {"segment": os.path.basename(seg)}
-        tmp = map_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(feed_map, fh, indent=1)
-        os.replace(tmp, map_path)
     return {
         "applied": applied,
         "segments_seen": len(segs),

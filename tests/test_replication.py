@@ -99,13 +99,14 @@ def test_replicate_feed_lake_to_lake(fixture_small, tmp_path, ray_session):
 
     # exactly-once: nothing new -> nothing applied
     assert replicate_feed(out, rep)["applied"] == []
-    # the audit map records segment -> replica epoch
+    # the durable map records segment name -> assigned replica epoch
     import json
 
     with open(os.path.join(rep.lake_root, "feed_map.json")) as fh:
         fmap = json.load(fh)
-    assert fmap["0"]["segment"].startswith("epochs=0-snapshot")
-    assert fmap["1"]["segment"] == os.path.basename(m2["segment"])
+    snap_keys = [k for k in fmap if k.startswith("epochs=0-snapshot")]
+    assert len(snap_keys) == 1 and fmap[snap_keys[0]] == 0
+    assert fmap[os.path.basename(m2["segment"])] == 1
 
     # crash-sim consumer: apply one segment, "crash", resume applies
     # only the rest (the replica's commit log is the cursor). Pinned to
@@ -120,6 +121,49 @@ def test_replicate_feed_lake_to_lake(fixture_small, tmp_path, ray_session):
     rest = replicate_feed(out, rep2)
     assert len(rest["applied"]) == 1  # snapshot NOT re-applied
     _assert_replica_equal(src.lake_root, rep2.lake_root)
+
+
+def test_replica_maintenance_epochs_interleave(
+    fixture_small, tmp_path, ray_session
+):
+    """Replica-side maintenance (compact) takes epoch numbers of its
+    own; the feed must keep applying around them. Regression: the old
+    positional segment->epoch mapping collided with the sealed
+    maintenance epoch and SILENTLY SKIPPED the next delta segment —
+    data loss with applied=[] reported as success."""
+    from etl_reconciliate_ray.pipelines.replay import compact
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    tail = str(tmp_path / "m_tail")
+    os.makedirs(tail)
+    shutil.copy(files[0], tail)
+    src = ReplayConfig(lake_root=str(tmp_path / "m_src"), num_buckets=8)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    out = str(tmp_path / "m_out")
+    export_changelog(src.lake_root, out, image_cols="all")
+
+    rep = ReplayConfig(lake_root=str(tmp_path / "m_rep"), num_buckets=4)
+    r1 = replicate_feed(out, rep)
+    assert [m["epoch"] for m in r1["applied"]] == [0]
+
+    # replica housekeeping between feed applications: the maintenance
+    # epoch seals as epoch 1 on the replica
+    c = compact(rep)
+    assert c["epoch"] == 1
+
+    # producer moves on; the next segment must land AFTER the
+    # maintenance epoch, not collide with it
+    for f in files[1:]:
+        shutil.copy(f, tail)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    export_changelog(src.lake_root, out, image_cols="all")
+    r2 = replicate_feed(out, rep)
+    assert [m["epoch"] for m in r2["applied"]] == [2]
+    _assert_replica_equal(src.lake_root, rep.lake_root)
+
+    # steady state: nothing new, nothing re-applied, map is stable
+    assert replicate_feed(out, rep)["applied"] == []
 
 
 def test_follow_feed_continuous_replica(fixture_small, tmp_path, ray_session):
