@@ -3682,6 +3682,93 @@ def q_embdup_pairs_ivf(sf_dir: str):
     )
 
 
+def q_cc_orders(sf_dir: str):
+    """Connected components over the order-chain graph: consecutive
+    orders of the same customer placed <= 7 calendar days apart are
+    linked (burst/repeat-purchase linkage — the entity-resolution shape
+    of CC, vs the near-dup-cluster shape minhash_clusters exercises).
+    Edge derivation is one hash partition by customer + a vectorized
+    sort/shift per bucket (stages/graph.chain_edges); labeling is the
+    shared distributed min-label CC primitive. The chain graph is
+    sparse (edges << rows), so the budgeted union-find fast path
+    engages; the iterated distributed path is forced in tests. This is
+    the rare graph operator with an EXACT SQL oracle — a recursive-CTE
+    reachability closure in DuckDB."""
+    from ..stages.dedup import connected_components_min_label
+    from ..stages.graph import chain_edges
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    edges = chain_edges(
+        ds, part_col="o_custkey", node_col="o_orderkey",
+        ts_col="o_orderdate", max_gap_days=7,
+    )
+    nodes = ds.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["o_orderkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components_min_label(nodes, edges)
+    return labels.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": pc.cast(t["node"], pa.int64()),
+            "component": pc.cast(t["label"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_triangles_users(sf_dir: str):
+    """Per-user triangle participation over the co-activity graph
+    (users active in the same (event_type, hour) are pairwise linked —
+    the cohesion-graph construction): the clustering-coefficient
+    numerator community detection and spam/bot analysis start from.
+    Clique expansion per (type, hour) group + one distinct pass builds
+    the edges (stages/graph.cooccurrence_edges); counting is the
+    node-iterator algorithm as two partitioned hash joins
+    (stages/graph.triangle_counts). Exact SQL oracle: a three-way
+    self-join in DuckDB."""
+    from ..stages.graph import cooccurrence_edges, triangle_counts
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "h": h,
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+        })
+
+    edges = cooccurrence_edges(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        group_cols=["event_type", "h"],
+        node_col="user_id",
+    )
+    from ray.data.aggregate import Count
+
+    nodes = (
+        read_table(sf_dir, "events", columns=["user_id"])
+        .map_batches(
+            lambda t: pa.table(
+                {"node": pc.unique(pc.cast(t["user_id"], pa.int64()))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+    counts = triangle_counts(nodes, edges)
+    return counts.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["node"], pa.int64()),
+            "n_triangles": pc.cast(t["n_triangles"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     # ORDER MATTERS for driver correctness coverage: the driver checks
     # the FIRST 50 keys each round. Round-4 window = the two round-1
@@ -3813,6 +3900,8 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "best_doc_per_source": q_best_doc_per_source,
     "cross_region_nation": q_cross_region_nation,
+    "cc_orders": q_cc_orders,
+    "triangles_users": q_triangles_users,
 }
 
 
@@ -4845,4 +4934,59 @@ ORACLE_SQL["ewma_events"] = (
     "FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1"
     ") SELECT event_id, CAST(user_id AS BIGINT) AS user_id, "
     "CAST(ROUND(e * 1e6) AS BIGINT) AS ewma_e6 FROM rec"
+)
+
+
+# Connected components as reachability closure: UNION-dedup'd recursive
+# walk labels every node with every label that reaches it; min() per
+# node = the component representative. Walk size is O(sum comp_size^2)
+# — chain components here are tiny (<= a handful of orders), so the
+# closure is cheap at oracle scale.
+ORACLE_SQL["cc_orders"] = (
+    "WITH RECURSIVE seq AS ("
+    "SELECT o_orderkey, o_custkey, o_orderdate, "
+    "lag(o_orderkey) OVER w AS prev_key, "
+    "lag(o_orderdate) OVER w AS prev_date "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    "), edges AS ("
+    "SELECT prev_key AS a, o_orderkey AS b FROM seq "
+    "WHERE prev_key IS NOT NULL "
+    "AND date_diff('day', prev_date::DATE, o_orderdate::DATE) <= 7"
+    "), sym AS ("
+    "SELECT a AS s, b AS d FROM edges "
+    "UNION ALL SELECT b AS s, a AS d FROM edges"
+    "), walk AS ("
+    "SELECT o_orderkey AS node, o_orderkey AS label FROM orders "
+    "UNION "
+    "SELECT sym.d AS node, walk.label FROM walk "
+    "JOIN sym ON sym.s = walk.node"
+    ") SELECT node AS o_orderkey, min(label) AS component "
+    "FROM walk GROUP BY node"
+)
+
+# Triangle counts: clique edges per (event_type, hour) co-activity
+# group, three-way self-join closure (a<b<c generates each triangle
+# once), participation counted per corner.
+ORACLE_SQL["triangles_users"] = (
+    "WITH g AS ("
+    "SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id "
+    "FROM events"
+    "), edges AS ("
+    "SELECT DISTINCT g1.user_id AS a, g2.user_id AS b "
+    "FROM g g1 JOIN g g2 "
+    "ON g1.event_type = g2.event_type AND g1.h = g2.h "
+    "AND g1.user_id < g2.user_id"
+    "), tri AS ("
+    "SELECT e1.a, e1.b, e2.b AS c "
+    "FROM edges e1 "
+    "JOIN edges e2 ON e2.a = e1.b "
+    "JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b"
+    "), pern AS ("
+    "SELECT a AS user_id FROM tri "
+    "UNION ALL SELECT b AS user_id FROM tri "
+    "UNION ALL SELECT c AS user_id FROM tri"
+    ") SELECT u.user_id, count(p.user_id) AS n_triangles "
+    "FROM (SELECT DISTINCT user_id FROM events) u "
+    "LEFT JOIN pern p USING (user_id) GROUP BY u.user_id"
 )

@@ -232,3 +232,140 @@ def pagerank(
         })
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def chain_edges(
+    ds,
+    part_col: str,
+    node_col: str,
+    ts_col: str,
+    max_gap_days: int,
+    num_buckets: int = 32,
+):
+    """Edges between CONSECUTIVE rows of each partition — ordered by
+    (``ts_col``, ``node_col``) within ``part_col`` — whose calendar-date
+    gap is <= ``max_gap_days`` (the "activity chain" graph: burst
+    detection, repeat-purchase linkage). Hash-partition by ``part_col``
+    so each bucket holds whole partitions; the per-bucket kernel is one
+    vectorized sort + shift — no per-row Python, nothing leaves the
+    bucket but the (usually sparse) edge list. Partitioning assumption:
+    a single partition's rows fit one bucket task (same bound as every
+    per-key window in this engine).
+
+    Returns Dataset(doc_a, doc_b) with doc_a < doc_b; each consecutive
+    pair appears exactly once (``node_col`` values are unique rows), so
+    no global dedup pass is needed."""
+    from ..functions.hashing import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t[part_col]) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            part_col: t[part_col],
+            node_col: _i64(t[node_col]),
+            ts_col: t[ts_col],
+            "__b": pa.array(b),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([part_col, ts_col, node_col], kind="mergesort")
+        same = df[part_col].values[1:] == df[part_col].values[:-1]
+        days = df[ts_col].values.astype("datetime64[D]")
+        gap = (days[1:] - days[:-1]).astype("int64")
+        prev, cur = df[node_col].values[:-1], df[node_col].values[1:]
+        m = same & (gap <= max_gap_days)
+        return pd.DataFrame({
+            "doc_a": np.minimum(prev[m], cur[m]).astype("int64"),
+            "doc_b": np.maximum(prev[m], cur[m]).astype("int64"),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda df: per_bucket(df.drop(columns=["__b"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def cooccurrence_edges(ds, group_cols, node_col: str):
+    """Clique edges between nodes co-occurring in the same group (the
+    standard cohesion-graph construction: users co-active in the same
+    (event_type, hour), docs sharing a shingle bucket). Per-group
+    expansion is O(k^2) pairs for group size k — bounded by co-activity
+    per group, the same documented cap every bucketed-pairs stage in
+    this engine carries (dedup LSH buckets log and cap theirs; here k
+    is one partition key's co-active node count). One global distinct
+    pass (a key-only groupby) collapses pairs repeated across groups.
+
+    Returns Dataset(doc_a, doc_b), doc_a < doc_b, distinct."""
+    from ray.data.aggregate import Count
+
+    def cliques(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(df[node_col].values.astype("int64"))
+        i, j = np.triu_indices(len(u), k=1)
+        return pd.DataFrame({"doc_a": u[i], "doc_b": u[j]})
+
+    return (
+        ds.groupby(list(group_cols))
+        .map_groups(cliques, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+
+def triangle_counts(nodes_ds, edges_ds, num_buckets: int = 32):
+    """Per-node triangle participation counts via the node-iterator
+    algorithm as two partitioned hash joins (Suri & Vassilvitskii 2011,
+    "Counting triangles and the curse of the last reducer"): wedges
+    a-b-c from edges (a,b)x(b,c) with a<b<c, closed against the edge
+    set on (a,c). The edge orientation (doc_a < doc_b) means every
+    triangle is generated exactly once and the wedge count is bounded
+    by sum(deg_lo * deg_hi) — the standard skew-resistant split. Only
+    (node, partial-count) rows leave the counting stage.
+
+    ``edges_ds``: Dataset(doc_a, doc_b), doc_a < doc_b, DISTINCT (feed
+    ``cooccurrence_edges`` output). Returns Dataset(node, n_triangles)
+    covering every node in ``nodes_ds`` (zero-filled)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    lo = edges_ds.map_batches(
+        lambda t: pa.table({"w_a": _i64(t["doc_a"]), "k": _i64(t["doc_b"])}),
+        batch_format="pyarrow",
+    )
+    hi = edges_ds.map_batches(
+        lambda t: pa.table({"k": _i64(t["doc_a"]), "w_c": _i64(t["doc_b"])}),
+        batch_format="pyarrow",
+    )
+    wedges = hash_join(lo, hi, on="k", num_buckets=num_buckets)
+    closing = edges_ds.map_batches(
+        lambda t: pa.table({"w_a": _i64(t["doc_a"]), "w_c": _i64(t["doc_b"])}),
+        batch_format="pyarrow",
+    )
+    tris = hash_join(wedges, closing, on=["w_a", "w_c"], num_buckets=num_buckets)
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t["w_a"].to_numpy(zero_copy_only=False),
+            t["k"].to_numpy(zero_copy_only=False),
+            t["w_c"].to_numpy(zero_copy_only=False),
+        ]).astype("int64")
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(u), "n": pa.array(c.astype("int64"))})
+
+    zeros = nodes_ds.map_batches(
+        lambda t: pa.table({
+            "node": _i64(t["node"]),
+            "n": pa.array(np.zeros(t.num_rows, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    return (
+        tris.map_batches(part_counts, batch_format="pyarrow")
+        .union(zeros)
+        .groupby("node")
+        .aggregate(Sum(on="n", alias_name="n_triangles"))
+    )
