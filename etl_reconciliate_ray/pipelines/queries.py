@@ -3774,11 +3774,12 @@ QUERIES = {
     # the FIRST 50 keys each round. Round-4 window = the two round-1
     # sentinels + ALL 27 keys that have never had a driver row of any
     # kind (17 oracle-backed + 10 rows-only) + the new r4
-    # ivm_repo_stats and lake_keyed_lookup + 19 refill keys whose most
+    # ivm_repo_stats and lake_keyed_lookup + refill keys whose most
     # recent driver evidence is oldest (fingerprint_docs from r01, the
-    # rest last seen in r02). After this round every registry key has
-    # independent driver evidence at least once. The in-repo pytest
-    # oracle covers ALL entries every run.
+    # rest last seen in r02); the final two slots carry the late-r4
+    # graph additions (cc_orders, triangles_users). After this round
+    # every registry key has independent driver evidence at least
+    # once. The in-repo pytest oracle covers ALL entries every run.
     "reconcile_detail": q_reconcile_detail,
     "cdc_lww_events": q_cdc_lww_events,
     "mad_events": q_mad_events,
@@ -3827,6 +3828,12 @@ QUERIES = {
     "minhash_clusters": q_minhash_clusters,
     "simhash_docs": q_simhash_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    # the two r4 graph additions take the last two window slots so they
+    # get first-time driver evidence this round; the evicted refill
+    # keys (knn_cosine, token_stats) already have driver-green rows
+    # from earlier rounds
+    "cc_orders": q_cc_orders,
+    "triangles_users": q_triangles_users,
     "knn_cosine": q_knn_cosine,
     "token_stats": q_token_stats,
     "quality_docs": q_quality_docs,
@@ -3900,8 +3907,6 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "best_doc_per_source": q_best_doc_per_source,
     "cross_region_nation": q_cross_region_nation,
-    "cc_orders": q_cc_orders,
-    "triangles_users": q_triangles_users,
 }
 
 

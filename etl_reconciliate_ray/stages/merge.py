@@ -161,7 +161,9 @@ def resolve_chain_tables(tables_by_epoch: list[tuple[int, pa.Table]]) -> pa.Tabl
     """
     tagged = []
     for epoch, t in tables_by_epoch:
-        t = t.append_column("__epoch", pa.array([epoch] * t.num_rows, pa.int64()))
+        t = t.append_column(
+            "__epoch", pa.array(np.full(t.num_rows, epoch, np.int64))
+        )
         tagged.append(t)
     merged = _unify_concat(tagged)
     if merged.num_rows == 0:
