@@ -166,6 +166,90 @@ def test_replica_maintenance_epochs_interleave(
     assert replicate_feed(out, rep)["applied"] == []
 
 
+def test_replicate_crash_between_map_publish_and_seal(
+    fixture_small, tmp_path, ray_session
+):
+    """The durable-intent window: feed_map.json records a segment's
+    epoch BEFORE the epoch seals. A crash in between leaves an
+    assigned-but-unsealed epoch; the restart must finish THAT epoch
+    (not assign a fresh number, which would leak the reserved epoch and
+    desync the map from the log)."""
+    import json
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    tail = str(tmp_path / "c_tail")
+    os.makedirs(tail)
+    shutil.copy(files[0], tail)
+    src = ReplayConfig(lake_root=str(tmp_path / "c_src"), num_buckets=8)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    out = str(tmp_path / "c_out")
+    export_changelog(src.lake_root, out, image_cols="all")
+
+    # simulate the crash: publish the map entry by hand, never seal
+    rep = ReplayConfig(lake_root=str(tmp_path / "c_rep"), num_buckets=4)
+    os.makedirs(rep.lake_root, exist_ok=True)
+    from etl_reconciliate_ray.pipelines.replay import _feed_segments
+
+    seg_name = os.path.basename(_feed_segments(out)[0])
+    with open(os.path.join(rep.lake_root, "feed_map.json"), "w") as fh:
+        json.dump({seg_name: 0}, fh)
+
+    r = replicate_feed(out, rep)
+    assert [m["epoch"] for m in r["applied"]] == [0]
+    assert lake_state_hash(src.lake_root) == lake_state_hash(rep.lake_root)
+    # the map still records the recovered assignment, once
+    with open(os.path.join(rep.lake_root, "feed_map.json")) as fh:
+        assert json.load(fh) == {seg_name: 0}
+
+
+def test_replicate_random_interleave_converges(
+    fixture_small, tmp_path, ray_session
+):
+    """Model-based interleaving (same discipline as the commit-log and
+    txn fuzzes): a seeded schedule of producer exports, replica-side
+    compactions, bounded drains (max_segments=1), and re-drives
+    converges the replica to the source state with every segment
+    applied exactly once, whatever the interleaving."""
+    import json
+    import random
+
+    from etl_reconciliate_ray.pipelines.replay import compact
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    rng = random.Random(0xFEED)
+    tail = str(tmp_path / "r_tail")
+    os.makedirs(tail)
+    src = ReplayConfig(lake_root=str(tmp_path / "r_src"), num_buckets=8)
+    out = str(tmp_path / "r_out")
+    rep = ReplayConfig(lake_root=str(tmp_path / "r_rep"), num_buckets=4)
+
+    produced = 0
+    for f in files:
+        shutil.copy(f, tail)
+        replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+        m = export_changelog(src.lake_root, out, image_cols="all")
+        produced += 1
+        # consumer-side chaos between producer steps
+        for _ in range(rng.randint(0, 3)):
+            action = rng.choice(["drain1", "drain", "compact", "noop"])
+            if action == "drain1":
+                replicate_feed(out, rep, max_segments=1)
+            elif action == "drain":
+                replicate_feed(out, rep)
+            elif action == "compact" and os.path.exists(rep.lake_root):
+                compact(rep)
+    # final drain: everything applied exactly once
+    replicate_feed(out, rep)
+    with open(os.path.join(rep.lake_root, "feed_map.json")) as fh:
+        fmap = json.load(fh)
+    assert len(fmap) == produced
+    assert len(set(fmap.values())) == produced  # distinct epochs, no reuse
+    _assert_replica_equal(src.lake_root, rep.lake_root)
+    assert replicate_feed(out, rep)["applied"] == []
+
+
 def test_follow_feed_continuous_replica(fixture_small, tmp_path, ray_session):
     """follow_feed drains a finished spool (``_EOS``) into a replica
     identical to the source — the consumer mirror of follow_stream."""
