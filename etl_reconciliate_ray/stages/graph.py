@@ -254,7 +254,11 @@ def chain_edges(
 
     Returns Dataset(doc_a, doc_b) with doc_a < doc_b; each consecutive
     pair appears exactly once (``node_col`` values are unique rows), so
-    no global dedup pass is needed."""
+    no global dedup pass is needed. Caller contract: ``part_col`` /
+    ``ts_col`` / ``node_col`` must be non-null — NaN partition values
+    never compare equal in the shift, silently dropping edges a SQL
+    PARTITION BY (which groups NULLs) would keep; pre-filter or impute
+    upstream."""
     from ..functions.hashing import hash64
 
     def tag(t: pa.Table) -> pa.Table:
@@ -298,7 +302,10 @@ def cooccurrence_edges(ds, group_cols, node_col: str):
     is one partition key's co-active node count). One global distinct
     pass (a key-only groupby) collapses pairs repeated across groups.
 
-    Returns Dataset(doc_a, doc_b), doc_a < doc_b, distinct."""
+    Returns Dataset(doc_a, doc_b), doc_a < doc_b, distinct. Caller
+    contract: ``node_col`` must be non-null int-castable (a NaN-bearing
+    group crashes the int64 cast loudly rather than joining a phantom
+    node)."""
     from ray.data.aggregate import Count
 
     def cliques(df: pd.DataFrame) -> pd.DataFrame:
