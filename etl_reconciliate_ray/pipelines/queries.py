@@ -3700,12 +3700,27 @@ def q_cc_orders(sf_dir: str):
     ds = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
+    # chain_edges' non-null contract: rows missing customer or date can
+    # anchor no edge (matching the oracle, where lag-over-NULL-partition
+    # and date_diff(NULL) derive none); they stay in the graph as
+    # singleton NODES below
+    linkable = ds.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.is_valid(t["o_orderkey"]),
+            pc.and_(
+                pc.is_valid(t["o_custkey"]), pc.is_valid(t["o_orderdate"])
+            ),
+        )),
+        batch_format="pyarrow",
+    )
     edges = chain_edges(
-        ds, part_col="o_custkey", node_col="o_orderkey",
+        linkable, part_col="o_custkey", node_col="o_orderkey",
         ts_col="o_orderdate", max_gap_days=7,
     )
     nodes = ds.map_batches(
-        lambda t: pa.table({"node": pc.cast(t["o_orderkey"], pa.int64())}),
+        lambda t: pa.table({
+            "node": pc.cast(t["o_orderkey"], pa.int64()).drop_null()
+        }),
         batch_format="pyarrow",
     )
     labels = connected_components_min_label(nodes, edges)
@@ -3733,6 +3748,13 @@ def q_triangles_users(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
 
     def keyed(t: pa.Table) -> pa.Table:
+        # cooccurrence_edges' non-null contract; the oracle's equi-join
+        # on (event_type, h) and user_id < user_id likewise derives no
+        # edge from null-bearing rows
+        t = t.filter(pc.and_(
+            pc.is_valid(t["user_id"]),
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["event_type"])),
+        ))
         h = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
         return pa.table({
             "event_type": t["event_type"],
@@ -3750,9 +3772,11 @@ def q_triangles_users(sf_dir: str):
     nodes = (
         read_table(sf_dir, "events", columns=["user_id"])
         .map_batches(
-            lambda t: pa.table(
-                {"node": pc.unique(pc.cast(t["user_id"], pa.int64()))}
-            ),
+            lambda t: pa.table({
+                "node": pc.unique(
+                    pc.cast(t["user_id"], pa.int64())
+                ).drop_null()
+            }),
             batch_format="pyarrow",
         )
         .groupby("node")
@@ -4844,7 +4868,11 @@ ORACLE_SQL["watermark_window_events"] = (
     "THEN 86400000000 ELSE 0 END AS ts_us, "
     "CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents "
     "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL"
-    "), m AS (SELECT MAX(event_id) + 1 AS m FROM ev"
+    # m from the RAW table, matching the engine's unfiltered
+    # max("event_id") — deriving it post-filter would shift every
+    # epoch boundary on a fixture whose max-event_id row has null
+    # ts/user_id
+    "), m AS (SELECT MAX(event_id) + 1 AS m FROM events"
     "), e2 AS ("
     "SELECT (event_id * 4) // m AS epoch, ts_us, cents, "
     "(ts_us // 14400000000) * 14400000000 AS ws_us FROM ev, m"
@@ -4948,11 +4976,16 @@ ORACLE_SQL["ewma_events"] = (
 # — chain components here are tiny (<= a handful of orders), so the
 # closure is cheap at oracle scale.
 ORACLE_SQL["cc_orders"] = (
+    # null semantics mirror the engine exactly: rows missing customer
+    # or date anchor no edge (SQL PARTITION BY would otherwise group
+    # all null customers into ONE chainable partition) but stay in the
+    # graph as singleton nodes
     "WITH RECURSIVE seq AS ("
     "SELECT o_orderkey, o_custkey, o_orderdate, "
     "lag(o_orderkey) OVER w AS prev_key, "
     "lag(o_orderdate) OVER w AS prev_date "
-    "FROM orders "
+    "FROM orders WHERE o_orderkey IS NOT NULL "
+    "AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL "
     "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
     "), edges AS ("
     "SELECT prev_key AS a, o_orderkey AS b FROM seq "
@@ -4963,6 +4996,7 @@ ORACLE_SQL["cc_orders"] = (
     "UNION ALL SELECT b AS s, a AS d FROM edges"
     "), walk AS ("
     "SELECT o_orderkey AS node, o_orderkey AS label FROM orders "
+    "WHERE o_orderkey IS NOT NULL "
     "UNION "
     "SELECT sym.d AS node, walk.label FROM walk "
     "JOIN sym ON sym.s = walk.node"
@@ -4976,7 +5010,8 @@ ORACLE_SQL["cc_orders"] = (
 ORACLE_SQL["triangles_users"] = (
     "WITH g AS ("
     "SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id "
-    "FROM events"
+    "FROM events WHERE user_id IS NOT NULL "
+    "AND ts IS NOT NULL AND event_type IS NOT NULL"
     "), edges AS ("
     "SELECT DISTINCT g1.user_id AS a, g2.user_id AS b "
     "FROM g g1 JOIN g g2 "
@@ -4992,6 +5027,7 @@ ORACLE_SQL["triangles_users"] = (
     "UNION ALL SELECT b AS user_id FROM tri "
     "UNION ALL SELECT c AS user_id FROM tri"
     ") SELECT u.user_id, count(p.user_id) AS n_triangles "
-    "FROM (SELECT DISTINCT user_id FROM events) u "
+    "FROM (SELECT DISTINCT user_id FROM events "
+    "WHERE user_id IS NOT NULL) u "
     "LEFT JOIN pern p USING (user_id) GROUP BY u.user_id"
 )

@@ -463,6 +463,7 @@ def replay_multiplexed(
     coordinator_root: str,
     table_col: str = "tbl",
     stop_mid_epoch: int | None = None,
+    stop_at_unreadable: bool = False,
 ) -> list[dict]:
     """Ingest a MULTIPLEXED CDC stream — one binlog carrying N logical
     tables (the shape a Debezium/WAL feed actually has) — into N
@@ -486,6 +487,10 @@ def replay_multiplexed(
 
     ``stop_mid_epoch``: chaos hook — crash after staging (and
     preparing) epoch k's tables but before the COMMIT mark.
+    ``stop_at_unreadable``: tail mode (set by ``follow_multiplexed``) —
+    a half-copied epoch file cuts discovery at the readable prefix
+    instead of raising, so a poll that races the producer's copy still
+    ingests every complete earlier file.
     """
     import ray.data as rd
 
@@ -497,7 +502,7 @@ def replay_multiplexed(
         co.resume_in_doubt(txn_id).commit()  # staging finished => roll forward
 
     out: list[dict] = []
-    for ep in _discover_epochs(binlog_dir):
+    for ep in _discover_epochs(binlog_dir, stop_at_unreadable=stop_at_unreadable):
         engine_epoch = ep["epoch"] + 1  # 0 is reserved for bootstrap
         todo = {
             name: cfg for name, cfg in tables.items()
@@ -599,7 +604,8 @@ def follow_multiplexed(
         if fresh:
             idle = 0
             out.extend(replay_multiplexed(
-                binlog_dir, tables, coordinator_root, table_col=table_col
+                binlog_dir, tables, coordinator_root, table_col=table_col,
+                stop_at_unreadable=True,
             ))
             seen.update(d["file"] for d in descs)
             if on_batch is not None:
@@ -1575,10 +1581,11 @@ def lake_dataset(
         chains = {p: c for p, c in chains.items() if int(p) in keep}
         repo_set = pa.array(sorted(set(repos)), pa.string())
     # the bucket filter keeps false positives (other repos sharing a
-    # candidate bucket); the row filter needs `repo` present even when
-    # the caller's projection drops it
+    # candidate bucket) and the placeholder row filter needs `repo`
+    # present even when the caller's projection drops it — read it
+    # always, project it back out below
     read_cols = columns
-    if repo_set is not None and columns is not None and "repo" not in columns:
+    if columns is not None and "repo" not in columns:
         read_cols = ["repo", *columns]
 
     def repo_prune(t: pa.Table) -> pa.Table:
@@ -1593,7 +1600,16 @@ def lake_dataset(
         if not files:
             return rd.from_arrow(pa.table({c: pa.array([], pa.string()) for c in (columns or ["repo", "path"])}))
         ds = rd.read_parquet(files, columns=read_cols)
-        return ds.map_batches(repo_prune, batch_format="pyarrow") if repo_set is not None else ds
+        if repo_set is not None:
+            return ds.map_batches(repo_prune, batch_format="pyarrow")
+        if read_cols != columns and columns is not None:
+            return ds.map_batches(
+                lambda t: t.select(
+                    [c for c in columns if c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        return ds
 
     items = [{"part": p, "chain": json.dumps(c)} for p, c in sorted(chains.items())]
 
@@ -1993,10 +2009,17 @@ def export_changelog(
     Exactly-once under crash/retry, mirroring the lake's own publish
     discipline: segments are derived deterministically from SEALED
     inputs, an unsealed leftover directory is rebuilt in place, and the
-    cursor only moves after the ``_SEALED`` marker lands — a consumer
-    that reads only sealed segments in name order sees each change
-    exactly once. Writes are distributed (``Dataset.write_parquet``);
-    nothing data-scale lands on the driver."""
+    cursor only moves after the ``_SEALED`` marker lands. The SEALED
+    segment names are the AUTHORITATIVE cursor — ``_CURSOR`` is a cache
+    that can lag exactly one crash behind (crash between ``_SEALED``
+    and the cursor rename), so every call first recovers the cursor to
+    the highest sealed to-epoch; without that, a retry after the lake
+    head advanced would export an OVERLAPPING segment (or a second
+    bootstrap snapshot) whose name-order fold resurrects
+    deleted/reverted keys. A consumer that reads only sealed segments
+    in name order therefore sees each change exactly once. Writes are
+    distributed (``Dataset.write_parquet``); nothing data-scale lands
+    on the driver."""
     import shutil as _shutil
 
     root = _root_of(cfg_or_root)
@@ -2008,6 +2031,16 @@ def export_changelog(
     if os.path.exists(cursor_path):
         with open(cursor_path) as fh:
             cur = int(fh.read().strip())
+    sealed_cur = _sealed_to_epoch(out_dir)
+    if sealed_cur is not None and (cur is None or sealed_cur > cur):
+        # crashed between _SEALED and the cursor rename: the sealed
+        # segment is durable and consumers may already have applied it
+        # — heal the cursor file and export FROM it, never over it
+        cur = sealed_cur
+        tmp = cursor_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{cur}\n")
+        os.replace(tmp, cursor_path)
     if head is None or (cur is not None and head <= cur):
         return {"skipped": True, "cursor": cur, "head": head}
 
@@ -2067,6 +2100,17 @@ def export_changelog(
         "to_epoch": head,
         "snapshot": cur is None,
     }
+
+
+def _sealed_to_epoch(out_dir: str) -> int | None:
+    """Highest to-epoch among SEALED segments (segment names embed it
+    as the final ``-``-separated field, for both ``epochs=A-B`` and
+    ``epochs=0-snapshot-B``) — the authoritative consumer cursor."""
+    best = None
+    for seg in _feed_segments(out_dir):
+        to = int(os.path.basename(seg).rsplit("-", 1)[1])
+        best = to if best is None else max(best, to)
+    return best
 
 
 def _feed_segments(out_dir: str) -> list[str]:

@@ -255,10 +255,10 @@ def chain_edges(
     Returns Dataset(doc_a, doc_b) with doc_a < doc_b; each consecutive
     pair appears exactly once (``node_col`` values are unique rows), so
     no global dedup pass is needed. Caller contract: ``part_col`` /
-    ``ts_col`` / ``node_col`` must be non-null — NaN partition values
-    never compare equal in the shift, silently dropping edges a SQL
-    PARTITION BY (which groups NULLs) would keep; pre-filter or impute
-    upstream."""
+    ``ts_col`` / ``node_col`` must be non-null (enforced loudly per
+    bucket — NaN partitions never compare equal in the shift and NaT
+    casts to INT64_MIN days, silently dropping or fabricating edges);
+    pre-filter upstream."""
     from ..functions.hashing import hash64
 
     def tag(t: pa.Table) -> pa.Table:
@@ -271,6 +271,14 @@ def chain_edges(
         })
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df[[part_col, ts_col, node_col]].isna().any().any():
+            # NaT/NaN here silently fabricate or drop edges (NaT casts
+            # to INT64_MIN days; NaN partitions never compare equal) —
+            # refuse instead
+            raise ValueError(
+                "chain_edges: null key/ts/node rows in bucket — "
+                "pre-filter them (they can anchor no edge)"
+            )
         df = df.sort_values([part_col, ts_col, node_col], kind="mergesort")
         same = df[part_col].values[1:] == df[part_col].values[:-1]
         days = df[ts_col].values.astype("datetime64[D]")
@@ -303,13 +311,19 @@ def cooccurrence_edges(ds, group_cols, node_col: str):
     pass (a key-only groupby) collapses pairs repeated across groups.
 
     Returns Dataset(doc_a, doc_b), doc_a < doc_b, distinct. Caller
-    contract: ``node_col`` must be non-null int-castable (a NaN-bearing
-    group crashes the int64 cast loudly rather than joining a phantom
-    node)."""
+    contract: ``node_col`` must be non-null — enforced loudly here,
+    because numpy's float->int64 astype of a NaN silently fabricates an
+    INT64_MIN phantom node that would join every clique of its group."""
     from ray.data.aggregate import Count
 
     def cliques(df: pd.DataFrame) -> pd.DataFrame:
-        u = np.unique(df[node_col].values.astype("int64"))
+        vals = df[node_col]
+        if vals.isna().any():
+            raise ValueError(
+                f"cooccurrence_edges: null {node_col!r} in group "
+                "(pre-filter nulls — they cannot co-occur)"
+            )
+        u = np.unique(vals.values.astype("int64"))
         i, j = np.triu_indices(len(u), k=1)
         return pd.DataFrame({"doc_a": u[i], "doc_b": u[j]})
 

@@ -10,11 +10,13 @@ Debezium/Materialize-style completion of that loop).
 
 Semantics (classic delta-aggregation, e.g. Gupta & Mumick's view
 maintenance survey): for a view ``SELECT keys, COUNT(*), SUM(f(col))
-GROUP BY keys`` over the lake,
+GROUP BY keys`` over the lake, every change emits signed rows
 
-    'I' contributes (+1, +f(new)),
-    'D' contributes (-1, -f(old)),
-    'U' contributes ( 0, +f(new) - f(old)),
+    'I' contributes (+1, +f(new)) keyed by the NEW key values,
+    'D' contributes (-1, -f(old)) keyed by the OLD key values,
+    'U' contributes BOTH — so an update that moves a row between key
+        groups debits the old group and credits the new one, and one
+        that stays nets to (0, +f(new) - f(old)),
 
 and a key group whose maintained count reaches 0 leaves the view —
 exactly the result of recomputing the aggregate on the new state
@@ -65,8 +67,19 @@ def changelog_delta_rows(
     int64). ``sums``: {out_name: (image_col, transform)} where
     ``image_col`` must have been requested via ``image_cols`` and
     transform is a ``TRANSFORMS`` key, a callable, or None (identity).
-    Map-only; feed the result to an aggregate (``maintain_aggregate``
-    does, sharing one shuffle with the base state)."""
+
+    Each change emits up to TWO rows (the classic signed-delta form):
+    a negative row keyed by the OLD key values (count -1, -f(old)) for
+    D/U, and a positive row keyed by the NEW key values (count +1,
+    +f(new)) for I/U — so a view keyed on a mutable lake column (e.g.
+    ``lang``) is maintained correctly when an update MOVES a row
+    between key groups; a U that stays in its group nets to the usual
+    (0, f(new) - f(old)) inside the aggregate. Key columns other than
+    the lake primary key (repo, path) must have been requested via
+    ``image_cols`` (``MaintainedView.advance`` does this
+    automatically). Map-only; feed the result to an aggregate
+    (``maintain_aggregate`` does, sharing one shuffle with the base
+    state)."""
     keys = list(keys)
     sums = dict(sums or {})
 
@@ -79,18 +92,35 @@ def changelog_delta_rows(
             return pa.nulls(len(col), pa.int64())
         return pc.cast(fn(col), pa.int64())
 
-    def to_deltas(batch: pa.Table) -> pa.Table:
-        ch = batch["change"]
-        is_i = pc.cast(pc.equal(ch, "I"), pa.int64())
-        is_d = pc.cast(pc.equal(ch, "D"), pa.int64())
-        cols: dict[str, object] = {k: batch[k] for k in keys}
-        cols[count_name] = pc.subtract(is_i, is_d)
+    def key_col(batch: pa.Table, k: str, side: str):
+        # mutable key columns ride the feed as <k>_old/<k>_new images;
+        # the lake primary key (repo, path) is immutable per row and
+        # rides as itself
+        name = f"{k}_{side}"
+        return batch[name] if name in batch.column_names else batch[k]
+
+    def side_rows(batch: pa.Table, side: str, sign: int) -> pa.Table:
+        n = batch.num_rows
+        cols: dict[str, object] = {
+            k: key_col(batch, k, side) for k in keys
+        }
+        cols[count_name] = pa.array([sign] * n, pa.int64())
         for out, (src, transform) in sums.items():
             fn = _resolve(transform)
-            new = pc.fill_null(signed_term(batch[f"{src}_new"], fn), 0)
-            old = pc.fill_null(signed_term(batch[f"{src}_old"], fn), 0)
-            cols[out] = pc.subtract(new, old)
+            term = pc.fill_null(signed_term(batch[f"{src}_{side}"], fn), 0)
+            cols[out] = term if sign > 0 else pc.negate_checked(term)
         return pa.table(cols)
+
+    def to_deltas(batch: pa.Table) -> pa.Table:
+        ch = batch["change"]
+        pos = batch.filter(pc.not_equal(ch, "D"))  # I and U gain new
+        neg = batch.filter(pc.not_equal(ch, "I"))  # D and U lose old
+        # permissive: an all-I slice's *_old key images arrive as Arrow
+        # null type (its negative half is then 0 rows but still typed)
+        return pa.concat_tables(
+            [side_rows(pos, "new", 1), side_rows(neg, "old", -1)],
+            promote_options="permissive",
+        )
 
     return changelog_ds.map_batches(to_deltas, batch_format="pyarrow")
 
@@ -272,7 +302,13 @@ class MaintainedView:
         head = CommitLog.open(_root_of(lake_root)).latest_sealed_epoch()
         if head is None or head <= ep:
             return ep
-        image_cols = sorted({src for src, _ in self.sums.values()})
+        # the feed must carry images for the sum sources AND for any
+        # key column that is not the lake primary key (a 'U' can move a
+        # row between key groups; changelog_delta_rows reads both sides)
+        image_cols = sorted(
+            {src for src, _ in self.sums.values()}
+            | {k for k in self.keys if k not in ("repo", "path")}
+        )
         try:
             feed = lake_changelog(
                 lake_root, from_epoch=ep, to_epoch=head, image_cols=image_cols

@@ -64,7 +64,11 @@ def epoch_watermarks(ds, epoch_col: str, ts_col: str, lateness_sec: float):
     running: int | None = None
     for r in per:
         out[int(r[epoch_col])] = None if running is None else running - late_us
-        running = max(running or -(1 << 62), int(r[f"max(__ts_us)"]))
+        mx = int(r["max(__ts_us)"])
+        # NOT `running or ...`: a legitimate running max of exactly 0 µs
+        # (the 1970 epoch boundary) is falsy and would let a later
+        # negative event time REGRESS the watermark
+        running = mx if running is None else max(running, mx)
     out[-1] = None if running is None else running - late_us  # final watermark
     return out
 

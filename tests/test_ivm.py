@@ -39,15 +39,104 @@ def test_delta_rows_signed_contributions():
             _feed(rows), ["repo"], "n", {"len": ("content", "utf8_length")}
         )
         .to_pandas()
-        .sort_values(["repo", "len"])
+        .sort_values(["repo", "n", "len"])
         .reset_index(drop=True)
     )
-    # I: (+1, +3); U: (0, +2); D: (-1, -5)
+    # two-row signed form: I -> (+1, +len(new)); D -> (-1, -len(old));
+    # U -> (-1, -len(old)) AND (+1, +len(new)) (nets to (0, +2) in the
+    # aggregate; split so key-group moves debit/credit the right group)
     assert out.to_dict("records") == [
-        {"repo": "a", "n": 0, "len": 2},
+        {"repo": "a", "n": -1, "len": -2},
         {"repo": "a", "n": 1, "len": 3},
+        {"repo": "a", "n": 1, "len": 4},
         {"repo": "b", "n": -1, "len": -5},
     ]
+
+
+def test_update_moves_row_between_key_groups():
+    """A view keyed on a MUTABLE column: a U whose key column changes
+    must debit the old group and credit the new one (regression: the
+    one-row delta form keyed everything by the post-image and could
+    not express the move; non-primary keys also crashed with KeyError
+    because advance() never requested their images)."""
+    base = _feed([
+        {"lang": "py", "n": 2, "len": 10},
+        {"lang": "go", "n": 1, "len": 4},
+    ])
+    feed = _feed([
+        # one py file is rewritten as go: py loses (1, 6), go gains (1, 8)
+        {"repo": "r", "path": "a", "change": "U", "content_sha256": "s",
+         "lang_old": "py", "lang_new": "go",
+         "content_old": "sixsix", "content_new": "eighteig"},
+    ])
+    out = (
+        maintain_aggregate(
+            base, feed, keys=["lang"], count_name="n",
+            sums={"len": ("content", "utf8_length")},
+        )
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"lang": "go", "n": 2, "len": 12},
+        {"lang": "py", "n": 1, "len": 4},
+    ]
+
+
+def test_maintained_view_keyed_on_mutable_payload_column(tmp_path):
+    """End-to-end MaintainedView keyed on a payload column (content):
+    bootstrap at epoch 1, then advance() across the I/U/D epoch whose U
+    rewrites path a's content 'x' -> 'xx' — a key-group move the feed
+    must express. Previously raised KeyError('content') because
+    advance() never requested the key column's images."""
+    import pandas as pd
+
+    from etl_reconciliate_ray.stages.ivm import MaintainedView
+
+    # same binlog as _build_iud_lake, sealed one epoch at a time
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    e0 = pa.table({
+        "seq": pa.array([1, 2, 3], pa.int64()),
+        "op": pa.array(["I"] * 3),
+        "repo": pa.array(["r"] * 3),
+        "path": pa.array(["a", "b", "c"]),
+        "content": pa.array(["x", "y", "z"]),
+        "nbytes": pa.array([10, 20, 30], pa.int64()),
+    })
+    e1 = pa.table({
+        "seq": pa.array([4, 5, 6], pa.int64()),
+        "op": pa.array(["I", "D", "I"]),
+        "repo": pa.array(["r"] * 3),
+        "path": pa.array(["d", "b", "a"]),
+        "content": pa.array(["w", "y", "xx"]),
+        "nbytes": pa.array([40, 20, 11], pa.int64()),
+    })
+    pq.write_table(e0, str(binlog / "epoch=00000.parquet"))
+    pq.write_table(e1, str(binlog / "epoch=00001.parquet"))
+    root = str(tmp_path / "lake")
+    cfg = ReplayConfig(lake_root=root, num_buckets=2)
+    view = MaintainedView(
+        str(tmp_path / "cview"), keys=["content"], count_name="n",
+        sums={"bytes": ("nbytes", "identity")},
+    )
+    replay_stream(str(binlog), cfg, stop_after_epoch=1)
+    assert view.advance(root) == 1  # bootstrap at epoch 1
+    replay_stream(str(binlog), cfg, stop_after_epoch=2)
+    assert view.advance(root) == 2  # the incremental group-move hop
+
+    got = (
+        view.state().to_pandas()[["content", "n", "bytes"]]
+        .sort_values("content").reset_index(drop=True)
+    )
+    want = (
+        lake_dataset(root, columns=["content", "nbytes"]).to_pandas()
+        .groupby("content").agg(n=("nbytes", "size"), bytes=("nbytes", "sum"))
+        .reset_index().astype({"n": "int64", "bytes": "int64"})
+        .sort_values("content").reset_index(drop=True)
+    )
+    # the moved key: 'x' gone from the view, 'xx' present
+    assert "x" not in set(got["content"]) and "xx" in set(got["content"])
+    pd.testing.assert_frame_equal(got, want)
 
 
 def test_maintain_drops_groups_deleted_to_zero():

@@ -152,3 +152,49 @@ def test_follow_multiplexed_drains_growing_stream(fixture_small, tmp_path, ray_s
     replay_multiplexed(mux, control, str(tmp_path / "fmc_txn"))
     for n in cfgs:
         assert lake_state_hash(cfgs[n].lake_root) == lake_state_hash(control[n].lake_root)
+
+
+def test_follow_multiplexed_cuts_at_midcopy_file(fixture_small, tmp_path, ray_session):
+    """Regression: follow_multiplexed's poll cut discovery at a
+    half-copied trailing file, but then delegated to replay_multiplexed
+    WITHOUT the tail flag — the same corrupt file crashed the loop and
+    the complete earlier files were never ingested. The readable prefix
+    must land; once the producer finishes the copy, the next follow
+    drains it."""
+    import shutil
+
+    from etl_reconciliate_ray.pipelines.replay import follow_multiplexed
+
+    fixture_dir, _, manifest = fixture_small
+    mux, _, _ = _build_mux(fixture_dir, str(tmp_path / "streams4"))
+    grow = str(tmp_path / "grow4")
+    os.makedirs(grow)
+    files = sorted(glob.glob(os.path.join(mux, "*.parquet")))
+    shutil.copy(files[0], os.path.join(grow, os.path.basename(files[0])))
+    # a mid-copy arrival: sorts after the complete file, has no footer
+    partial = os.path.join(grow, os.path.basename(files[1]))
+    with open(partial, "wb") as fh:
+        fh.write(b"PAR1corrupt")
+
+    cfgs = {"files": _cfg(tmp_path, "mc_files", manifest),
+            "orders": _cfg(tmp_path, "mc_orders", manifest)}
+    out = follow_multiplexed(
+        grow, cfgs, str(tmp_path / "mc_txn"), poll_sec=0.05, idle_polls=1
+    )
+    applied = [m for m in out if not m.get("skipped")]
+    assert len(applied) == 1  # the readable prefix landed, no crash
+    for cfg in cfgs.values():
+        assert CommitLog.open(cfg.lake_root).latest_sealed_epoch() == 1
+
+    # the producer finishes the copy; the next follow drains everything
+    for f in files[1:]:
+        shutil.copy(f, os.path.join(grow, os.path.basename(f)))
+    open(os.path.join(grow, "_EOS"), "w").close()
+    follow_multiplexed(
+        grow, cfgs, str(tmp_path / "mc_txn"), poll_sec=0.05, idle_polls=3
+    )
+    control = {"files": _cfg(tmp_path, "mcc_files", manifest),
+               "orders": _cfg(tmp_path, "mcc_orders", manifest)}
+    replay_multiplexed(mux, control, str(tmp_path / "mcc_txn"))
+    for n in cfgs:
+        assert lake_state_hash(cfgs[n].lake_root) == lake_state_hash(control[n].lake_root)

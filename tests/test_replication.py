@@ -203,6 +203,55 @@ def test_replicate_crash_between_map_publish_and_seal(
         assert json.load(fh) == {seg_name: 0}
 
 
+def test_export_cursor_crash_recovery(fixture_small, tmp_path, ray_session):
+    """export_changelog's crash window: _SEALED lands, the process dies
+    before _CURSOR advances, and the lake head moves on before the
+    retry. The sealed segment names are the authoritative cursor — the
+    retry must export FROM the sealed to-epoch (and heal _CURSOR), not
+    write an overlapping segment (or a second bootstrap snapshot) whose
+    name-order fold would resurrect deleted/reverted keys."""
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    tail = str(tmp_path / "x_tail")
+    os.makedirs(tail)
+    shutil.copy(files[0], tail)
+    src = ReplayConfig(lake_root=str(tmp_path / "x_src"), num_buckets=8)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    out = str(tmp_path / "x_out")
+    m1 = export_changelog(src.lake_root, out, image_cols="all")
+    assert m1["snapshot"]
+    snap_to = int(os.path.basename(m1["segment"]).rsplit("-", 1)[1])
+
+    # crash-sim: the cursor rename never happened
+    os.remove(os.path.join(out, "_CURSOR"))
+    # the lake advances before the retry (includes D/U churn)
+    for f in files[1:]:
+        shutil.copy(f, tail)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+
+    m2 = export_changelog(src.lake_root, out, image_cols="all")
+    # NOT a second snapshot, and the delta starts at the sealed to-epoch
+    assert not m2["snapshot"]
+    assert m2["from_epoch"] == snap_to
+    from etl_reconciliate_ray.pipelines.replay import _feed_segments
+
+    segs = [os.path.basename(s) for s in _feed_segments(out)]
+    assert len(segs) == 2
+    assert sum(s.startswith("epochs=0-snapshot") for s in segs) == 1
+
+    # same crash again between delta segments: stale (lagging) cursor
+    delta_to = int(os.path.basename(m2["segment"]).rsplit("-", 1)[1])
+    with open(os.path.join(out, "_CURSOR"), "w") as fh:
+        fh.write(f"{snap_to}\n")  # lagging value, as a pre-rename crash leaves
+    m3 = export_changelog(src.lake_root, out, image_cols="all")
+    assert m3["skipped"] and m3["cursor"] == delta_to  # healed, no overlap
+
+    # the fold of the sealed segments reproduces the source exactly
+    rep = ReplayConfig(lake_root=str(tmp_path / "x_rep"), num_buckets=4)
+    replicate_feed(out, rep)
+    _assert_replica_equal(src.lake_root, rep.lake_root)
+
+
 def test_replicate_random_interleave_converges(
     fixture_small, tmp_path, ray_session
 ):

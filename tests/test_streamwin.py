@@ -154,3 +154,21 @@ def test_empty_epoch_is_noop(ray_session):
     # watermark unchanged: epoch 1 behaves as if the empty one never was
     em1 = st.advance(rd.from_arrow(t.filter(pc.equal(t["epoch"], 1))))
     assert {r["window_start"].hour for r in em1.to_pylist()} == {0, 1}
+
+
+def test_watermark_zero_max_is_not_unset(ray_session):
+    """Falsy-zero regression: a running max of exactly 0 µs (the 1970
+    epoch boundary) must hold against later pre-1970 event times — the
+    old `running or -(1<<62)` treated 0 as 'unset' and let the
+    watermark regress."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "epoch": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([0, -5_000_000, -7_000_000], pa.timestamp("us")),
+    }))
+    wm = epoch_watermarks(ds, "epoch", "ts", lateness_sec=0)
+    assert wm[0] is None
+    assert wm[1] == 0
+    assert wm[2] == 0   # regressed to -5s under the falsy-or bug
+    assert wm[-1] == 0  # final watermark: the max ever seen, monotone
