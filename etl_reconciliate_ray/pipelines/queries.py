@@ -4887,9 +4887,9 @@ ORACLE_SQL["watermark_window_events"] = (
     "e2.ws_us + 14400000000 <= wmb.wm_before) AS late "
     "FROM e2 JOIN wmb USING (epoch)) "
     "SELECT make_timestamp(ws_us) AS window_start, "
-    "SUM(CASE WHEN late THEN 0 ELSE 1 END) AS n, "
-    "SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late, "
-    "SUM(CASE WHEN late THEN 0 ELSE cents END) AS sum_cents, "
+    "CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late, "
+    "CAST(SUM(CASE WHEN late THEN 0 ELSE cents END) AS BIGINT) AS sum_cents, "
     "ws_us + 14400000000 <= (SELECT wm_final FROM fin) AS closed "
     "FROM tagged GROUP BY ws_us"
 )

@@ -353,6 +353,13 @@ def triangle_counts(nodes_ds, edges_ds, num_buckets: int = 32):
 
     from .joins import hash_join
 
+    # the edge list fans out to THREE consumers (both wedge sides and
+    # the closing probe); left lazy, Ray re-executes the whole upstream
+    # edge derivation per consumer. Edges are O(co-activity pairs) —
+    # tiny next to the corpus — so one materialization is the right
+    # trade (same call the CC primitive makes on its symmetrized edges)
+    edges_ds = edges_ds.materialize()
+
     lo = edges_ds.map_batches(
         lambda t: pa.table({"w_a": _i64(t["doc_a"]), "k": _i64(t["doc_b"])}),
         batch_format="pyarrow",
