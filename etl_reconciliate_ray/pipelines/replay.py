@@ -2045,41 +2045,12 @@ def export_changelog(
         return {"skipped": True, "cursor": cur, "head": head}
 
     if cur is None:
-        sch = _payload_schema(log, head)
-        if image_cols == "all":
-            image_cols = sorted(sch)
-        images = [c for c in (image_cols or []) if c not in ("repo", "path")]
-        cols = ["repo", "path", "content_sha256"] + [
-            c for c in images if c != "content_sha256"
-        ]
-        img_types = {c: sch.get(c, pa.string()) for c in images}
         # "0-snapshot": the '-' byte sorts below every digit, so the
         # bootstrap segment is FIRST in name order regardless of later
         # delta names — dumb consumers can fold the feed with a plain
         # lexicographic walk (snapshot, then deltas, in apply order)
         seg = os.path.join(out_dir, "feed", f"epochs=0-snapshot-{head:05d}")
-
-        def as_inserts(t: pa.Table) -> pa.Table:
-            out: dict[str, object] = {
-                "repo": t["repo"],
-                "path": t["path"],
-                "change": pa.array(["I"] * t.num_rows),
-                "content_sha256": t["content_sha256"],
-            }
-            for c in images:
-                typ = img_types[c]
-                col = (
-                    pc.cast(t[c], typ, safe=False)
-                    if c in t.column_names
-                    else pa.nulls(t.num_rows, typ)
-                )
-                out[f"{c}_old"] = pa.nulls(t.num_rows, typ)
-                out[f"{c}_new"] = col
-            return pa.table(out)
-
-        feed = lake_dataset(root, columns=cols, as_of_epoch=head).map_batches(
-            as_inserts, batch_format="pyarrow"
-        )
+        feed = _snapshot_feed(log, root, head, image_cols)
     else:
         seg = os.path.join(out_dir, "feed", f"epochs={cur:05d}-{head:05d}")
         feed = lake_changelog(
@@ -2100,6 +2071,107 @@ def export_changelog(
         "to_epoch": head,
         "snapshot": cur is None,
     }
+
+
+def _snapshot_feed(log: CommitLog, root: str, head: int, image_cols):
+    """The full current state as an 'I'-changes feed Dataset — the
+    bootstrap/compaction snapshot body shared by ``export_changelog``
+    and ``compact_feed``."""
+    sch = _payload_schema(log, head)
+    if image_cols == "all":
+        image_cols = sorted(sch)
+    images = [c for c in (image_cols or []) if c not in ("repo", "path")]
+    cols = ["repo", "path", "content_sha256"] + [
+        c for c in images if c != "content_sha256"
+    ]
+    img_types = {c: sch.get(c, pa.string()) for c in images}
+
+    def as_inserts(t: pa.Table) -> pa.Table:
+        out: dict[str, object] = {
+            "repo": t["repo"],
+            "path": t["path"],
+            "change": pa.array(["I"] * t.num_rows),
+            "content_sha256": t["content_sha256"],
+        }
+        for c in images:
+            typ = img_types[c]
+            col = (
+                pc.cast(t[c], typ, safe=False)
+                if c in t.column_names
+                else pa.nulls(t.num_rows, typ)
+            )
+            out[f"{c}_old"] = pa.nulls(t.num_rows, typ)
+            out[f"{c}_new"] = col
+        return pa.table(out)
+
+    return lake_dataset(root, columns=cols, as_of_epoch=head).map_batches(
+        as_inserts, batch_format="pyarrow"
+    )
+
+
+def compact_feed(
+    cfg_or_root,
+    out_dir: str,
+    image_cols: list[str] | str = "all",
+    stop_before_delete: bool = False,
+) -> dict:
+    """Kafka-style log compaction for the export spool: replace EVERY
+    sealed segment with ONE fresh snapshot of the source lake at its
+    sealed head. Without this a long-lived feed grows O(total changes
+    ever) and a new consumer must fold the whole history; after
+    compaction a bootstrap is one snapshot read.
+
+    Crash-safe protocol (each step idempotent, fold correct at every
+    crash point):
+
+    1. write + seal the new snapshot ``epochs=0-snapshot-<head>``
+       (skipped if already sealed — a retry);
+    2. advance ``_CURSOR`` to head (later ``export_changelog`` calls
+       diff from head);
+    3. delete every other sealed segment.
+
+    A crash between 2 and 3 leaves old segments beside the new
+    snapshot; that fold is STILL correct — replica epochs follow name
+    order, snapshot names sort before delta names, and every delta
+    re-applies at a LATER epoch than the snapshot, so per-key LWW
+    resolves each key to its true head state (tested). Consumers that
+    already applied deleted segments are unaffected (their cursor is
+    their own commit log); consumers mid-history see the new snapshot
+    as an unknown sealed segment and ``replicate_feed`` applies it
+    with REPLACE semantics (tombstones for replica keys absent from
+    the snapshot), so partially-caught-up replicas converge too.
+    ``stop_before_delete``: chaos hook for the crash window."""
+    import shutil as _shutil
+
+    root = _root_of(cfg_or_root)
+    log = CommitLog.open(root)
+    head = log.latest_sealed_epoch()
+    if head is None:
+        return {"skipped": True, "reason": "nothing sealed"}
+    os.makedirs(os.path.join(out_dir, "feed"), exist_ok=True)
+    seg = os.path.join(out_dir, "feed", f"epochs=0-snapshot-{head:05d}")
+    name = os.path.basename(seg)
+    existing = [os.path.basename(s) for s in _feed_segments(out_dir)]
+    if existing == [name]:
+        return {"skipped": True, "reason": "already compacted", "segment": seg}
+    if name not in existing:  # retry after a crash-post-seal skips the build
+        _shutil.rmtree(seg, ignore_errors=True)  # crashed unsealed attempt
+        _snapshot_feed(log, root, head, image_cols).write_parquet(seg)
+        with open(os.path.join(seg, "_SEALED"), "w") as fh:
+            fh.write("ok\n")
+    cursor_path = os.path.join(out_dir, "_CURSOR")
+    tmp = cursor_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"{head}\n")
+    os.replace(tmp, cursor_path)
+    if stop_before_delete:
+        return {"skipped": False, "segment": seg, "deleted": 0, "head": head}
+    deleted = 0
+    for s in _feed_segments(out_dir):
+        if os.path.basename(s) != name:
+            _shutil.rmtree(s, ignore_errors=True)
+            deleted += 1
+    return {"skipped": False, "segment": seg, "deleted": deleted, "head": head}
 
 
 def _sealed_to_epoch(out_dir: str) -> int | None:
@@ -2149,6 +2221,66 @@ def _feed_to_events(t: pa.Table) -> pa.Table:
         if c.endswith("_new") and c[:-4] not in out:
             out[c[:-4]] = t[c]
     return pa.table(out)
+
+
+def _apply_snapshot_replace(
+    files: list[str],
+    epoch: int,
+    replica_cfg: ReplayConfig,
+    log: CommitLog,
+    writers: list,
+) -> dict:
+    """Apply a snapshot segment onto a NON-EMPTY replica with REPLACE
+    semantics: the snapshot's images upsert every key it carries, and
+    replica keys ABSENT from the snapshot get tombstones — they were
+    deleted in history a compacted spool (``compact_feed``) no longer
+    carries, so insert-only application would resurrect them. The
+    tombstone derivation is a keys-only distributed outer join (repo,
+    path — two narrow columns of each side; payload never rides the
+    shuffle); the union then flows through the normal epoch engine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.joins import hash_join
+
+    sch = pq.read_schema(files[0])
+    payload = [n[:-4] for n in sch.names if n.endswith("_new")]
+    ptypes = {n[:-4]: sch.field(n).type for n in sch.names if n.endswith("_new")}
+
+    ev = rd.read_parquet(files).map_batches(
+        _feed_to_events, batch_format="pyarrow"
+    )
+    feed_keys = rd.read_parquet(files, columns=["repo", "path"]).map_batches(
+        lambda t: t.append_column(
+            "__in_feed", pa.array(np.ones(t.num_rows, np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    replica_keys = lake_dataset(
+        replica_cfg.lake_root, columns=["repo", "path"]
+    )
+    joined = hash_join(
+        replica_keys, feed_keys, on=["repo", "path"], how="outer",
+        num_buckets=replica_cfg.num_buckets,
+    )
+
+    def as_deletes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["__in_feed"]))
+        out: dict[str, object] = {
+            "repo": t["repo"],
+            "path": t["path"],
+            "op": pa.array(["D"] * t.num_rows),
+            "seq": pa.array([0] * t.num_rows, pa.int64()),
+            "content_sha256": pa.nulls(t.num_rows, pa.string()),
+        }
+        for c in payload:
+            if c not in out:
+                out[c] = pa.nulls(t.num_rows, ptypes[c])
+        return pa.table(out)
+
+    ds = ev.union(joined.map_batches(as_deletes, batch_format="pyarrow"))
+    return run_epoch(ds, epoch, replica_cfg, log=log, writers=writers)
 
 
 def replicate_feed(
@@ -2238,6 +2370,12 @@ def replicate_feed(
         if not files:  # an all-quiet delta window: seal the empty epoch
             _commit_manifest_rows(log, epoch, [], None, seal=True)
             m = {"epoch": epoch, "skipped": False, "parts_committed": 0}
+        elif "snapshot" in name and log.latest_sealed_epoch() is not None:
+            # a snapshot landing on a NON-EMPTY replica is a compacted
+            # spool's re-baseline (compact_feed): REPLACE semantics —
+            # insert-only application would resurrect keys whose
+            # deletes the compaction folded away
+            m = _apply_snapshot_replace(files, epoch, replica_cfg, log, writers)
         elif replica_cfg.merge_strategy == "direct":
             # fused read -> feed-to-events -> normalize -> direct
             # partial-delta write: no shuffle, no object-store hop —

@@ -74,6 +74,12 @@ def main(argv: list[str] | None = None) -> dict:
                         "(state-sha-preserving rebucket; source lake untouched)")
     p.add_argument("--auto-salt-threshold", type=float, default=2.0,
                    help="max/mean chain-rows ratio that triggers --auto-salt")
+    p.add_argument("--compact-feed", metavar="OUT_DIR", default=None,
+                   help="log-compact an export spool: replace every sealed "
+                        "segment with one fresh snapshot at the lake's head "
+                        "(new consumers bootstrap from one segment; "
+                        "mid-history replicas converge via replace "
+                        "semantics)")
     p.add_argument("--export-feed", metavar="OUT_DIR", default=None,
                    help="after replay, spool the outbound CDC feed to OUT_DIR "
                         "(snapshot bootstrap, then sealed incremental parquet "
@@ -146,6 +152,14 @@ def main(argv: list[str] | None = None) -> dict:
 
         t = lake_schema_history(args.lake)
         out = {"columns": t.to_pylist()}
+        print(json.dumps(out, sort_keys=True))
+        return out
+
+    if args.compact_feed and not (args.fixture or args.binlog_dir):
+        # maintenance-only invocation: compact the spool, no replay
+        from .pipelines.replay import compact_feed
+
+        out = compact_feed(args.lake, args.compact_feed)
         print(json.dumps(out, sort_keys=True))
         return out
 
@@ -274,6 +288,11 @@ def main(argv: list[str] | None = None) -> dict:
 
         fm = export_changelog(args.lake, args.export_feed)
         feed_seg = fm.get("segment") if not fm["skipped"] else "skipped"
+    if args.compact_feed:
+        from .pipelines.replay import compact_feed
+
+        cf = compact_feed(args.lake, args.compact_feed)
+        feed_seg = cf.get("segment", feed_seg) if not cf["skipped"] else feed_seg
 
     if snapshot_path is None:
         summary = {"epochs": len(metrics), "lake_root": args.lake, "reconciled": False}

@@ -492,3 +492,187 @@ def test_erasure_propagates_across_replication_chain(
     export_changelog(src.lake_root, out, image_cols="all")
     replicate_feed(out, rep)
     _assert_replica_equal(src.lake_root, rep.lake_root)
+
+
+def _mk_binlog(dirpath: str, epochs) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirpath, exist_ok=True)
+    seq = 1
+    for i, rows in enumerate(epochs):
+        t = pa.table({
+            "seq": pa.array(range(seq, seq + len(rows)), type=pa.int64()),
+            "op": pa.array([r[0] for r in rows]),
+            "repo": pa.array([r[1] for r in rows]),
+            "path": pa.array([r[2] for r in rows]),
+            "content": pa.array([r[3] for r in rows], pa.string()),
+        })
+        pq.write_table(t, os.path.join(dirpath, f"epoch={i:05d}.parquet"))
+        seq += len(rows)
+
+
+def test_compact_feed_rebaselines_spool(tmp_path, ray_session):
+    """Kafka-style spool compaction: after compact_feed the spool is
+    ONE snapshot; a fresh consumer bootstraps from it alone; later
+    exports diff from the compacted head."""
+    from etl_reconciliate_ray.pipelines.replay import (
+        _feed_segments,
+        compact_feed,
+    )
+
+    binlog = str(tmp_path / "k_binlog")
+    _mk_binlog(binlog, [
+        [("I", "r", "a", "va"), ("I", "r", "b", "vb"), ("I", "r", "c", "vc")],
+    ])
+    src = ReplayConfig(lake_root=str(tmp_path / "k_src"), num_buckets=4)
+    replay_stream(binlog, src)
+    out = str(tmp_path / "k_out")
+    export_changelog(src.lake_root, out, image_cols="all")
+    _mk_binlog(binlog, [
+        [("I", "r", "a", "va"), ("I", "r", "b", "vb"), ("I", "r", "c", "vc")],
+        [("D", "r", "b", None), ("U", "r", "a", "va2")],
+        [("I", "r", "d", "vd")],
+    ])
+    replay_stream(binlog, src)
+    export_changelog(src.lake_root, out, image_cols="all")
+    assert len(_feed_segments(out)) == 2
+
+    res = compact_feed(src.lake_root, out, image_cols="all")
+    assert not res["skipped"] and res["deleted"] == 2
+    segs = _feed_segments(out)
+    assert len(segs) == 1 and "snapshot" in os.path.basename(segs[0])
+
+    # fresh consumer: one-segment bootstrap reproduces the source
+    rep = ReplayConfig(lake_root=str(tmp_path / "k_rep"), num_buckets=2)
+    replicate_feed(out, rep)
+    assert lake_state_hash(src.lake_root) == lake_state_hash(rep.lake_root)
+
+    # compaction is idempotent; post-compaction exports diff from head
+    assert compact_feed(src.lake_root, out, image_cols="all")["skipped"]
+    _mk_binlog(binlog, [
+        [("I", "r", "a", "va"), ("I", "r", "b", "vb"), ("I", "r", "c", "vc")],
+        [("D", "r", "b", None), ("U", "r", "a", "va2")],
+        [("I", "r", "d", "vd")],
+        [("U", "r", "d", "vd2")],
+    ])
+    replay_stream(binlog, src)
+    m = export_changelog(src.lake_root, out, image_cols="all")
+    assert not m["snapshot"] and m["from_epoch"] == res["head"]
+    replicate_feed(out, rep)
+    _assert_keys_equal(src.lake_root, rep.lake_root)
+
+
+def _assert_keys_equal(a_root: str, b_root: str) -> None:
+    assert lake_state_hash(a_root) == lake_state_hash(b_root)
+
+
+def test_compact_feed_partial_consumer_replace_semantics(tmp_path, ray_session):
+    """The consumer that matters: a replica stuck mid-history (applied
+    only the original bootstrap) sees the compacted snapshot as an
+    unknown segment. Insert-only application would RESURRECT key b
+    (deleted in history the compaction folded away); replace semantics
+    tombstone it."""
+    import pyarrow.compute as pc
+
+    from etl_reconciliate_ray.pipelines.replay import compact_feed, lake_table
+
+    binlog = str(tmp_path / "p_binlog")
+    _mk_binlog(binlog, [
+        [("I", "r", "a", "va"), ("I", "r", "b", "vb")],
+    ])
+    src = ReplayConfig(lake_root=str(tmp_path / "p_src"), num_buckets=4)
+    replay_stream(binlog, src)
+    out = str(tmp_path / "p_out")
+    export_changelog(src.lake_root, out, image_cols="all")
+
+    rep = ReplayConfig(lake_root=str(tmp_path / "p_rep"), num_buckets=2)
+    replicate_feed(out, rep)  # replica now holds a AND b
+
+    _mk_binlog(binlog, [
+        [("I", "r", "a", "va"), ("I", "r", "b", "vb")],
+        [("D", "r", "b", None), ("I", "r", "c", "vc")],
+    ])
+    replay_stream(binlog, src)
+    export_changelog(src.lake_root, out, image_cols="all")
+    compact_feed(src.lake_root, out, image_cols="all")  # deletes the delta
+
+    replicate_feed(out, rep)
+    t = lake_table(rep.lake_root)
+    assert t.filter(pc.equal(t["path"], "b")).num_rows == 0, "b resurrected"
+    _assert_keys_equal(src.lake_root, rep.lake_root)
+    # steady state afterwards
+    assert replicate_feed(out, rep)["applied"] == []
+
+
+def test_compact_feed_crash_window_fold_stays_correct(tmp_path, ray_session):
+    """Crash between cursor advance and segment deletion: old snapshot,
+    deltas, and the new snapshot coexist. A from-scratch fold in name
+    order must still reproduce the source (snapshot names sort before
+    delta names; every delta re-applies at a LATER replica epoch, so
+    per-key LWW resolves to the true head). The next compact_feed
+    completes the deletion."""
+    from etl_reconciliate_ray.pipelines.replay import (
+        _feed_segments,
+        compact_feed,
+    )
+
+    binlog = str(tmp_path / "c_binlog")
+    _mk_binlog(binlog, [
+        [("I", "r", "a", "va"), ("I", "r", "b", "vb")],
+    ])
+    src = ReplayConfig(lake_root=str(tmp_path / "cw_src"), num_buckets=4)
+    replay_stream(binlog, src)
+    out = str(tmp_path / "cw_out")
+    export_changelog(src.lake_root, out, image_cols="all")
+    _mk_binlog(binlog, [
+        [("I", "r", "a", "va"), ("I", "r", "b", "vb")],
+        [("D", "r", "b", None), ("U", "r", "a", "va2"), ("I", "r", "c", "vc")],
+        [("D", "r", "c", None), ("I", "r", "c", "vc2"), ("I", "r", "d", "vd")],
+    ])
+    replay_stream(binlog, src)
+    export_changelog(src.lake_root, out, image_cols="all")
+
+    res = compact_feed(src.lake_root, out, image_cols="all", stop_before_delete=True)
+    assert not res["skipped"] and len(_feed_segments(out)) == 3
+
+    rep = ReplayConfig(lake_root=str(tmp_path / "cw_rep"), num_buckets=2)
+    replicate_feed(out, rep)  # folds old snap + new snap + delta
+    _assert_keys_equal(src.lake_root, rep.lake_root)
+
+    res2 = compact_feed(src.lake_root, out, image_cols="all")
+    assert res2["deleted"] == 2 and len(_feed_segments(out)) == 1
+    # the caught-up replica sees nothing new (its sealed epochs cover
+    # the surviving snapshot via feed_map)
+    assert replicate_feed(out, rep)["applied"] == []
+
+
+def test_cli_compact_feed_maintenance_mode(tmp_path, ray_session, capsys):
+    """`--compact-feed OUT` without replay inputs is a maintenance-only
+    invocation: the spool collapses to one snapshot segment."""
+    import json
+
+    from etl_reconciliate_ray.pipelines.replay import _feed_segments
+    from etl_reconciliate_ray.run import main
+
+    binlog = str(tmp_path / "cli_binlog")
+    _mk_binlog(binlog, [
+        [("I", "r", "a", "va")],
+    ])
+    src = ReplayConfig(lake_root=str(tmp_path / "cli_src"), num_buckets=4)
+    replay_stream(binlog, src)
+    out = str(tmp_path / "cli_out")
+    export_changelog(src.lake_root, out, image_cols="all")
+    _mk_binlog(binlog, [
+        [("I", "r", "a", "va")],
+        [("U", "r", "a", "va2"), ("I", "r", "b", "vb")],
+    ])
+    replay_stream(binlog, src)
+    export_changelog(src.lake_root, out, image_cols="all")
+    assert len(_feed_segments(out)) == 2
+
+    res = main(["--lake", src.lake_root, "--compact-feed", out])
+    assert not res["skipped"] and res["deleted"] == 2
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["deleted"] == 2
+    assert len(_feed_segments(out)) == 1
