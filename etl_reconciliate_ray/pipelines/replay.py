@@ -930,7 +930,15 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
     One Ray task per bucket via a Dataset over part descriptors — each
     task reads ONLY its own chain (no shuffle). NOTE: the maintenance
     epoch takes the next epoch number, so call this at a stream
-    checkpoint/end, not between fixture epochs with fixed numbering."""
+    checkpoint/end, not between fixture epochs with fixed numbering.
+
+    Refuses while a feed apply is IN FLIGHT on this lake: a replica's
+    ``feed_map.json`` reserves a segment's epoch durably BEFORE the
+    epoch seals, and compaction stealing that number would make the
+    restarted ``replicate_feed`` see its reserved epoch sealed and skip
+    the segment — silent data loss. (Compaction's own crashed epoch is
+    not a reservation; its rerun resumes under the (epoch, part)
+    fence as before.)"""
     import ray
     import ray.data as rd
 
@@ -940,6 +948,22 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
     todo = {p: c for p, c in chains.items() if len(c) > 1 or any(l["kind"] != "full" for l in c)}
     if not todo:
         return {"epoch": None, "compacted": 0, "sec": 0.0, "skipped": True}
+    fm_path = os.path.join(cfg.lake_root, "feed_map.json")
+    if os.path.exists(fm_path):
+        try:
+            with open(fm_path) as fh:
+                reserved = [int(v) for v in json.load(fh).values()]
+        except (ValueError, TypeError):
+            reserved = []  # unreadable/legacy map: replicate_feed migrates it
+        pending = sorted(e for e in reserved if not log.is_sealed(e))
+        if pending:
+            raise ValueError(
+                f"compact: feed epoch(s) {pending} are reserved but "
+                "unsealed (an in-flight replicate_feed apply) — drain "
+                "the feed first; a maintenance epoch stealing the "
+                "reserved number would make the restarted apply skip "
+                "its segment"
+            )
     epoch = (log.latest_sealed_epoch() or 0) + 1
 
     from ..stages.merge import read_chain
@@ -2090,7 +2114,7 @@ def _snapshot_feed(log: CommitLog, root: str, head: int, image_cols):
         out: dict[str, object] = {
             "repo": t["repo"],
             "path": t["path"],
-            "change": pa.array(["I"] * t.num_rows),
+            "change": pa.repeat(pa.scalar("I"), t.num_rows),
             "content_sha256": t["content_sha256"],
         }
         for c in images:
@@ -2214,7 +2238,7 @@ def _feed_to_events(t: pa.Table) -> pa.Table:
         "op": pc.if_else(
             pc.equal(t["change"], "D"), pa.scalar("D"), pa.scalar("U")
         ),
-        "seq": pa.array([0] * t.num_rows, pa.int64()),
+        "seq": pa.repeat(pa.scalar(0, pa.int64()), t.num_rows),
         "content_sha256": t["content_sha256"],
     }
     for c in t.column_names:
@@ -2270,8 +2294,8 @@ def _apply_snapshot_replace(
         out: dict[str, object] = {
             "repo": t["repo"],
             "path": t["path"],
-            "op": pa.array(["D"] * t.num_rows),
-            "seq": pa.array([0] * t.num_rows, pa.int64()),
+            "op": pa.repeat(pa.scalar("D"), t.num_rows),
+            "seq": pa.repeat(pa.scalar(0, pa.int64()), t.num_rows),
             "content_sha256": pa.nulls(t.num_rows, pa.string()),
         }
         for c in payload:
@@ -2343,12 +2367,24 @@ def replicate_feed(
     feed_map: dict[str, int] = {}
     if os.path.exists(map_path):
         with open(map_path) as fh:
-            feed_map = json.load(fh)
+            raw = json.load(fh)
+        if any(isinstance(v, dict) for v in raw.values()):
+            # legacy (pre-authoritative) format: epoch-str -> {segment}
+            feed_map = {
+                v["segment"]: int(k) for k, v in raw.items()
+                if isinstance(v, dict)
+            }
+        else:
+            feed_map = {k: int(v) for k, v in raw.items()}
 
     def _publish_map() -> None:
+        # durable intent, matching the commit log's discipline: the
+        # reservation must survive the same crash the seal survives
         tmp = map_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(feed_map, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, map_path)
 
     for seg in segs:

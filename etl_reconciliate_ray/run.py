@@ -156,9 +156,20 @@ def main(argv: list[str] | None = None) -> dict:
         return out
 
     if args.compact_feed and not (args.fixture or args.binlog_dir):
-        # maintenance-only invocation: compact the spool, no replay
+        # maintenance-only invocation: compact the spool, no replay.
+        # Refuse flag soups instead of silently dropping them (--erase
+        # would otherwise be swallowed — a compliance-relevant no-op);
+        # --export-feed composes: export the pending diff, THEN compact.
+        if args.erase is not None:
+            p.error("--compact-feed with --erase: run --erase first "
+                    "(it scrubs spool segments the compaction would "
+                    "fold), then --compact-feed")
         from .pipelines.replay import compact_feed
 
+        if args.export_feed:
+            from .pipelines.replay import export_changelog
+
+            export_changelog(args.lake, args.export_feed)
         out = compact_feed(args.lake, args.compact_feed)
         print(json.dumps(out, sort_keys=True))
         return out

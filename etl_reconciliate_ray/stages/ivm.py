@@ -104,7 +104,7 @@ def changelog_delta_rows(
         cols: dict[str, object] = {
             k: key_col(batch, k, side) for k in keys
         }
-        cols[count_name] = pa.array([sign] * n, pa.int64())
+        cols[count_name] = pa.repeat(pa.scalar(sign, pa.int64()), n)
         for out, (src, transform) in sums.items():
             fn = _resolve(transform)
             term = pc.fill_null(signed_term(batch[f"{src}_{side}"], fn), 0)

@@ -676,3 +676,88 @@ def test_cli_compact_feed_maintenance_mode(tmp_path, ray_session, capsys):
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["deleted"] == 2
     assert len(_feed_segments(out)) == 1
+
+
+def test_compact_refuses_while_feed_apply_in_flight(
+    fixture_small, tmp_path, ray_session
+):
+    """A feed_map reservation whose epoch is unsealed is an IN-FLIGHT
+    apply; replica maintenance must refuse rather than steal the epoch
+    number (the stolen seal would make the restarted apply skip its
+    segment — silent data loss)."""
+    import json
+
+    import pytest
+
+    from etl_reconciliate_ray.pipelines.replay import _feed_segments, compact
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    tail = str(tmp_path / "g_tail")
+    os.makedirs(tail)
+    shutil.copy(files[0], tail)
+    src = ReplayConfig(lake_root=str(tmp_path / "g_src"), num_buckets=8)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    out = str(tmp_path / "g_out")
+    export_changelog(src.lake_root, out, image_cols="all")
+
+    rep = ReplayConfig(lake_root=str(tmp_path / "g_rep"), num_buckets=4)
+    replicate_feed(out, rep)  # epoch 0 sealed
+
+    # next segment's reservation published, epoch never sealed (crash)
+    for f in files[1:]:
+        shutil.copy(f, tail)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    m2 = export_changelog(src.lake_root, out, image_cols="all")
+    with open(os.path.join(rep.lake_root, "feed_map.json")) as fh:
+        fmap = json.load(fh)
+    fmap[os.path.basename(m2["segment"])] = 1
+    with open(os.path.join(rep.lake_root, "feed_map.json"), "w") as fh:
+        json.dump(fmap, fh)
+
+    with pytest.raises(ValueError, match="reserved but"):
+        compact(rep)
+
+    # draining the feed completes the reserved epoch; compact then runs
+    r = replicate_feed(out, rep)
+    assert [m["epoch"] for m in r["applied"]] == [1]
+    _assert_replica_equal(src.lake_root, rep.lake_root)
+    assert compact(rep)["epoch"] == 2
+
+
+def test_legacy_feed_map_format_migrates(fixture_small, tmp_path, ray_session):
+    """A replica created by the pre-authoritative code carries
+    feed_map.json as {epoch_str: {"segment": name}}; the first drain
+    after upgrading must read it (not crash), skip the already-applied
+    segments, and keep applying new ones."""
+    import json
+
+    fixture_dir, cfg_gen, manifest = fixture_small
+    files = sorted(glob.glob(f"{fixture_dir}/binlog/*.parquet"))
+    tail = str(tmp_path / "l_tail")
+    os.makedirs(tail)
+    shutil.copy(files[0], tail)
+    src = ReplayConfig(lake_root=str(tmp_path / "l_src"), num_buckets=8)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    out = str(tmp_path / "l_out")
+    m1 = export_changelog(src.lake_root, out, image_cols="all")
+    rep = ReplayConfig(lake_root=str(tmp_path / "l_rep"), num_buckets=4)
+    replicate_feed(out, rep)
+
+    # rewrite the map in the legacy shape
+    map_path = os.path.join(rep.lake_root, "feed_map.json")
+    with open(map_path, "w") as fh:
+        json.dump({"0": {"segment": os.path.basename(m1["segment"])}}, fh)
+
+    assert replicate_feed(out, rep)["applied"] == []  # no re-apply
+
+    for f in files[1:]:
+        shutil.copy(f, tail)
+    replay_stream(tail, src, lake_seed=f"{fixture_dir}/lake_seed.parquet")
+    export_changelog(src.lake_root, out, image_cols="all")
+    r = replicate_feed(out, rep)
+    assert [m["epoch"] for m in r["applied"]] == [1]
+    _assert_replica_equal(src.lake_root, rep.lake_root)
+    with open(map_path) as fh:  # republished in the new shape
+        fmap = json.load(fh)
+    assert all(isinstance(v, int) for v in fmap.values()) and len(fmap) == 2
