@@ -313,8 +313,28 @@ def cooccurrence_edges(ds, group_cols, node_col: str):
     Returns Dataset(doc_a, doc_b), doc_a < doc_b, distinct. Caller
     contract: ``node_col`` must be non-null — enforced loudly here,
     because numpy's float->int64 astype of a NaN silently fabricates an
-    INT64_MIN phantom node that would join every clique of its group."""
+    INT64_MIN phantom node that would join every clique of its group.
+
+    Physical shape: groups are hash-bucketed (``num_buckets`` kernels,
+    whole groups per bucket) rather than one ``map_groups`` call per
+    group — co-occurrence groups are tiny and numerous (hours x types),
+    so per-group task overhead would dominate the numpy clique kernels
+    at any scale."""
     from ray.data.aggregate import Count
+
+    from ..functions.hashing import hash64
+
+    group_cols = list(group_cols)
+    num_buckets = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = t[group_cols[0]]
+        if len(group_cols) > 1:
+            key = pc.binary_join_element_wise(
+                *[pc.cast(t[c], pa.string()) for c in group_cols], "\x1f"
+            )
+        b = (hash64(key) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
 
     def cliques(df: pd.DataFrame) -> pd.DataFrame:
         vals = df[node_col]
@@ -323,13 +343,31 @@ def cooccurrence_edges(ds, group_cols, node_col: str):
                 f"cooccurrence_edges: null {node_col!r} in group "
                 "(pre-filter nulls — they cannot co-occur)"
             )
-        u = np.unique(vals.values.astype("int64"))
-        i, j = np.triu_indices(len(u), k=1)
-        return pd.DataFrame({"doc_a": u[i], "doc_b": u[j]})
+        out_a, out_b = [], []
+        for _, g in df.groupby(group_cols, sort=False):
+            u = np.unique(g[node_col].values.astype("int64"))
+            if len(u) < 2:
+                continue
+            i, j = np.triu_indices(len(u), k=1)
+            out_a.append(u[i])
+            out_b.append(u[j])
+        if not out_a:
+            return pd.DataFrame({
+                "doc_a": np.array([], np.int64),
+                "doc_b": np.array([], np.int64),
+            })
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+        })
 
     return (
-        ds.groupby(list(group_cols))
-        .map_groups(cliques, batch_format="pandas")
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda df: cliques(df.drop(columns=["__b"])),
+            batch_format="pandas",
+        )
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="__n"))
         .drop_columns(["__n"])
