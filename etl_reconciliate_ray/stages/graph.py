@@ -356,10 +356,16 @@ def cooccurrence_edges(ds, group_cols, node_col: str):
                 "doc_a": np.array([], np.int64),
                 "doc_b": np.array([], np.int64),
             })
-        return pd.DataFrame({
-            "doc_a": np.concatenate(out_a),
-            "doc_b": np.concatenate(out_b),
-        })
+        # bucket-local dedup BEFORE the global distinct exchange: a pair
+        # co-occurring in many groups of this bucket would otherwise
+        # ride the shuffle once per group — the pair volume entering the
+        # groupby drops from sum(k^2) over groups to <= num_buckets
+        # copies of the distinct edge set
+        pairs = np.unique(
+            np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1),
+            axis=0,
+        )
+        return pd.DataFrame({"doc_a": pairs[:, 0], "doc_b": pairs[:, 1]})
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
@@ -374,7 +380,64 @@ def cooccurrence_edges(ds, group_cols, node_col: str):
     )
 
 
-def triangle_counts(nodes_ds, edges_ds, num_buckets: int = 32):
+def _triangles_broadcast(nodes_ds, edges_ds):
+    """Budgeted fast path for triangle counting: broadcast the oriented
+    edge list ONCE via ``ray.put`` (it is O(co-activity pairs) — tiny
+    next to the corpus, same budget argument as the CC union-find fast
+    path in ``stages/dedup.py``), then ONE distributed map over the
+    edges extends each (a,b) to wedges a-b-c against the broadcast
+    sorted adjacency and probes the closing (a,c) in the same packed
+    array — replacing the two hash-join shuffles with searchsorted
+    kernels. Wedge expansion stays distributed and batch-bounded (the
+    driver never holds wedges, only edges). Returns None when node ids
+    don't fit the 32-bit pack (caller falls back to the join path)."""
+    import ray
+
+    et = edges_ds.to_pandas()
+    ea = et["doc_a"].to_numpy().astype(np.int64)
+    eb = et["doc_b"].to_numpy().astype(np.int64)
+    if len(ea) and (ea.min() < 0 or max(ea.max(), eb.max()) >= 2**31):
+        return None  # ids overflow the (a<<32)|b pack — join path
+    order = np.lexsort((eb, ea))
+    ea, eb = ea[order], eb[order]
+    # monotone in (a, b) lex order for 0 <= b < 2^32, so ONE sorted
+    # array serves both the adjacency ranges and the closure probe
+    packed = (ea.astype(np.uint64) << np.uint64(32)) | eb.astype(np.uint64)
+    ref = ray.put((ea, eb, packed))
+
+    def count_part(t: pa.Table) -> pa.Table:
+        ea_s, eb_s, packed_s = ray.get(ref)
+        a = _i64(t["doc_a"]).to_numpy(zero_copy_only=False)
+        b = _i64(t["doc_b"]).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(ea_s, b, "left")
+        hi = np.searchsorted(ea_s, b, "right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if not tot:
+            return pa.table({
+                "node": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        # flat indices of each edge's adjacency-of-b slice
+        starts = np.repeat(lo, cnt)
+        offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        c = eb_s[starts + offs]  # wedge tips: c > b by orientation
+        wa = np.repeat(a, cnt)
+        wb = np.repeat(b, cnt)
+        q = (wa.astype(np.uint64) << np.uint64(32)) | c.astype(np.uint64)
+        pos = np.minimum(np.searchsorted(packed_s, q), len(packed_s) - 1)
+        closed = packed_s[pos] == q
+        ids = np.concatenate([wa[closed], wb[closed], c[closed]])
+        u, n = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(u), "n": pa.array(n.astype("int64"))})
+
+    return edges_ds.map_batches(
+        count_part, batch_format="pyarrow", batch_size=8192
+    )
+
+
+def triangle_counts(nodes_ds, edges_ds, num_buckets: int = 32,
+                    driver_edge_budget: int = 5_000_000):
     """Per-node triangle participation counts via the node-iterator
     algorithm as two partitioned hash joins (Suri & Vassilvitskii 2011,
     "Counting triangles and the curse of the last reducer"): wedges
@@ -384,9 +447,19 @@ def triangle_counts(nodes_ds, edges_ds, num_buckets: int = 32):
     by sum(deg_lo * deg_hi) — the standard skew-resistant split. Only
     (node, partial-count) rows leave the counting stage.
 
+    Fast path: when the edge set fits ``driver_edge_budget`` (and node
+    ids fit a 32-bit pack), the edges broadcast once and the wedge
+    extension + closure probe run as ONE distributed map with
+    searchsorted kernels (``_triangles_broadcast``) — two hash-join
+    shuffles replaced by one map, the same budgeted small-side trade as
+    the CC union-find fast path. Over budget the partitioned join path
+    runs (logged); ``driver_edge_budget=0`` forces it.
+
     ``edges_ds``: Dataset(doc_a, doc_b), doc_a < doc_b, DISTINCT (feed
     ``cooccurrence_edges`` output). Returns Dataset(node, n_triangles)
     covering every node in ``nodes_ds`` (zero-filled)."""
+    import logging
+
     from ray.data.aggregate import Sum
 
     from .joins import hash_join
@@ -397,6 +470,31 @@ def triangle_counts(nodes_ds, edges_ds, num_buckets: int = 32):
     # tiny next to the corpus — so one materialization is the right
     # trade (same call the CC primitive makes on its symmetrized edges)
     edges_ds = edges_ds.materialize()
+
+    def _finish(partials):
+        zeros = nodes_ds.map_batches(
+            lambda t: pa.table({
+                "node": _i64(t["node"]),
+                "n": pa.array(np.zeros(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+        return (
+            partials.union(zeros)
+            .groupby("node")
+            .aggregate(Sum(on="n", alias_name="n_triangles"))
+        )
+
+    n_edges = edges_ds.count()
+    if 0 < n_edges <= driver_edge_budget:
+        fast = _triangles_broadcast(nodes_ds, edges_ds)
+        if fast is not None:
+            return _finish(fast)
+    if n_edges > driver_edge_budget:
+        logging.getLogger(__name__).info(
+            "triangle_counts: %d edges > budget %d — partitioned join path",
+            n_edges, driver_edge_budget,
+        )
 
     lo = edges_ds.map_batches(
         lambda t: pa.table({"w_a": _i64(t["doc_a"]), "k": _i64(t["doc_b"])}),
@@ -422,16 +520,4 @@ def triangle_counts(nodes_ds, edges_ds, num_buckets: int = 32):
         u, c = np.unique(ids, return_counts=True)
         return pa.table({"node": pa.array(u), "n": pa.array(c.astype("int64"))})
 
-    zeros = nodes_ds.map_batches(
-        lambda t: pa.table({
-            "node": _i64(t["node"]),
-            "n": pa.array(np.zeros(t.num_rows, np.int64)),
-        }),
-        batch_format="pyarrow",
-    )
-    return (
-        tris.map_batches(part_counts, batch_format="pyarrow")
-        .union(zeros)
-        .groupby("node")
-        .aggregate(Sum(on="n", alias_name="n_triangles"))
-    )
+    return _finish(tris.map_batches(part_counts, batch_format="pyarrow"))

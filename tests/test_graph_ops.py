@@ -65,21 +65,53 @@ def test_cooccurrence_edges_distinct_cliques(ray_session):
 
 def test_triangle_counts_planted(ray_session):
     """K4 on {0,1,2,3} (4 triangles, 3 per corner) + a pendant edge to
-    4 (no triangle) + isolated node 5 (zero-filled)."""
+    4 (no triangle) + isolated node 5 (zero-filled) — on BOTH the
+    budgeted broadcast fast path and the forced partitioned-join
+    path."""
     from etl_reconciliate_ray.stages.graph import triangle_counts
 
     k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
     edges = pd.DataFrame(k4 + [(3, 4)], columns=["doc_a", "doc_b"])
     nodes = pd.DataFrame({"node": np.arange(6, dtype=np.int64)})
-    got = (
-        triangle_counts(_ds(nodes), _ds(edges), num_buckets=4)
-        .to_pandas().sort_values("node").reset_index(drop=True)
-    )
     want = pd.DataFrame({
         "node": np.arange(6, dtype=np.int64),
         "n_triangles": np.array([3, 3, 3, 3, 0, 0], dtype=np.int64),
     })
-    pd.testing.assert_frame_equal(got.astype("int64"), want)
+    for budget in (5_000_000, 0):  # fast path / forced join path
+        got = (
+            triangle_counts(_ds(nodes), _ds(edges), num_buckets=4,
+                            driver_edge_budget=budget)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_triangle_counts_fast_path_matches_join_path(ray_session):
+    """The broadcast fast path and the partitioned-join path agree on a
+    seeded random graph (the join path is what runs at over-budget edge
+    volumes)."""
+    from etl_reconciliate_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(11)
+    n = 60
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, n, (400, 2))
+             if a != b}
+    edges = pd.DataFrame(
+        sorted((min(a, b), max(a, b)) for a, b in pairs),
+        columns=["doc_a", "doc_b"],
+    ).drop_duplicates()
+    nodes = pd.DataFrame({"node": np.arange(n, dtype=np.int64)})
+    fast = (
+        triangle_counts(_ds(nodes), _ds(edges), num_buckets=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    joined = (
+        triangle_counts(_ds(nodes), _ds(edges), num_buckets=4,
+                        driver_edge_budget=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert fast["n_triangles"].sum() > 0  # non-trivial graph
+    pd.testing.assert_frame_equal(fast.astype("int64"), joined.astype("int64"))
 
 
 def test_cc_orders_distributed_path_matches_fast_path(ray_session):
