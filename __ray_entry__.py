@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
     entries (minhash_clusters, simhash_docs, ngram_jaccard_pairs,
+    semantic_clusters,
     ann_variants, media_pipeline, fingerprint_docs, embdup_clusters,
     pack_docs, approx_quantiles_events, hll_users_by_type, ...) are intentionally
     omitted — each carries a falsifiable recall/property/invariant/

@@ -880,6 +880,19 @@ def q_ann_pq(sf_dir: str):
     return pq_topk(ds, _query_vectors(sf_dir), k=5, m=8, kcodes=32, train_sample=train)
 
 
+def q_semantic_clusters(sf_dir: str):
+    """Rows-only: seeded k-means topic assignment over the embedding
+    corpus (stages/similarity.kmeans_assign — the SemDeDup cluster-
+    then-dedup / stratified-sampling primitive). Not SQL-expressible
+    (iterative centroid training); falsifiable tests pin planted-
+    cluster recovery and seed determinism."""
+    from ..stages.similarity import kmeans_assign
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    train = read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, k=8, train_sample=train)
+
+
 # ---------------------------------------------------------------- text
 def q_token_stats(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -3859,6 +3872,7 @@ QUERIES = {
     "cc_orders": q_cc_orders,
     "triangles_users": q_triangles_users,
     "knn_cosine": q_knn_cosine,
+    "semantic_clusters": q_semantic_clusters,
     "token_stats": q_token_stats,
     "quality_docs": q_quality_docs,
     "sha256_docs": q_sha256_docs,

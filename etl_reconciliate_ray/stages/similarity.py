@@ -258,6 +258,58 @@ def ivf_dup_pairs(
     )
 
 
+def kmeans_assign(
+    emb_ds,
+    k: int = 8,
+    train_sample: pd.DataFrame | None = None,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Semantic clustering of an embedding corpus (the SemDeDup /
+    topic-bucketing primitive: cluster first, then dedup or sample
+    WITHIN clusters): seeded Lloyd's k-means on cosine direction,
+    trained once on a driver-side sample (the same coarse quantizer
+    IVF uses — ``_kmeans``), centroids broadcast once via ``ray.put``,
+    assignment MAP-ONLY (one matmul per batch, no shuffle). Returns
+    Dataset(``id_col``, cluster int64, sim_e6 int64) — sim_e6 is the
+    cosine to the assigned centroid in the engine's e6 integer
+    contract. Deterministic in (train_sample, k, iters, seed).
+
+    Scale shape: the centroid matrix is O(k x dim) regardless of corpus
+    size; per-cluster downstream work (``groupby("cluster")``) carries
+    the usual partitioning assumption — one cluster's members fit one
+    task; raise k until they do."""
+    import ray
+
+    if train_sample is None:
+        raise ValueError("kmeans_assign needs a driver-side train_sample")
+    cents = _kmeans(
+        _normalize(_emb_matrix(train_sample[emb_col])), k, iters=iters, seed=seed
+    )
+    ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = _normalize(_emb_matrix(batch[emb_col]))
+            sims = emb @ self.cents.T
+            c = sims.argmax(axis=1)
+            best = sims[np.arange(len(c)), c]
+            return pd.DataFrame({
+                id_col: batch[id_col].to_numpy().astype(np.int64),
+                "cluster": c.astype(np.int64),
+                "sim_e6": np.round(best * 1e6).astype(np.int64),
+            })
+
+    return emb_ds.map_batches(
+        Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+
 def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
     """Tiny seeded Lloyd's k-means on a driver-side sample — the coarse
     quantizer for IVF. Deterministic in (sample, k, iters, seed)."""

@@ -313,6 +313,52 @@ def test_ivf_recall_vs_exact_knn(ray_session):
     assert recall >= 0.6, recall
 
 
+def test_kmeans_assign_recovers_planted_clusters(ray_session):
+    """Three well-separated direction clusters must come back as three
+    pure assignment groups, and the same seed must reproduce the exact
+    result (kmeans_assign is the SemDeDup cluster-then-dedup
+    primitive)."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.similarity import kmeans_assign
+
+    rng = np.random.default_rng(5)
+    dim, per = 16, 40
+    basis = np.eye(dim)[:3] * 10.0  # three orthogonal directions
+    emb = np.vstack([
+        basis[c] + rng.standard_normal(dim) * 0.05
+        for c in range(3)
+        for _ in range(per)
+    ])
+    planted = np.repeat(np.arange(3), per)
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(emb), dtype=np.int64),
+        "embedding": list(emb),
+    })
+    train = df.copy()
+
+    def run():
+        return (
+            kmeans_assign(rd.from_pandas(df), k=3, train_sample=train, seed=9)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+
+    got = run()
+    assert len(got) == len(emb)
+    # each planted cluster maps to exactly one k-means label, and the
+    # three labels are distinct (purity == 1 on separated clusters)
+    lab_of = {}
+    for c in range(3):
+        labs = set(got.loc[planted == c, "cluster"])
+        assert len(labs) == 1, (c, labs)
+        lab_of[c] = labs.pop()
+    assert len(set(lab_of.values())) == 3
+    # cosine to own centroid is high on tight clusters
+    assert (got["sim_e6"] >= 990_000).all()
+    # seed determinism: bit-identical rerun
+    pd.testing.assert_frame_equal(got, run())
+
+
 def test_money_dual_equality_semantics():
     """BigDecimal semantics on decimal128: compareTo says 1.50 == 1.5000
     (scale-insensitive), equals says they differ when the declared
