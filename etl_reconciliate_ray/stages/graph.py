@@ -337,11 +337,14 @@ def cooccurrence_edges(ds, group_cols, node_col: str):
         return t.append_column("__b", pa.array(b))
 
     def cliques(df: pd.DataFrame) -> pd.DataFrame:
-        vals = df[node_col]
-        if vals.isna().any():
+        if df[group_cols + [node_col]].isna().any().any():
+            # null GROUP keys would be silently dropped by pandas
+            # groupby (dropna=True) — rows contributing no edges with
+            # no error; refuse loudly like the null-node case
             raise ValueError(
-                f"cooccurrence_edges: null {node_col!r} in group "
-                "(pre-filter nulls — they cannot co-occur)"
+                f"cooccurrence_edges: null {group_cols + [node_col]} "
+                "values in bucket (pre-filter nulls — they cannot "
+                "co-occur)"
             )
         out_a, out_b = [], []
         for _, g in df.groupby(group_cols, sort=False):
@@ -380,7 +383,7 @@ def cooccurrence_edges(ds, group_cols, node_col: str):
     )
 
 
-def _triangles_broadcast(nodes_ds, edges_ds):
+def _triangles_broadcast(edges_ds):
     """Budgeted fast path for triangle counting: broadcast the oriented
     edge list ONCE via ``ray.put`` (it is O(co-activity pairs) — tiny
     next to the corpus, same budget argument as the CC union-find fast
@@ -487,7 +490,7 @@ def triangle_counts(nodes_ds, edges_ds, num_buckets: int = 32,
 
     n_edges = edges_ds.count()
     if 0 < n_edges <= driver_edge_budget:
-        fast = _triangles_broadcast(nodes_ds, edges_ds)
+        fast = _triangles_broadcast(edges_ds)
         if fast is not None:
             return _finish(fast)
     if n_edges > driver_edge_budget:

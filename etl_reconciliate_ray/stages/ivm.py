@@ -283,8 +283,6 @@ class MaintainedView:
         rows = lake_dataset(
             lake_root, columns=self._contrib_cols(), as_of_epoch=head
         ).map_batches(contrib, batch_format="pyarrow")
-        from .agg import preagg_groupby
-
         state = preagg_groupby(
             rows, keys, sums={m: m for m in [count_name, *sums]}
         )

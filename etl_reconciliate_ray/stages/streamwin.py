@@ -40,20 +40,38 @@ from .agg import preagg_groupby
 _US = 1_000_000
 
 
+def _refuse_null_time(t: pa.Table, epoch_col: str | None, ts_col: str) -> None:
+    """Loud contract refusal on null event-time / epoch rows — a null
+    ts would otherwise surface as an obscure ArrowInvalid NaN-truncation
+    deep inside a map task (and an all-null epoch as a TypeError in the
+    watermark fold); pre-filter upstream, same contract as
+    ``stages/graph.chain_edges``."""
+    checks = [(ts_col, t[ts_col])]
+    if epoch_col is not None:
+        checks.append((epoch_col, t[epoch_col]))
+    for name, col in checks:
+        if col.null_count:
+            raise ValueError(
+                f"watermark windows: null {name!r} rows in input — "
+                "pre-filter them (they can anchor no window/watermark)"
+            )
+
+
 def epoch_watermarks(ds, epoch_col: str, ts_col: str, lateness_sec: float):
     """Per-epoch watermark table: {epoch -> watermark in effect BEFORE
     that epoch (µs), and after the final epoch under key -1}. One tiny
     distributed max-aggregate; O(epochs) driver rows."""
-    per = (
-        ds.map_batches(
-            lambda t: pa.table(
-                {
-                    epoch_col: t[epoch_col],
-                    "__ts_us": pc.cast(t[ts_col], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+    def project(t: pa.Table) -> pa.Table:
+        _refuse_null_time(t, epoch_col, ts_col)
+        return pa.table(
+            {
+                epoch_col: t[epoch_col],
+                "__ts_us": pc.cast(t[ts_col], pa.int64()),
+            }
         )
+
+    per = (
+        ds.map_batches(project, batch_format="pyarrow")
         .groupby(epoch_col)
         .max("__ts_us")
         .take_all()
@@ -105,13 +123,35 @@ def watermark_window_agg(
         dtype=np.int64,
     )
 
+    eps_arr = np.array(eps, dtype=np.int64)
+
     def assign(t: pa.Table) -> pa.Table:
+        _refuse_null_time(t, epoch_col, ts_col)
         ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
         ws = (ts_us // width_us) * width_us
         ep = t[epoch_col].to_numpy(zero_copy_only=False).astype(np.int64)
         # map each row's epoch to its watermark via searchsorted on the
         # (sorted, dense) epoch list — no per-row Python
-        pos = np.searchsorted(np.array(eps, dtype=np.int64), ep)
+        pos = np.searchsorted(eps_arr, ep)
+        # loud contract check: every data epoch must be a key of the
+        # watermark table (epochs are >= 0; -1 is the final-watermark
+        # sentinel). A caller-supplied `watermarks` missing an epoch —
+        # or a negative data epoch — would otherwise be judged against
+        # a NEIGHBOR's watermark (or IndexError), silently mislabeling
+        # lateness.
+        known = (
+            (pos < len(eps_arr))
+            & (eps_arr[np.minimum(pos, max(len(eps_arr) - 1, 0))] == ep)
+            if len(eps_arr)
+            else np.zeros(len(ep), dtype=bool)
+        )
+        if not known.all():
+            bad = np.unique(ep[~known])[:5]
+            raise ValueError(
+                f"watermark windows: epoch(s) {bad.tolist()} have no "
+                "watermark entry (negative ids, or a caller-supplied "
+                "`watermarks` dict that does not cover the data)"
+            )
         late = (ws + width_us) <= wm_arr[pos]
         cols: dict[str, object] = {k: t[k] for k in keys}
         cols["window_start"] = pa.array(ws, pa.int64())
@@ -190,6 +230,9 @@ class WatermarkWindowStream:
         self.budget = int(state_budget_rows)
         self._wm_us: int | None = None  # current watermark (µs)
         self._state: pa.Table | None = None
+        # key-column types observed from data, so zero-row emissions
+        # carry the SAME schema as non-empty ones (callers concat them)
+        self._key_types: dict[str, pa.DataType] = {}
 
     # -- one epoch -------------------------------------------------------
     def advance(self, epoch_ds) -> pa.Table:
@@ -200,6 +243,7 @@ class WatermarkWindowStream:
         keys, value_col = self.keys, self.value_col
 
         def assign(t: pa.Table) -> pa.Table:
+            _refuse_null_time(t, None, ts_col)
             ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
             ws = (ts_us // width_us) * width_us
             late = (
@@ -222,9 +266,15 @@ class WatermarkWindowStream:
         sums = {"n": "n", "n_late": "n_late"}
         if value_col is not None:
             sums["__vsum"] = "__vsum"
-        assigned = epoch_ds.map_batches(assign, batch_format="pyarrow")
+        # materialize so the distributed assign map runs ONCE: both the
+        # epoch-max aggregate and the partial groupby consume it, and a
+        # lazy Dataset would re-execute the whole epoch pipeline per
+        # consumer (desynchronizing the watermark from the aggregated
+        # rows if the upstream re-read mutable input)
+        assigned = epoch_ds.map_batches(
+            assign, batch_format="pyarrow"
+        ).materialize()
         partial = preagg_groupby(assigned, keys + ["window_start"], sums=sums)
-        # epoch max event time rides the same pass (tiny extra agg)
         epoch_max = assigned.max("__max_ts")
         inc = pa.Table.from_pylist(
             partial.take_all(),
@@ -241,8 +291,15 @@ class WatermarkWindowStream:
             gcols = keys + ["window_start"]
             aggs = [(c, "sum") for c in sums]
             red = inc.group_by(gcols, use_threads=False).aggregate(aggs)
-            red = red.rename_columns(gcols + list(sums))
-            inc = red
+            # select by NAME (pyarrow names aggregates '<col>_sum'):
+            # group_by's key/aggregate column ORDER is a pyarrow
+            # implementation detail, and a positional rename would
+            # silently mislabel every column if it changed
+            inc = pa.table(
+                {**{g: red[g] for g in gcols},
+                 **{c: red[f"{c}_sum"] for c in sums}}
+            )
+            self._key_types = {k: inc.schema.field(k).type for k in keys}
         if inc.num_rows > self.budget:
             raise ValueError(
                 f"open-window state ({inc.num_rows} rows) exceeds the "
@@ -278,7 +335,10 @@ class WatermarkWindowStream:
         cols: dict[str, object] = {}
         n = t.num_rows if t is not None else 0
         if n == 0:
-            base: dict[str, object] = {k: pa.array([], pa.string()) for k in self.keys}
+            base: dict[str, object] = {
+                k: pa.array([], self._key_types.get(k, pa.string()))
+                for k in self.keys
+            }
             base["window_start"] = pa.array([], pa.timestamp("us"))
             base["n"] = pa.array([], pa.int64())
             base["n_late"] = pa.array([], pa.int64())

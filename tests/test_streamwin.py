@@ -172,3 +172,59 @@ def test_watermark_zero_max_is_not_unset(ray_session):
     assert wm[1] == 0
     assert wm[2] == 0   # regressed to -5s under the falsy-or bug
     assert wm[-1] == 0  # final watermark: the max ever seen, monotone
+
+
+def test_stream_empty_emissions_concat_with_nonempty(ray_session):
+    """Zero-row emissions must carry the SAME schema as non-empty ones
+    (int64 keys here) — the documented contract is 'concatenated
+    emissions ∪ flush, re-aggregated'; a hardcoded string key type in
+    the empty path broke pa.concat_tables."""
+    import ray.data as rd
+
+    t = pa.table({
+        "ts": pa.array([0, int(0.5 * H)], pa.timestamp("us")),
+        "k": pa.array([7, 7], pa.int64()),
+        "v": pa.array([1.0, 2.0], pa.float64()),
+    })
+    st = WatermarkWindowStream("ts", 3600, 0, keys=["k"], value_col="v")
+    em0 = st.advance(rd.from_arrow(t))  # nothing closes: EMPTY emission
+    assert em0.num_rows == 0
+    fl = st.flush()  # non-empty, int64 key
+    assert fl.num_rows == 1
+    merged = pa.concat_tables([em0, fl])  # must not raise
+    assert merged["k"].type == pa.int64()
+
+
+def test_watermark_null_ts_refused(ray_session):
+    """Null event-time rows refuse loudly (batch + stream paths) rather
+    than surfacing as an ArrowInvalid NaN truncation in a map task."""
+    import ray.data as rd
+
+    t = pa.table({
+        "epoch": pa.array([0, 0], pa.int64()),
+        "ts": pa.array([0, None], pa.timestamp("us")),
+        "k": pa.array(["a", "a"]),
+        "v": pa.array([1.0, 2.0], pa.float64()),
+    })
+    with pytest.raises(Exception, match="null 'ts'"):
+        watermark_window_agg(
+            rd.from_arrow(t), "epoch", "ts", 3600, 0, keys=["k"], value_col="v"
+        ).take_all()
+    st = WatermarkWindowStream("ts", 3600, 0, keys=["k"], value_col="v")
+    with pytest.raises(Exception, match="null 'ts'"):
+        st.advance(rd.from_arrow(t))
+
+
+def test_watermark_unknown_epoch_refused(ray_session):
+    """A caller-supplied watermark table that does not cover a data
+    epoch (or a negative epoch id) refuses loudly instead of judging
+    the row against a neighbor's watermark."""
+    import ray.data as rd
+
+    t = _fixture()
+    partial_wm = {0: None, 1: 0, -1: 0}  # missing epoch 2
+    with pytest.raises(Exception, match="no.*watermark entry|watermark entry"):
+        watermark_window_agg(
+            rd.from_arrow(t), "epoch", "ts", 3600, 1800,
+            keys=["k"], value_col="v", watermarks=partial_wm,
+        ).take_all()
