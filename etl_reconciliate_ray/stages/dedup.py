@@ -5,8 +5,10 @@ Scale shapes (ray_guide.md "Aggregation at scale" / "Exact dedup"):
 
 - **exact**: vectorized sha256 in ``map_batches`` -> per-batch partial
   min(doc_id) per hash -> one small ``groupby(hash).min`` shuffle.
-- **MinHash LSH**: signature per doc (actor pool holds the permutation
-  tables) -> explode to (band, band_hash, doc_id) rows -> groupby the
+- **MinHash LSH**: signature per doc (task pool; the permutation
+  tables are cached per worker process — init is microseconds, so an
+  actor pool would only add spin-up latency and a concurrency cap)
+  -> explode to (band, band_hash, doc_id) rows -> groupby the
   band bucket (hot buckets capped, logged) -> candidate pairs ->
   exact Jaccard verify as a DISTRIBUTED pipeline (pairs ⋈ texts via
   two partitioned hash joins, per-batch verification) -> connected
@@ -48,7 +50,9 @@ def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 class MinHashBands:
-    """Actor stage: shingle -> MinHash signature -> LSH band rows."""
+    """Batch stage: shingle -> MinHash signature -> LSH band rows
+    (wired as a task pool via ``_band_rows``; construction is cheap
+    enough to cache per worker process instead of per actor)."""
 
     def __init__(self, num_perm: int = 128, num_bands: int = 16, shingle_k: int = 5, seed: int = 42):
         self.mh = T.MinHasher(num_perm=num_perm, seed=seed)
@@ -78,13 +82,28 @@ class MinHashBands:
         })
 
 
+# per-worker-process cache of constructed banding stages: MinHasher
+# init is microseconds (one 128-entry multiply-shift table), so an
+# actor pool would buy nothing but spin-up latency and a fixed
+# concurrency cap — a TASK pool reuses Ray's long-lived worker
+# processes (the cached table persists across batches and jobs) and
+# scales to every core. Bounded: distinct mh_kwargs per process is tiny.
+_BANDERS: dict[tuple, "MinHashBands"] = {}
+
+
 def _band_rows(ds, mh_kwargs: dict):
-    """Shared MinHash/LSH banding stage wiring (actor pool, batch size,
-    concurrency) for the self-join and incremental dedup paths."""
-    return ds.map_batches(
-        MinHashBands, fn_constructor_kwargs=mh_kwargs,
-        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
-    )
+    """Shared MinHash/LSH banding stage wiring (task pool with
+    per-process cached permutation tables) for the self-join and
+    incremental dedup paths."""
+    key = tuple(sorted(mh_kwargs.items()))
+
+    def band(batch: pa.Table) -> pa.Table:
+        st = _BANDERS.get(key)
+        if st is None:
+            st = _BANDERS.setdefault(key, MinHashBands(**dict(key)))
+        return st(batch)
+
+    return ds.map_batches(band, batch_format="pyarrow", batch_size=2048)
 
 
 def _dedupe_pairs(pairs):

@@ -312,15 +312,22 @@ def _rebuild_from_drops(docs: pa.Table, drop_parent, drop_ord, width: int,
     })
 
 
+# per-worker-process probe cache for the broadcast span-dedup path
+# (see span_dedup): keyed on the broadcast ObjectRef, capped tiny
+_SPAN_PROBES: dict[tuple, "SpanDedup"] = {}
+
+
 class SpanDedup:
     """Repeated-span removal (the paragraph-dedup step of public
     training-data pipelines — e.g. Dolma's duplicate-paragraph filter
     generalized to fixed word windows): drop every ``width``-word span
     whose exact content occurs in more than one document, keep the
     rest in order. BROADCAST probe: the dup-hash set ships ONCE per
-    actor via ``ray.put`` + ``__init__`` as a sorted fixed-width bytes
-    array (16 B/key heap vs ~120 B/key as a str set) and membership is
-    one vectorized searchsorted per batch — no per-row Python."""
+    worker process via ``ray.put`` + ``__init__`` (task pool with a
+    per-process cache — see ``span_dedup``) as a sorted fixed-width
+    bytes array (16 B/key heap vs ~120 B/key as a str set) and
+    membership is one vectorized searchsorted per batch — no per-row
+    Python."""
 
     def __init__(self, dup_ref, width: int = 20,
                  text_col: str = "text", doc_id_col: str = "doc_id"):
@@ -494,10 +501,24 @@ def span_dedup(ds, width: int = 20, text_col: str = "text",
             bloom_bits_log2,
         )
     dup_ref = ray.put(frozenset(dup.to_pandas()["h"]))
-    return ds.map_batches(
-        SpanDedup, fn_constructor_args=(dup_ref, width, text_col, doc_id_col),
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
+    # task pool, not an actor pool: the probe state is one ray.get of a
+    # plasma-shared object + one sort, cached per worker process (keyed
+    # on the broadcast ref, small LRU), so tasks pay it once per worker
+    # — same amortization as an actor pool without the spin-up latency
+    # or the fixed concurrency cap
+    key = (dup_ref.hex(), width, text_col, doc_id_col)
+
+    def probe(batch):
+        st = _SPAN_PROBES.get(key)
+        if st is None:
+            if len(_SPAN_PROBES) >= 4:  # stale refs from earlier runs
+                _SPAN_PROBES.clear()
+            st = _SPAN_PROBES.setdefault(
+                key, SpanDedup(dup_ref, width, text_col, doc_id_col)
+            )
+        return st(batch)
+
+    return ds.map_batches(probe, batch_format="pyarrow")
 
 
 def bigram_counts(ds, top_n: int = 20, text_col: str = "text", doc_id_col: str = "doc_id"):
