@@ -3806,6 +3806,96 @@ def q_triangles_users(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- CDC envelope ingest
+def _envelope_lake(sf_dir: str) -> str:
+    """Build (cached) a lake ingested through the Debezium-style JSONL
+    envelope path (``sources/cdc_envelope.py``): epoch 0 (even
+    event_ids) arrives as ``c`` creates, epoch 1 (odd) as ``u`` updates
+    that ADD ``size_bytes`` to the after image mid-stream, with
+    ``user_id%13==2`` rows arriving as keyed ``d`` tombstones. The
+    JSONL is derived deterministically from ``events`` (driver-side
+    build is bounded: correctness-surface query, not a bench path);
+    conversion and replay are the real distributed engine stages."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.replay import ReplayConfig, replay_stream
+    from ..sources.cdc_envelope import convert_envelope_dir
+
+    ev = _pq.read_table(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    ev = ev.filter(
+        pc.and_(pc.is_valid(ev["user_id"]), pc.is_valid(ev["event_type"]))
+    )
+    eid = ev["event_id"].to_numpy(zero_copy_only=False)
+    uid = ev["user_id"].to_numpy(zero_copy_only=False)
+    etype = ev["event_type"].to_pylist()
+
+    def _build(work_dir: str) -> None:
+        env = os.path.join(work_dir, "env")
+        os.makedirs(env, exist_ok=True)
+        handles = {
+            e: open(os.path.join(env, f"epoch=0000{e}.jsonl"), "w")
+            for e in (0, 1)
+        }
+        for i in range(len(eid)):
+            seq, u = int(eid[i]), int(uid[i])
+            repo, path = str(u % 7), str(seq % 211)
+            epoch = seq % 2
+            if epoch == 1 and u % 13 == 2:
+                rec = {"op": "d", "before": {"repo": repo, "path": path},
+                       "after": None, "source": {"seq": seq}}
+            else:
+                after = {"repo": repo, "path": path, "content": etype[i]}
+                if epoch == 1:
+                    after["size_bytes"] = u
+                rec = {"op": "c" if epoch == 0 else "u", "before": None,
+                       "after": after, "source": {"seq": seq}}
+            handles[epoch].write(_json.dumps(rec) + "\n")
+        for fh in handles.values():
+            fh.close()
+        binlog = os.path.join(work_dir, "binlog")
+        convert_envelope_dir(env, binlog)
+        replay_stream(
+            binlog, ReplayConfig(lake_root=os.path.join(work_dir, "lake"), num_buckets=8)
+        )
+
+    work = _claimed_cache_dir(sf_dir, "envelope", _build)
+    return os.path.join(work, "lake")
+
+
+def q_envelope_replay(sf_dir: str):
+    """End-to-end Debezium-envelope ingest (north rule "tails a
+    binlog/WAL stream" — the public CDC wire format): JSONL change
+    envelopes -> vectorized envelope_to_binlog conversion ->
+    discovery-based replay with LWW, keyed tombstones and additive
+    mid-stream schema evolution. The oracle recomputes the LWW winners
+    (deletes excluded) in SQL, so the driver hash certifies the whole
+    envelope ingest chain. Winner order is the engine's delta-chain
+    contract — (epoch, seq) arrival order (``resolve_chain_tables``,
+    stages/merge.py:154) — which the oracle expresses as
+    ``ORDER BY seq % 2 DESC, seq DESC`` (epoch == seq parity here)."""
+    from ..pipelines.replay import lake_dataset
+
+    root = _envelope_lake(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        sz = t["size_bytes"] if "size_bytes" in t.column_names else pa.nulls(
+            t.num_rows, pa.int64()
+        )
+        return pa.table({
+            "repo": t["repo"],
+            "path": t["path"],
+            "content": t["content"],
+            # -1 sentinel keeps the column int64 through pandas
+            "size_bytes": pc.fill_null(pc.cast(sz, pa.int64()), -1),
+        })
+
+    return lake_dataset(root).map_batches(project, batch_format="pyarrow")
+
+
 QUERIES = {
     # ORDER MATTERS for driver correctness coverage: the driver checks
     # the FIRST 50 keys each round. Round-4 window = the two round-1
@@ -3945,6 +4035,9 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "best_doc_per_source": q_best_doc_per_source,
     "cross_region_nation": q_cross_region_nation,
+    # late-r4 addition (past the 50-slot driver window; pytest-oracle
+    # covered now, rotate into the r5 window for driver evidence)
+    "envelope_replay": q_envelope_replay,
 }
 
 
@@ -4592,6 +4685,22 @@ ORACLE_SQL = {
     # compression_ratio_docs (recall-traded approximations / set or
     # iterative semantics; each carries a falsifiable recall/property/
     # invariant unit test instead)
+    "envelope_replay": (
+        "WITH ev AS (SELECT event_id AS seq, "
+        "CAST(user_id % 7 AS VARCHAR) AS repo, "
+        "CAST(event_id % 211 AS VARCHAR) AS path, "
+        "event_type AS content, "
+        "CASE WHEN event_id % 2 = 1 AND user_id % 13 = 2 THEN 'D' "
+        "WHEN event_id % 2 = 1 THEN 'U' ELSE 'I' END AS op, "
+        "CASE WHEN event_id % 2 = 1 AND user_id % 13 <> 2 "
+        "THEN user_id ELSE NULL END AS size_bytes "
+        "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
+        "w AS (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY repo, path ORDER BY seq % 2 DESC, seq DESC) AS rn FROM ev) "
+        "SELECT repo, path, content, "
+        "CAST(COALESCE(size_bytes, -1) AS BIGINT) AS size_bytes "
+        "FROM w WHERE rn = 1 AND op <> 'D'"
+    ),
 }
 
 

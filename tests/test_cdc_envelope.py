@@ -1,0 +1,158 @@
+"""Debezium-style envelope ingest: the JSONL envelope path must
+converge to the sha-identical lake state as the native parquet binlog,
+including schema evolution and resumable conversion."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_reconciliate_ray.datagen import DatagenConfig, write_fixture
+from etl_reconciliate_ray.pipelines.replay import (
+    ReplayConfig,
+    lake_state_hash,
+    lake_table,
+    replay,
+    replay_stream,
+)
+from etl_reconciliate_ray.sources.cdc_envelope import (
+    binlog_epoch_to_envelope_jsonl,
+    convert_envelope_dir,
+    envelope_to_binlog,
+)
+
+
+@pytest.fixture(scope="module")
+def env_fixture(ray_session, tmp_path_factory):
+    """Fixture with mid-stream schema evolution, rendered BOTH as the
+    native parquet binlog and as Debezium-style JSONL envelopes."""
+    root = tmp_path_factory.mktemp("envfix")
+    man = write_fixture(
+        DatagenConfig(
+            seed=13, lake_rows=150, num_events=1200, num_epochs=4,
+            evolve_from_epoch=2,
+        ),
+        str(root / "fix"),
+    )
+    env_dir = root / "env"
+    env_dir.mkdir()
+    for f in sorted(glob.glob(str(root / "fix" / "binlog" / "*.parquet"))):
+        stem = os.path.basename(f).replace(".parquet", "")
+        n = binlog_epoch_to_envelope_jsonl(f, str(env_dir / f"{stem}.jsonl"))
+        assert n > 0
+    return {"root": root, "man": man}
+
+
+def test_envelope_replay_matches_native(env_fixture, ray_session):
+    root, man = env_fixture["root"], env_fixture["man"]
+    # native path
+    native_cfg = ReplayConfig(lake_root=str(root / "lake_native"), num_buckets=8)
+    replay(str(root / "fix"), native_cfg)
+    # envelope path: convert JSONL -> binlog parquet, then the standard
+    # discovery-based stream replay
+    conv = convert_envelope_dir(str(root / "env"), str(root / "binlog_conv"))
+    assert len(conv) == 4 and all(os.path.exists(p) for p in conv)
+    env_cfg = ReplayConfig(lake_root=str(root / "lake_env"), num_buckets=8)
+    replay_stream(
+        str(root / "binlog_conv"), env_cfg,
+        lake_seed=str(root / "fix" / "lake_seed.parquet"),
+    )
+    assert lake_table(env_cfg.lake_root).num_rows == man["final_rows"]
+    assert lake_state_hash(env_cfg.lake_root) == lake_state_hash(native_cfg.lake_root)
+    # evolved column survived the JSON round trip
+    assert "size_bytes" in lake_table(env_cfg.lake_root).column_names
+
+
+def test_convert_is_resumable_and_atomic(env_fixture, ray_session):
+    root = env_fixture["root"]
+    out = str(root / "binlog_conv2")
+    first = convert_envelope_dir(str(root / "env"), out)
+    mtimes = {p: os.path.getmtime(p) for p in first}
+    again = convert_envelope_dir(str(root / "env"), out)
+    assert again == first
+    assert {p: os.path.getmtime(p) for p in first} == mtimes  # skipped, not rewritten
+    assert not [d for d in os.listdir(out) if d.startswith("_tmp_")]
+
+
+def test_envelope_kernel_flat_and_nested(ray_session):
+    flat = pa.table({
+        "op": pa.array(["c", "u", "d", "r"]),
+        "ts_ms": pa.array([1000, 2000, 3000, 4000], pa.int64()),
+        "before": pa.array(
+            [None, None, {"repo": "r1", "path": "p1"}, None],
+            pa.struct([("repo", pa.string()), ("path", pa.string())]),
+        ),
+        "after": pa.array(
+            [
+                {"repo": "r1", "path": "p1", "content": "a"},
+                {"repo": "r2", "path": "p2", "content": "b"},
+                None,
+                {"repo": "r3", "path": "p3", "content": "c"},
+            ],
+            pa.struct([
+                ("repo", pa.string()), ("path", pa.string()),
+                ("content", pa.string()),
+            ]),
+        ),
+        "source": pa.array(
+            [{"seq": 0}, {"seq": 1}, {"seq": 2}, {"seq": 3}],
+            pa.struct([("seq", pa.int64())]),
+        ),
+    })
+    out = envelope_to_binlog(flat)
+    assert out["op"].to_pylist() == ["I", "U", "D", "I"]
+    assert out["repo"].to_pylist() == ["r1", "r2", "r1", "r3"]
+    assert out["content"].to_pylist() == ["a", "b", None, "c"]
+    assert out["seq"].to_pylist() == [0, 1, 2, 3]
+    nested = pa.table({"payload": pa.array(
+        [{"op": "c", "seq": 7,
+          "after": {"repo": "x", "path": "y", "content": "z"}}],
+        pa.struct([
+            ("op", pa.string()), ("seq", pa.int64()),
+            ("after", pa.struct([
+                ("repo", pa.string()), ("path", pa.string()),
+                ("content", pa.string()),
+            ])),
+        ]),
+    )})
+    out2 = envelope_to_binlog(nested)
+    assert out2["repo"].to_pylist() == ["x"] and out2["seq"].to_pylist() == [7]
+
+
+def test_envelope_contract_refusals(ray_session):
+    base = {
+        "after": pa.array(
+            [{"repo": "r", "path": "p"}],
+            pa.struct([("repo", pa.string()), ("path", pa.string())]),
+        ),
+        "seq": pa.array([1], pa.int64()),
+    }
+    with pytest.raises(ValueError, match="unknown op"):
+        envelope_to_binlog(pa.table({"op": pa.array(["x"]), **base}))
+    with pytest.raises(ValueError, match="no sequence field"):
+        envelope_to_binlog(pa.table({
+            "op": pa.array(["c"]), "after": base["after"],
+        }))
+    with pytest.raises(ValueError, match="keyless tombstone"):
+        envelope_to_binlog(pa.table({"op": pa.array(["d"]), **base}))
+
+
+def test_all_insert_epoch_null_before(ray_session, tmp_path):
+    """A JSON-inferred all-null ``before`` (every row an insert) must
+    convert cleanly — the null-typed image has no fields to gather."""
+    f = tmp_path / "epoch=00000.jsonl"
+    with open(f, "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({
+                "op": "c", "ts_ms": i, "before": None,
+                "after": {"repo": "r", "path": f"p{i}", "content": "x"},
+                "source": {"seq": i},
+            }) + "\n")
+    outs = convert_envelope_dir(str(tmp_path), str(tmp_path / "out"))
+    t = pq.read_table(outs[0])
+    assert t.num_rows == 5 and t["op"].to_pylist() == ["I"] * 5
