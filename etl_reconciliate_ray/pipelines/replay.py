@@ -539,6 +539,7 @@ def follow_stream(
     poll_sec: float = 1.0,
     idle_polls: int = 5,
     on_batch=None,
+    poll_hook=None,
 ) -> list[dict]:
     """Continuous-tail mode (the reference's cron/trigger surface,
     ``ReconciliationController.java:41-42``): poll ``binlog_dir`` for
@@ -551,11 +552,18 @@ def follow_stream(
     ``on_batch(cfg)``: called after each fresh batch is replayed and
     sealed — the downstream-consumer hook (advance a ``MaintainedView``,
     spool ``export_changelog``); exceptions propagate (the lake state
-    is already committed, so a crashed hook resumes cleanly)."""
+    is already committed, so a crashed hook resumes cleanly).
+
+    ``poll_hook()``: called at the top of every poll, BEFORE epoch
+    discovery — the upstream-adapter hook (e.g. convert newly landed
+    CDC envelope JSONL into binlog epochs, forward an upstream ``_EOS``
+    marker); exceptions propagate."""
     out: list[dict] = []
     seen: set[str] = set()
     idle = 0
     while True:
+        if poll_hook is not None:
+            poll_hook()
         descs = _discover_epochs(binlog_dir, stop_at_unreadable=True)
         fresh = [d for d in descs if d["file"] not in seen]
         if fresh:

@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--binlog-dir", default=None,
                    help="tail a binlog directory instead of a fixture (epoch files "
                         "discovered by name + footer seq stats; no fixture.json)")
+    p.add_argument("--envelope-dir", default=None,
+                   help="tail a directory of Debezium-style JSONL change envelopes "
+                        "(sources/cdc_envelope.py): each *.jsonl epoch converts to "
+                        "a binlog epoch under <lake>/_binlog_conv, then replays "
+                        "through the standard discovery path; composes with "
+                        "--follow (envelopes convert as they land, an upstream "
+                        "_EOS marker is forwarded)")
     p.add_argument("--lake-seed", default=None, help="bootstrap parquet for --binlog-dir mode")
     p.add_argument("--snapshot", default=None, help="snapshot parquet for --binlog-dir reconcile")
     p.add_argument("--follow", action="store_true",
@@ -187,8 +194,8 @@ def main(argv: list[str] | None = None) -> dict:
                          sort_keys=True))
         return out
 
-    if (args.fixture is None) == (args.binlog_dir is None):
-        p.error("exactly one of --fixture / --binlog-dir is required")
+    if sum(x is not None for x in (args.fixture, args.binlog_dir, args.envelope_dir)) != 1:
+        p.error("exactly one of --fixture / --binlog-dir / --envelope-dir is required")
 
     if args.serve is not None:
         import time as _time
@@ -240,6 +247,36 @@ def main(argv: list[str] | None = None) -> dict:
         pipeline_epochs=args.pipeline_epochs,
         post_compact=args.compact,
     )
+    envelope_poll = None
+    if args.envelope_dir is not None:
+        # Debezium-style JSONL feed: convert (resumable, atomic) into a
+        # sidecar dir under the lake, then the standard discovery-based
+        # replay runs on the converted binlog. Underscore-prefixed like
+        # the other sidecars (_reconcile_detail, _snapshot_spool) —
+        # vacuum and lake scans only walk epoch=* dirs.
+        from .sources.cdc_envelope import convert_envelope_dir
+
+        conv = os.path.join(args.lake, "_binlog_conv")
+        if args.follow:
+            import glob as _g
+
+            def envelope_poll() -> None:
+                # read the upstream _EOS BEFORE converting: the producer
+                # writes it after its last envelope file, so seeing it
+                # first guarantees this convert pass covers everything —
+                # forwarding it after a check-then-convert race could
+                # strand an unconverted tail epoch
+                eos = os.path.exists(os.path.join(args.envelope_dir, "_EOS"))
+                if _g.glob(os.path.join(args.envelope_dir, "*.jsonl")):
+                    convert_envelope_dir(args.envelope_dir, conv)
+                if eos:
+                    os.makedirs(conv, exist_ok=True)
+                    with open(os.path.join(conv, "_EOS"), "w"):
+                        pass
+        else:
+            convert_envelope_dir(args.envelope_dir, conv)
+        args.binlog_dir = conv
+
     if args.fixture:
         metrics = replay(args.fixture, cfg)
     elif args.follow:
@@ -258,7 +295,8 @@ def main(argv: list[str] | None = None) -> dict:
                     export_changelog(c.lake_root, args.export_feed)
 
         metrics = follow_stream(
-            args.binlog_dir, cfg, lake_seed=args.lake_seed, on_batch=on_batch
+            args.binlog_dir, cfg, lake_seed=args.lake_seed, on_batch=on_batch,
+            poll_hook=envelope_poll,
         )
     else:
         metrics = replay_stream(args.binlog_dir, cfg, lake_seed=args.lake_seed)

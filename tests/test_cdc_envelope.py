@@ -142,6 +142,72 @@ def test_envelope_contract_refusals(ray_session):
         envelope_to_binlog(pa.table({"op": pa.array(["d"]), **base}))
 
 
+def test_cli_envelope_dir_mode(env_fixture, tmp_path, ray_session):
+    """CLI surface: --envelope-dir converts the JSONL feed into
+    <lake>/_binlog_conv and replays it to the same state as the native
+    fixture path."""
+    from etl_reconciliate_ray.pipelines.replay import lake_state_hash
+    from etl_reconciliate_ray.run import main
+
+    root, man = env_fixture["root"], env_fixture["man"]
+    lake_native = str(tmp_path / "lake_native")
+    main(["--fixture", str(root / "fix"), "--lake", lake_native, "--num-buckets", "8"])
+    lake_env = str(tmp_path / "lake_env")
+    summary = main([
+        "--envelope-dir", str(root / "env"), "--lake", lake_env,
+        "--num-buckets", "8",
+        "--lake-seed", str(root / "fix" / "lake_seed.parquet"),
+    ])
+    assert summary["epochs"] >= 1
+    assert lake_state_hash(lake_env) == lake_state_hash(lake_native)
+
+
+def test_cli_envelope_follow_mode(env_fixture, tmp_path, ray_session):
+    """--envelope-dir --follow: envelopes landing mid-tail convert and
+    replay as they arrive; the upstream _EOS marker is forwarded only
+    once every landed envelope is converted; final state matches the
+    one-shot path."""
+    import shutil
+    import threading
+    import time
+
+    from etl_reconciliate_ray.pipelines.replay import lake_state_hash
+    from etl_reconciliate_ray.run import main
+
+    root = env_fixture["root"]
+    src = sorted(glob.glob(str(root / "env" / "*.jsonl")))
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # first two epochs are present at start; the rest land mid-tail
+    for f in src[:2]:
+        shutil.copy(f, feed / os.path.basename(f))
+
+    def producer():
+        for f in src[2:]:
+            time.sleep(0.8)
+            shutil.copy(f, str(feed / (os.path.basename(f) + ".tmp")))
+            os.replace(str(feed / (os.path.basename(f) + ".tmp")),
+                       str(feed / os.path.basename(f)))
+        (feed / "_EOS").touch()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    lake = str(tmp_path / "lake_follow")
+    main([
+        "--envelope-dir", str(feed), "--lake", lake, "--num-buckets", "8",
+        "--lake-seed", str(root / "fix" / "lake_seed.parquet"), "--follow",
+    ])
+    t.join()
+    # one-shot reference over the full feed
+    lake_ref = str(tmp_path / "lake_ref")
+    main([
+        "--envelope-dir", str(root / "env"), "--lake", lake_ref,
+        "--num-buckets", "8",
+        "--lake-seed", str(root / "fix" / "lake_seed.parquet"),
+    ])
+    assert lake_state_hash(lake) == lake_state_hash(lake_ref)
+
+
 def test_all_insert_epoch_null_before(ray_session, tmp_path):
     """A JSON-inferred all-null ``before`` (every row an insert) must
     convert cleanly — the null-typed image has no fields to gather."""
