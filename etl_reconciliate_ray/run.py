@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> dict:
                         "through the standard discovery path; composes with "
                         "--follow (envelopes convert as they land, an upstream "
                         "_EOS marker is forwarded)")
+    p.add_argument("--envelope-dlq", action="store_true",
+                   help="with --envelope-dir: dead-letter contract-violating "
+                        "rows to <lake>/_binlog_conv/_quarantine instead of "
+                        "failing the epoch (logged, never silent)")
     p.add_argument("--lake-seed", default=None, help="bootstrap parquet for --binlog-dir mode")
     p.add_argument("--snapshot", default=None, help="snapshot parquet for --binlog-dir reconcile")
     p.add_argument("--follow", action="store_true",
@@ -257,6 +261,7 @@ def main(argv: list[str] | None = None) -> dict:
         from .sources.cdc_envelope import convert_envelope_dir
 
         conv = os.path.join(args.lake, "_binlog_conv")
+        on_error = "quarantine" if args.envelope_dlq else "raise"
         if args.follow:
             import glob as _g
 
@@ -268,13 +273,13 @@ def main(argv: list[str] | None = None) -> dict:
                 # strand an unconverted tail epoch
                 eos = os.path.exists(os.path.join(args.envelope_dir, "_EOS"))
                 if _g.glob(os.path.join(args.envelope_dir, "*.jsonl")):
-                    convert_envelope_dir(args.envelope_dir, conv)
+                    convert_envelope_dir(args.envelope_dir, conv, on_error=on_error)
                 if eos:
                     os.makedirs(conv, exist_ok=True)
                     with open(os.path.join(conv, "_EOS"), "w"):
                         pass
         else:
-            convert_envelope_dir(args.envelope_dir, conv)
+            convert_envelope_dir(args.envelope_dir, conv, on_error=on_error)
         args.binlog_dir = conv
 
     if args.fixture:

@@ -77,88 +77,155 @@ def envelope_to_binlog(batch: pa.Table) -> pa.Table:
     ``seq`` comes from ``source.seq`` (or a top-level ``seq``) — the
     feed's total order, required. Unknown ``op`` values refuse loudly:
     a silently dropped change would desync the lake forever."""
+    good, bad = split_envelope_batch(batch)
+    if bad.num_rows:
+        sample = bad.slice(0, 3).to_pylist()
+        raise ValueError(
+            f"cdc envelope: {bad.num_rows} row(s) violate the envelope "
+            f"contract (e.g. {sample}) — refusing to drop changes "
+            "silently; use convert_envelope_dir(on_error='quarantine') "
+            "to dead-letter them instead"
+        )
+    return good
+
+
+def split_envelope_batch(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Vectorized envelope conversion with per-row contract checks.
+    Returns ``(binlog_rows, dead_letters)`` where dead letters carry
+    ``(seq?, reason, record)`` — ``reason`` in {unknown_op, null_seq,
+    null_key}. Feed-SCHEMA violations (no sequence field anywhere, key
+    fields in neither image) still raise: they mean the whole feed is
+    miswired, not that a row went bad."""
+    import numpy as np
+
     if "payload" in batch.column_names:
         pay = batch["payload"].combine_chunks()
         names = _image_fields(batch, "payload")
         sub = {f: pc.struct_field(pay, f) for f in names}
-        batch = pa.table(sub)
+        flat = pa.table(sub)
+    else:
+        flat = batch
 
-    n = batch.num_rows
-    op_raw = batch["op"]
+    n = flat.num_rows
+    op_raw = flat["op"]
     idx = pc.index_in(op_raw, value_set=pa.array(list(_OP_MAP)))
-    if n and (idx.null_count > op_raw.null_count or op_raw.null_count):
-        bad = pc.unique(op_raw.filter(pc.is_null(idx))).to_pylist()
-        raise ValueError(
-            f"cdc envelope: unknown op value(s) {bad!r} — expected one of "
-            f"{sorted(_OP_MAP)} (refusing to drop changes silently)"
-        )
+    bad_op = pc.is_null(idx).to_numpy(zero_copy_only=False)
     op = pc.take(pa.array(list(_OP_MAP.values())), idx)
-    is_del = pc.equal(op, "D")
+    is_del = pc.fill_null(pc.equal(op, "D"), False)
 
-    before = batch["before"] if "before" in batch.column_names else None
-    after = batch["after"] if "after" in batch.column_names else None
+    before = flat["before"] if "before" in flat.column_names else None
+    after = flat["after"] if "after" in flat.column_names else None
 
     # seq: the feed's total order. source.seq, else top-level seq.
     seq = None
-    if "source" in batch.column_names:
-        seq = _struct_field(batch["source"], "seq", n)
-    if seq is None and "seq" in batch.column_names:
-        seq = batch["seq"]
+    if "source" in flat.column_names:
+        seq = _struct_field(flat["source"], "seq", n)
+    if seq is None and "seq" in flat.column_names:
+        seq = flat["seq"]
     if seq is None:
         raise ValueError(
             "cdc envelope: no sequence field (source.seq or seq) — the "
             "engine needs the feed's total order for LWW replay"
         )
+    bad_seq = pc.is_null(seq).to_numpy(zero_copy_only=False)
 
-    any_del = n > 0 and pc.any(is_del).as_py()
+    def _norm(x):
+        # a JSON-inferred all-null field arrives as Arrow null type;
+        # rebind to string so if_else/filter kernels have a real type
+        if x is not None and pa.types.is_null(x.type):
+            return pa.nulls(n, pa.string())
+        return x
 
     def keyed(name: str):
-        a = _struct_field(after, name, n)
-        b = _struct_field(before, name, n)
+        a = _norm(_struct_field(after, name, n))
+        b = _norm(_struct_field(before, name, n))
         if a is None and b is None:
             raise ValueError(f"cdc envelope: key field {name!r} in neither image")
-        if b is None and any_del:
-            raise ValueError(
-                f"cdc envelope: delete rows present but no before.{name} "
-                "image — a keyless tombstone cannot be applied"
-            )
         if a is None:
             return b
         if b is None:
-            return a
+            # deletes need before-image keys; flag them per row below
+            return pc.if_else(is_del, pa.nulls(n, a.type), a)
         return pc.if_else(is_del, b, a)
 
+    repo = keyed("repo")
+    path = keyed("path")
+    bad_key = (
+        pc.or_(pc.is_null(repo), pc.is_null(path)).to_numpy(zero_copy_only=False)
+        & ~bad_op  # an unknown-op row reports unknown_op, not null_key
+    )
+
+    bad_any = bad_op | bad_seq | bad_key
     cols: dict[str, object] = {
         "seq": pc.cast(seq, pa.int64()),
         "op": op,
-        "repo": keyed("repo"),
-        "path": keyed("path"),
+        "repo": repo,
+        "path": path,
     }
-    if "ts_ms" in batch.column_names and not pa.types.is_null(
-        batch.schema.field("ts_ms").type
+    if "ts_ms" in flat.column_names and not pa.types.is_null(
+        flat.schema.field("ts_ms").type
     ):
         cols["ts"] = pc.cast(
-            pc.cast(batch["ts_ms"], pa.int64()), pa.timestamp("ms")
+            pc.cast(flat["ts_ms"], pa.int64()), pa.timestamp("ms")
         )
     # payload: every non-key after field (deletes carry nulls)
-    for f in _image_fields(batch, "after"):
+    for f in _image_fields(flat, "after"):
         if f in ("repo", "path"):
             continue
         cols[f] = _struct_field(after, f, n)
-    return pa.table(cols)
+    keep = pa.array(~bad_any)
+    good = pa.table({k: (v.filter(keep) if bad_any.any() else v) for k, v in cols.items()})
+
+    if not bad_any.any():
+        dead = pa.table({
+            "seq": pa.array([], pa.int64()),
+            "reason": pa.array([], pa.string()),
+            "record": pa.array([], pa.string()),
+        })
+        return good, dead
+
+    # dead letters are exceptional — a per-row render of just the bad
+    # slice is fine (and keeps arbitrary nested envelopes readable)
+    import json as _json
+
+    reason = np.where(bad_op, "unknown_op", np.where(bad_seq, "null_seq", "null_key"))
+    bad_rows = batch.filter(pa.array(bad_any)).to_pylist()
+    bad_seq_vals = pc.cast(seq, pa.int64()).filter(pa.array(bad_any))
+    dead = pa.table({
+        "seq": bad_seq_vals,
+        "reason": pa.array(reason[bad_any].tolist(), pa.string()),
+        "record": pa.array(
+            [_json.dumps(r, sort_keys=True, default=str) for r in bad_rows],
+            pa.string(),
+        ),
+    })
+    return good, dead
 
 
-def convert_envelope_dir(env_dir: str, out_dir: str) -> list[str]:
+def convert_envelope_dir(
+    env_dir: str, out_dir: str, on_error: str = "raise"
+) -> list[str]:
     """Convert every ``*.jsonl`` epoch file under ``env_dir`` into a
     binlog epoch parquet under ``out_dir`` (same ``epoch=NNNNN`` stem),
     ready for ``replay_stream``/``follow`` discovery. Distributed
     (one map-only Dataset per epoch), resumable (existing outputs are
     skipped), atomic (tmp dir + rename publish). Returns the converted
-    output paths (skipped ones included, in epoch order)."""
+    output paths (skipped ones included, in epoch order).
+
+    ``on_error``: ``"raise"`` (default) fails the epoch on the first
+    contract-violating row; ``"quarantine"`` dead-letters violating
+    rows to ``<out_dir>/_quarantine/<stem>.parquet`` (columns ``seq?,
+    reason, record``) and converts the rest — logged, never silent.
+    Wire-level malformed JSON still fails the whole file either way
+    (the producer contract is atomic-rename publish of complete
+    epochs)."""
+    import logging
     import shutil
 
     import ray.data as rd
 
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"unknown on_error mode: {on_error!r}")
     os.makedirs(out_dir, exist_ok=True)
     outs: list[str] = []
     files = sorted(glob.glob(os.path.join(env_dir, "*.jsonl")))
@@ -172,12 +239,43 @@ def convert_envelope_dir(env_dir: str, out_dir: str) -> list[str]:
             continue
         tmp = os.path.join(out_dir, f"_tmp_{stem}")
         shutil.rmtree(tmp, ignore_errors=True)
+        convert = (
+            envelope_to_binlog if on_error == "raise"
+            else (lambda b: split_envelope_batch(b)[0])
+        )
         (
             rd.read_json(f)
-            .map_batches(envelope_to_binlog, batch_format="pyarrow")
+            .map_batches(convert, batch_format="pyarrow")
             .repartition(1)  # one epoch file = one discovery unit
             .write_parquet(tmp)
         )
+        if on_error == "quarantine":
+            # second bounded pass over the (micro-batch) epoch gathers
+            # the dead letters; runs BEFORE the epoch publishes so a
+            # crash between the two never loses the quarantine record
+            dead = (
+                rd.read_json(f)
+                .map_batches(
+                    lambda b: split_envelope_batch(b)[1], batch_format="pyarrow"
+                )
+            )
+            n_dead = dead.count()
+            if n_dead:
+                qdir = os.path.join(out_dir, "_quarantine")
+                os.makedirs(qdir, exist_ok=True)
+                qtmp = os.path.join(qdir, f"_tmp_{stem}")
+                shutil.rmtree(qtmp, ignore_errors=True)
+                dead.repartition(1).write_parquet(qtmp)
+                qpart = sorted(os.listdir(qtmp))
+                os.replace(
+                    os.path.join(qtmp, qpart[0]),
+                    os.path.join(qdir, f"{stem}.parquet"),
+                )
+                shutil.rmtree(qtmp, ignore_errors=True)
+                logging.getLogger(__name__).warning(
+                    "cdc envelope: %d contract-violating row(s) in %s "
+                    "dead-lettered to %s", n_dead, f, qdir,
+                )
         part = sorted(os.listdir(tmp))
         if len(part) != 1:  # repartition(1) contract
             raise RuntimeError(f"expected one part in {tmp}, got {part}")

@@ -132,14 +132,72 @@ def test_envelope_contract_refusals(ray_session):
         ),
         "seq": pa.array([1], pa.int64()),
     }
-    with pytest.raises(ValueError, match="unknown op"):
+    # row-level violations: raise mode refuses the batch loudly
+    with pytest.raises(ValueError, match="violate the envelope contract"):
         envelope_to_binlog(pa.table({"op": pa.array(["x"]), **base}))
+    with pytest.raises(ValueError, match="violate the envelope contract"):
+        envelope_to_binlog(pa.table({"op": pa.array(["d"]), **base}))  # keyless tombstone
+    # feed-schema violations always raise, even in quarantine mode
     with pytest.raises(ValueError, match="no sequence field"):
         envelope_to_binlog(pa.table({
             "op": pa.array(["c"]), "after": base["after"],
         }))
-    with pytest.raises(ValueError, match="keyless tombstone"):
-        envelope_to_binlog(pa.table({"op": pa.array(["d"]), **base}))
+
+
+def test_envelope_dead_letter_split(ray_session):
+    from etl_reconciliate_ray.sources.cdc_envelope import split_envelope_batch
+
+    t = pa.table({
+        "op": pa.array(["c", "x", "d", "c"]),
+        "before": pa.array(
+            [None, None, None, None],  # the 'd' row is a keyless tombstone
+            pa.struct([("repo", pa.string()), ("path", pa.string())]),
+        ),
+        "after": pa.array(
+            [
+                {"repo": "r1", "path": "p1", "content": "a"},
+                {"repo": "r2", "path": "p2", "content": "b"},
+                None,
+                {"repo": None, "path": "p4", "content": "c"},  # null key
+            ],
+            pa.struct([
+                ("repo", pa.string()), ("path", pa.string()),
+                ("content", pa.string()),
+            ]),
+        ),
+        "seq": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    good, dead = split_envelope_batch(t)
+    assert good["seq"].to_pylist() == [0]  # only the clean create survives
+    assert sorted(dead["reason"].to_pylist()) == ["null_key", "null_key", "unknown_op"]
+    assert dead["seq"].to_pylist() == [1, 2, 3]
+    assert all("op" in r for r in dead["record"].to_pylist())
+
+
+def test_convert_quarantine_mode(ray_session, tmp_path):
+    recs = [
+        {"op": "c", "before": None,
+         "after": {"repo": "r", "path": f"p{i}", "content": "x"},
+         "source": {"seq": i}}
+        for i in range(4)
+    ]
+    recs[2]["op"] = "bogus"
+    with open(tmp_path / "epoch=00000.jsonl", "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "out")
+    # raise mode fails the epoch
+    with pytest.raises(Exception):
+        convert_envelope_dir(str(tmp_path), out)
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    # quarantine mode converts the clean rows and dead-letters the rest
+    outs = convert_envelope_dir(str(tmp_path), out, on_error="quarantine")
+    t = pq.read_table(outs[0])
+    assert t.num_rows == 3 and t["op"].to_pylist() == ["I"] * 3
+    q = pq.read_table(os.path.join(out, "_quarantine", "epoch=00000.parquet"))
+    assert q.num_rows == 1 and q["reason"].to_pylist() == ["unknown_op"]
+    assert q["seq"].to_pylist() == [2]
 
 
 def test_cli_envelope_dir_mode(env_fixture, tmp_path, ray_session):
