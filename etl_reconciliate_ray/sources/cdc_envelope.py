@@ -235,7 +235,13 @@ def convert_envelope_dir(
         stem = re.sub(r"\.jsonl$", "", os.path.basename(f))
         out = os.path.join(out_dir, f"{stem}.parquet")
         outs.append(out)
+        # <stem>.empty marks an epoch whose every row was dead-lettered:
+        # no binlog file to discover (an empty parquet has no seq footer
+        # stats), but the conversion must not re-run every poll
         if os.path.exists(out):
+            continue
+        if os.path.exists(out + ".empty"):
+            outs.pop()
             continue
         tmp = os.path.join(out_dir, f"_tmp_{stem}")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -276,12 +282,31 @@ def convert_envelope_dir(
                     "cdc envelope: %d contract-violating row(s) in %s "
                     "dead-lettered to %s", n_dead, f, qdir,
                 )
-        part = sorted(os.listdir(tmp))
+        # an all-dead-letter epoch may write nothing at all (Ray skips
+        # the dir for a zero-row dataset) — treat missing same as empty
+        part = (
+            sorted(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            if os.path.isdir(tmp) else []
+        )
+        if not part or pq_num_rows(os.path.join(tmp, part[0])) == 0:
+            # every row dead-lettered: publish the empty marker instead
+            # of a statless parquet that epoch discovery cannot read
+            outs.pop()
+            with open(out + ".empty", "w"):
+                pass
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
         if len(part) != 1:  # repartition(1) contract
             raise RuntimeError(f"expected one part in {tmp}, got {part}")
         os.replace(os.path.join(tmp, part[0]), out)
         shutil.rmtree(tmp, ignore_errors=True)
     return outs
+
+
+def pq_num_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def binlog_epoch_to_envelope_jsonl(epoch_parquet: str, out_path: str) -> int:

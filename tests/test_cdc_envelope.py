@@ -200,6 +200,27 @@ def test_convert_quarantine_mode(ray_session, tmp_path):
     assert q["seq"].to_pylist() == [2]
 
 
+def test_convert_quarantine_all_bad_epoch(ray_session, tmp_path):
+    """An epoch whose EVERY row dead-letters publishes an .empty marker
+    (not an unreadable statless parquet) and never re-converts."""
+    with open(tmp_path / "epoch=00000.jsonl", "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps({
+                "op": "bogus", "before": None,
+                "after": {"repo": "r", "path": f"p{i}"}, "source": {"seq": i},
+            }) + "\n")
+    out = str(tmp_path / "out")
+    outs = convert_envelope_dir(str(tmp_path), out, on_error="quarantine")
+    assert outs == []  # nothing discoverable
+    assert os.path.exists(os.path.join(out, "epoch=00000.parquet.empty"))
+    assert not os.path.exists(os.path.join(out, "epoch=00000.parquet"))
+    q = pq.read_table(os.path.join(out, "_quarantine", "epoch=00000.parquet"))
+    assert q.num_rows == 3
+    mtime = os.path.getmtime(os.path.join(out, "epoch=00000.parquet.empty"))
+    assert convert_envelope_dir(str(tmp_path), out, on_error="quarantine") == []
+    assert os.path.getmtime(os.path.join(out, "epoch=00000.parquet.empty")) == mtime
+
+
 def test_cli_envelope_dir_mode(env_fixture, tmp_path, ray_session):
     """CLI surface: --envelope-dir converts the JSONL feed into
     <lake>/_binlog_conv and replays it to the same state as the native
