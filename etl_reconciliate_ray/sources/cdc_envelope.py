@@ -168,11 +168,17 @@ def split_envelope_batch(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
         cols["ts"] = pc.cast(
             pc.cast(flat["ts_ms"], pa.int64()), pa.timestamp("ms")
         )
-    # payload: every non-key after field (deletes carry nulls)
+    # payload: every non-key after field. Deletes carry nulls EXPLICITLY
+    # (matching the native binlog's tombstone shape) — a producer that
+    # populates after on a delete must not leak payload into the
+    # tombstone row
     for f in _image_fields(flat, "after"):
         if f in ("repo", "path"):
             continue
-        cols[f] = _struct_field(after, f, n)
+        fcol = _struct_field(after, f, n)
+        if not pa.types.is_null(fcol.type):
+            fcol = pc.if_else(is_del, pa.nulls(n, fcol.type), fcol)
+        cols[f] = fcol
     keep = pa.array(~bad_any)
     good = pa.table({k: (v.filter(keep) if bad_any.any() else v) for k, v in cols.items()})
 

@@ -287,6 +287,72 @@ def test_cli_envelope_follow_mode(env_fixture, tmp_path, ray_session):
     assert lake_state_hash(lake) == lake_state_hash(lake_ref)
 
 
+def test_split_envelope_matches_row_oracle():
+    """Property: split_envelope_batch's vectorized conversion equals a
+    per-row Python reference on arbitrary envelope batches — every row
+    lands in exactly one of (good, dead) with the right content."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    from etl_reconciliate_ray.sources.cdc_envelope import split_envelope_batch
+
+    key = st.one_of(st.none(), st.sampled_from(["r1", "r2", "p1", "p2"]))
+    image = st.one_of(
+        st.none(),
+        st.fixed_dictionaries({"repo": key, "path": key,
+                               "content": st.one_of(st.none(), st.text(max_size=5))}),
+    )
+    row = st.fixed_dictionaries({
+        "op": st.sampled_from(["c", "u", "d", "r", "bogus"]),
+        "before": image,
+        "after": image,
+        "seq": st.one_of(st.none(), st.integers(0, 1000)),
+    })
+
+    img_t = pa.struct([("repo", pa.string()), ("path", pa.string()),
+                       ("content", pa.string())])
+
+    def reference(rows):
+        good, dead = [], []
+        for r in rows:
+            opm = {"c": "I", "r": "I", "u": "U", "d": "D"}.get(r["op"])
+            img = r["before"] if opm == "D" else r["after"]
+            repo = (img or {}).get("repo")
+            path = (img or {}).get("path")
+            if opm is None:
+                dead.append((r["seq"], "unknown_op"))
+            elif r["seq"] is None:
+                dead.append((None, "null_seq"))
+            elif repo is None or path is None:
+                dead.append((r["seq"], "null_key"))
+            else:
+                good.append((r["seq"], opm, repo, path,
+                             None if opm == "D" else (r["after"] or {}).get("content")))
+        return good, dead
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(row, min_size=1, max_size=30))
+    def check(rows):
+        t = pa.table({
+            "op": pa.array([r["op"] for r in rows], pa.string()),
+            "before": pa.array([r["before"] for r in rows], img_t),
+            "after": pa.array([r["after"] for r in rows], img_t),
+            "seq": pa.array([r["seq"] for r in rows], pa.int64()),
+        })
+        good, dead = split_envelope_batch(t)
+        want_good, want_dead = reference(rows)
+        got_good = list(zip(good["seq"].to_pylist(), good["op"].to_pylist(),
+                            good["repo"].to_pylist(), good["path"].to_pylist(),
+                            good["content"].to_pylist()))
+        assert got_good == want_good
+        got_dead = list(zip(dead["seq"].to_pylist(), dead["reason"].to_pylist()))
+        assert got_dead == want_dead
+        assert good.num_rows + dead.num_rows == len(rows)
+
+    check()
+
+
 def test_all_insert_epoch_null_before(ray_session, tmp_path):
     """A JSON-inferred all-null ``before`` (every row an insert) must
     convert cleanly — the null-typed image has no fields to gather."""
