@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None) -> dict:
                         "(snapshot bootstrap, then sealed incremental parquet "
                         "segments + atomic cursor; exactly-once for consumers "
                         "reading sealed segments in order)")
+    p.add_argument("--export-envelopes", metavar="OUT_DIR", default=None,
+                   help="with --export-feed: additionally render the spool's "
+                        "sealed segments as Debezium-style JSONL envelope "
+                        "directories for non-engine consumers "
+                        "(sources/cdc_envelope.export_feed_envelopes)")
     p.add_argument("--lookup", metavar="REPO[:PATH]", default=None,
                    help="read-only pruned keyed read of an existing lake "
                         "(no replay inputs, no Ray session): resolve only "
@@ -342,6 +347,12 @@ def main(argv: list[str] | None = None) -> dict:
 
         fm = export_changelog(args.lake, args.export_feed)
         feed_seg = fm.get("segment") if not fm["skipped"] else "skipped"
+    if args.export_envelopes:
+        if not args.export_feed:
+            p.error("--export-envelopes renders an --export-feed spool; pass both")
+        from .sources.cdc_envelope import export_feed_envelopes
+
+        export_feed_envelopes(args.export_feed, args.export_envelopes)
     if args.compact_feed:
         from .pipelines.replay import compact_feed
 

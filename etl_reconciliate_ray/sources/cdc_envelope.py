@@ -315,6 +315,90 @@ def pq_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def export_feed_envelopes(feed_dir: str, out_dir: str) -> list[str]:
+    """Render an ``export_changelog`` spool as Debezium-style JSONL —
+    the OUTBOUND half of the envelope surface, for consumers that speak
+    the public CDC wire format rather than the engine's parquet feed.
+
+    Each sealed segment ``<feed_dir>/feed/epochs=.../`` becomes a
+    directory ``<out_dir>/<segment>/part-<sha>.jsonl`` + ``_SEALED``
+    marker; folding all sealed segment dirs in plain name order (op
+    ``r`` = snapshot read, ``c``/``u`` upserts with before/after
+    images, ``d`` keyed tombstones) reproduces the lake state —
+    verified against ``lake_table`` in tests. Resumable and atomic:
+    a sealed segment is never re-rendered; an unsealed leftover is
+    rebuilt from scratch (part names derive from content, but a
+    crashed attempt may have split blocks differently, so rebuild —
+    not resume — is the safe idempotent path).
+
+    Scale shape: rendering is distributed (one map task per feed
+    block, tasks write their own part files — the engine's task-side
+    write pattern); per-row dict building is inherent to a nested-JSON
+    wire format and parallelizes with the tasks. The driver handles
+    O(segments) bookkeeping only."""
+    import hashlib
+    import json as _json
+    import shutil
+
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    done: list[str] = []
+    segs = sorted(glob.glob(os.path.join(feed_dir, "feed", "epochs=*")))
+    for seg in segs:
+        if not os.path.exists(os.path.join(seg, "_SEALED")):
+            continue  # mid-export segment: next call gets it
+        name = os.path.basename(seg)
+        dest = os.path.join(out_dir, name)
+        done.append(dest)
+        if os.path.exists(os.path.join(dest, "_SEALED")):
+            continue
+        shutil.rmtree(dest, ignore_errors=True)  # crashed unsealed try
+        os.makedirs(dest)
+        snapshot = "snapshot" in name
+
+        def render(t: pa.Table, dest=dest, snapshot=snapshot, name=name) -> pa.Table:
+            old_cols = [c[:-4] for c in t.column_names if c.endswith("_old")]
+            new_cols = [c[:-4] for c in t.column_names if c.endswith("_new")]
+            rows = t.to_pylist()
+            lines = []
+            for r in rows:
+                ch = r["change"]
+                op = "d" if ch == "D" else ("r" if snapshot else
+                                            "c" if ch == "I" else "u")
+                before = None
+                if ch in ("U", "D"):
+                    before = {"repo": r["repo"], "path": r["path"],
+                              **{c: r.get(f"{c}_old") for c in old_cols}}
+                after = None
+                if ch != "D":
+                    after = {"repo": r["repo"], "path": r["path"],
+                             "content_sha256": r.get("content_sha256"),
+                             **{c: r.get(f"{c}_new") for c in new_cols}}
+                lines.append(_json.dumps({
+                    "op": op, "before": before, "after": after,
+                    "source": {"segment": name, "seq": 0},
+                }, sort_keys=True, default=str))
+            if not lines:  # empty block: nothing to publish
+                return pa.table({"part": pa.array([], pa.string()),
+                                 "rows": pa.array([], pa.int64())})
+            blob = ("\n".join(lines) + "\n").encode()
+            sha = hashlib.sha256(blob).hexdigest()[:16]
+            part = os.path.join(dest, f"part-{sha}.jsonl")
+            tmp = part + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, part)
+            return pa.table({"part": pa.array([part]),
+                             "rows": pa.array([len(lines)], pa.int64())})
+
+        files = sorted(glob.glob(os.path.join(seg, "*.parquet")))
+        rd.read_parquet(files).map_batches(render, batch_format="pyarrow").count()
+        with open(os.path.join(dest, "_SEALED"), "w"):
+            pass
+    return done
+
+
 def binlog_epoch_to_envelope_jsonl(epoch_parquet: str, out_path: str) -> int:
     """Inverse adapter for tests/demos: render one binlog epoch parquet
     as a Debezium-style JSONL envelope file (I->c, U->u, D->d; key

@@ -353,6 +353,57 @@ def test_split_envelope_matches_row_oracle():
     check()
 
 
+def test_export_feed_envelopes_consumer_fold(env_fixture, tmp_path, ray_session):
+    """Outbound surface: a NON-engine consumer folding the JSONL
+    envelope segments in plain name order (r/c/u upsert, d delete)
+    reproduces the lake state exactly; re-export after new epochs is
+    incremental (old segment dirs untouched) and idempotent."""
+    from etl_reconciliate_ray.pipelines.replay import (
+        ReplayConfig, export_changelog, lake_table, replay,
+    )
+    from etl_reconciliate_ray.sources.cdc_envelope import export_feed_envelopes
+
+    root = env_fixture["root"]
+    cfg = ReplayConfig(lake_root=str(tmp_path / "lake"), num_buckets=8)
+    # two sealed epochs first, export, then the rest, export again
+    replay(str(root / "fix"), cfg, stop_after_epoch=2)
+    feed = str(tmp_path / "feed")
+    export_changelog(cfg, feed, image_cols="all")
+    env_out = str(tmp_path / "env_out")
+    first = export_feed_envelopes(feed, env_out)
+    assert first and all(os.path.exists(os.path.join(d, "_SEALED")) for d in first)
+    replay(str(root / "fix"), cfg)
+    export_changelog(cfg, feed, image_cols="all")
+    second = export_feed_envelopes(feed, env_out)
+    assert len(second) > len(first)
+    mtimes = {d: os.path.getmtime(os.path.join(d, "_SEALED")) for d in first}
+    assert export_feed_envelopes(feed, env_out) == second  # idempotent
+    assert all(
+        os.path.getmtime(os.path.join(d, "_SEALED")) == m
+        for d, m in mtimes.items()
+    )
+
+    # consumer simulation: fold every sealed segment in name order
+    state = {}
+    for seg in sorted(os.listdir(env_out)):
+        for part in sorted(glob.glob(os.path.join(env_out, seg, "*.jsonl"))):
+            with open(part) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    if rec["op"] == "d":
+                        state.pop(
+                            (rec["before"]["repo"], rec["before"]["path"]), None
+                        )
+                    else:
+                        a = rec["after"]
+                        state[(a["repo"], a["path"])] = a["content_sha256"]
+    lake = lake_table(cfg.lake_root).select(["repo", "path", "content_sha256"])
+    want = {
+        (r["repo"], r["path"]): r["content_sha256"] for r in lake.to_pylist()
+    }
+    assert state == want
+
+
 def test_all_insert_epoch_null_before(ray_session, tmp_path):
     """A JSON-inferred all-null ``before`` (every row an insert) must
     convert cleanly — the null-typed image has no fields to gather."""
