@@ -79,6 +79,31 @@ def test_convert_is_resumable_and_atomic(env_fixture, ray_session):
     assert not [d for d in os.listdir(out) if d.startswith("_tmp_")]
 
 
+def test_convert_recovers_from_crashed_tmp(env_fixture, ray_session):
+    """A crash mid-convert leaves a _tmp_<stem> dir (possibly with
+    garbage); the retry must rebuild that epoch cleanly and publish
+    byte-identical output."""
+    import hashlib
+
+    root = env_fixture["root"]
+    clean = str(root / "binlog_conv3")
+    want = {
+        os.path.basename(p): hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in convert_envelope_dir(str(root / "env"), clean)
+    }
+    crashed = str(root / "binlog_conv4")
+    os.makedirs(os.path.join(crashed, "_tmp_epoch=00001"))
+    with open(os.path.join(crashed, "_tmp_epoch=00001", "garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+    got_paths = convert_envelope_dir(str(root / "env"), crashed)
+    got = {
+        os.path.basename(p): hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in got_paths
+    }
+    assert got == want
+    assert not [d for d in os.listdir(crashed) if d.startswith("_tmp_")]
+
+
 def test_envelope_kernel_flat_and_nested(ray_session):
     flat = pa.table({
         "op": pa.array(["c", "u", "d", "r"]),
