@@ -38,9 +38,6 @@ import pyarrow.compute as pc
 # initial load, same as create for an LWW lake.
 _OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
 
-# envelope bookkeeping fields that are not row payload
-_META_FIELDS = ("op", "ts_ms", "before", "after", "source", "transaction")
-
 
 def _struct_field(col: pa.ChunkedArray | pa.Array, name: str, n: int):
     """Null-safe struct field get: a JSON-inferred all-null image
@@ -294,7 +291,7 @@ def convert_envelope_dir(
             sorted(p for p in os.listdir(tmp) if p.endswith(".parquet"))
             if os.path.isdir(tmp) else []
         )
-        if not part or pq_num_rows(os.path.join(tmp, part[0])) == 0:
+        if not part or _pq_num_rows(os.path.join(tmp, part[0])) == 0:
             # every row dead-lettered: publish the empty marker instead
             # of a statless parquet that epoch discovery cannot read
             outs.pop()
@@ -309,7 +306,7 @@ def convert_envelope_dir(
     return outs
 
 
-def pq_num_rows(path: str) -> int:
+def _pq_num_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
