@@ -244,6 +244,18 @@ def maintain_repo_view(lake_root: str, view_dir: str | None = None) -> pa.Table:
             "n_files": pc.cast(red["n_files_sum"], pa.int64()),
             "content_bytes": pc.cast(red["content_bytes_sum"], pa.int64()),
         })
+        # negative counts can only mean the deltas do not correspond to
+        # the maintained base (double-applied or missing history) —
+        # refuse loudly, same contract as stages/ivm.maintain_aggregate;
+        # a silently dropped negative repo would leave the view wrong
+        # forever
+        if red.num_rows and pc.min(red["n_files"]).as_py() < 0:
+            bad = red.filter(pc.less(red["n_files"], 0))
+            raise ValueError(
+                f"maintained view went negative for {bad.num_rows} repo(s) "
+                f"at epoch {e} (e.g. {bad.slice(0, 3).to_pylist()}): view "
+                "state does not correspond to the lake's chain history"
+            )
         view = red.filter(pc.greater(red["n_files"], 0)).sort_by([("repo", "ascending")])
         tmp = _epoch_dir(e) + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
