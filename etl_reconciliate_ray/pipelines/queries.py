@@ -3467,6 +3467,9 @@ def q_approx_quantiles_events(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def cents(t: pa.Table) -> pa.Table:
+        # SQL aggregate semantics: null values are ignored, not counted
+        # (a NaN would otherwise astype() to INT_MIN and poison bin 0)
+        t = t.filter(pc.is_valid(t["value"]))
         v = np.round(
             np.asarray(t["value"].to_numpy(zero_copy_only=False), dtype=np.float64) * 100
         ).astype(np.int64)
@@ -3490,6 +3493,8 @@ def q_event_value_quantiles(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def cents(t: pa.Table) -> pa.Table:
+        # SQL aggregate semantics: null values are ignored, not counted
+        t = t.filter(pc.is_valid(t["value"]))
         v = np.round(
             np.asarray(t["value"].to_numpy(zero_copy_only=False), dtype=np.float64) * 100
         ).astype(np.int64)
