@@ -378,6 +378,41 @@ def test_split_envelope_matches_row_oracle():
     check()
 
 
+def test_cli_envelope_dlq_flag(tmp_path, ray_session):
+    """--envelope-dlq end-to-end: a feed with a contract-violating row
+    replays the clean rows and dead-letters the bad one under
+    <lake>/_binlog_conv/_quarantine; without the flag the run fails."""
+    from etl_reconciliate_ray.pipelines.replay import lake_table
+    from etl_reconciliate_ray.run import main
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    recs = [
+        {"op": "c", "before": None,
+         "after": {"repo": "r", "path": f"p{i}", "content": f"x{i}"},
+         "source": {"seq": i}}
+        for i in range(5)
+    ]
+    recs[3]["op"] = "bogus"
+    with open(feed / "epoch=00000.jsonl", "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+
+    lake_strict = str(tmp_path / "lake_strict")
+    with pytest.raises(Exception):
+        main(["--envelope-dir", str(feed), "--lake", lake_strict,
+              "--num-buckets", "4"])
+
+    lake = str(tmp_path / "lake_dlq")
+    main(["--envelope-dir", str(feed), "--lake", lake, "--num-buckets", "4",
+          "--envelope-dlq"])
+    assert lake_table(lake).num_rows == 4
+    q = pq.read_table(
+        os.path.join(lake, "_binlog_conv", "_quarantine", "epoch=00000.parquet")
+    )
+    assert q["reason"].to_pylist() == ["unknown_op"] and q["seq"].to_pylist() == [3]
+
+
 def test_export_feed_envelopes_consumer_fold(env_fixture, tmp_path, ray_session):
     """Outbound surface: a NON-engine consumer folding the JSONL
     envelope segments in plain name order (r/c/u upsert, d delete)
