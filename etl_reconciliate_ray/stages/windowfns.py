@@ -95,8 +95,9 @@ def window_functions(
     order-independent). Source must be a null-free numeric column
     (segmented numpy reduceat; SQL's null-skipping is not replicated).
     ``group_sum``: {output: source_col} — SQL ``SUM(src) OVER
-    (PARTITION BY key)``; same null-free int64 contract as cumsum
-    (pass pre-scaled integer columns for exactness).
+    (PARTITION BY key)``; same int64 contract as cumsum (pass
+    pre-scaled integer columns for exactness; nulls are ignored,
+    matching SQL SUM).
     ``group_count``: output name for SQL ``COUNT(*) OVER (PARTITION
     BY key)`` (partition row count, order-independent).
     ``keep``: passthrough columns (default: key + order_by).
@@ -210,8 +211,13 @@ def window_functions(
         if group_sum or group_count:
             sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
             for out, src in group_sum.items():
+                # same null discipline as cumsum below: SQL SUM ignores
+                # NULLs, and an int64 column with nulls round-trips
+                # through float NaN whose .astype(int64) is INT64_MIN
                 v = (
-                    t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+                    pa.compute.fill_null(pa.compute.cast(t[src], pa.int64()), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
                 )
                 red = np.add.reduceat(v, starts) if n else np.array([], np.int64)
                 cols[out] = pa.array(red[seg_of], pa.int64())
