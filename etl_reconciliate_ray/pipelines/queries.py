@@ -3912,6 +3912,13 @@ QUERIES = {
     # graph additions (cc_orders, triangles_users). After this round
     # every registry key has independent driver evidence at least
     # once. The in-repo pytest oracle covers ALL entries every run.
+    #
+    # ROUND-5 ROTATION (computed against CORRECTNESS_r01-03 + this
+    # window): exactly TWO keys will still lack a driver row after r4 —
+    # `semantic_clusters` (rows-only) and the late-r4 `envelope_replay`
+    # (oracle-backed). Swap them into the first two refill slots
+    # (evicting any two r1-refreshed keys, e.g. knn_cosine/token_stats)
+    # and the evidence matrix is complete.
     "reconcile_detail": q_reconcile_detail,
     "cdc_lww_events": q_cdc_lww_events,
     "mad_events": q_mad_events,
