@@ -3913,16 +3913,19 @@ QUERIES = {
     # every registry key has independent driver evidence at least
     # once. The in-repo pytest oracle covers ALL entries every run.
     #
-    # ROUND-5 ROTATION (computed against CORRECTNESS_r01-03 + this
-    # window): exactly TWO keys will still lack a driver row after r4 —
-    # `semantic_clusters` (rows-only) and the late-r4 `envelope_replay`
-    # (oracle-backed). Swap them into the first two refill slots
-    # (evicting any two r1-refreshed keys, e.g. knn_cosine/token_stats)
-    # and the evidence matrix is complete.
+    # ROUND-5 WINDOW (this is the round-5 rotation the r4 comment
+    # planned): the two keys that still lacked any driver row after r4
+    # — `envelope_replay` (oracle-backed, landed past the r4 window)
+    # and `semantic_clusters` (rows-only) — take slots 3-4, evicting
+    # `mad_events`/`user_journeys` (both driver-green in r4). The rest
+    # of the r4 window stays put, so r5 both completes the evidence
+    # matrix (every registry key driver-checked at least once;
+    # 110/110 oracle-backed keys green) AND re-confirms the r4 set.
+    # The in-repo pytest oracle covers ALL entries every run.
     "reconcile_detail": q_reconcile_detail,
     "cdc_lww_events": q_cdc_lww_events,
-    "mad_events": q_mad_events,
-    "user_journeys": q_user_journeys,
+    "envelope_replay": q_envelope_replay,
+    "semantic_clusters": q_semantic_clusters,
     "ann_variants": q_ann_variants,
     "media_pipeline": q_media_pipeline,
     "hll_users_by_type": q_hll_users_by_type,
@@ -3973,8 +3976,10 @@ QUERIES = {
     # from earlier rounds
     "cc_orders": q_cc_orders,
     "triangles_users": q_triangles_users,
+    # --- end of the 50-slot driver window ---
+    "mad_events": q_mad_events,
+    "user_journeys": q_user_journeys,
     "knn_cosine": q_knn_cosine,
-    "semantic_clusters": q_semantic_clusters,
     "token_stats": q_token_stats,
     "quality_docs": q_quality_docs,
     "sha256_docs": q_sha256_docs,
@@ -4047,9 +4052,6 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "best_doc_per_source": q_best_doc_per_source,
     "cross_region_nation": q_cross_region_nation,
-    # late-r4 addition (past the 50-slot driver window; pytest-oracle
-    # covered now, rotate into the r5 window for driver evidence)
-    "envelope_replay": q_envelope_replay,
 }
 
 
