@@ -127,6 +127,12 @@ def main(argv: list[str] | None = None) -> dict:
                         "the last run; blocks until interrupted")
     args = p.parse_args(argv)
 
+    # flag-combination validation up front: rejecting --export-envelopes
+    # without --export-feed only AFTER a full replay would make the user
+    # pay the whole replay before learning the invocation is invalid
+    if args.export_envelopes and not args.export_feed:
+        p.error("--export-envelopes renders an --export-feed spool; pass both")
+
     if args.lookup is not None:
         # read-only: lake_lookup is driver-side pyarrow over the pruned
         # chain — no Ray session, no replay inputs
@@ -348,8 +354,6 @@ def main(argv: list[str] | None = None) -> dict:
         fm = export_changelog(args.lake, args.export_feed)
         feed_seg = fm.get("segment") if not fm["skipped"] else "skipped"
     if args.export_envelopes:
-        if not args.export_feed:
-            p.error("--export-envelopes renders an --export-feed spool; pass both")
         from .sources.cdc_envelope import export_feed_envelopes
 
         export_feed_envelopes(args.export_feed, args.export_envelopes)

@@ -172,6 +172,18 @@ def split_envelope_batch(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     for f in _image_fields(flat, "after"):
         if f in ("repo", "path"):
             continue
+        if f in ("seq", "op", "ts"):
+            # engine-reserved columns: an after-image field with one of
+            # these names would silently OVERWRITE the feed's total
+            # order / op / event time — a miswired feed schema, so the
+            # whole feed refuses loudly (same contract as a missing
+            # sequence field), never a per-row dead letter
+            raise ValueError(
+                f"cdc envelope: after-image field {f!r} collides with an "
+                "engine-reserved binlog column (seq/op/ts) — rename the "
+                "payload column in the producer; replaying it would "
+                "corrupt LWW order or tombstone semantics"
+            )
         fcol = _struct_field(after, f, n)
         if not pa.types.is_null(fcol.type):
             fcol = pc.if_else(is_del, pa.nulls(n, fcol.type), fcol)
@@ -322,7 +334,20 @@ def export_feed_envelopes(feed_dir: str, out_dir: str) -> list[str]:
     marker; folding all sealed segment dirs in plain name order (op
     ``r`` = snapshot read, ``c``/``u`` upserts with before/after
     images, ``d`` keyed tombstones) reproduces the lake state —
-    verified against ``lake_table`` in tests. Resumable and atomic:
+    verified against ``lake_table`` in tests.
+
+    ``source.seq`` is a deterministic TOTAL order consistent with that
+    name-order fold, so the rendered envelopes are also re-ingestable
+    through the inbound ``--envelope-dir`` path (LWW on seq resolves to
+    the same winners): high bits = the segment's ordinal parsed from
+    its name (to-epoch ×2, +1 for delta segments — snapshot names sort
+    before same-head delta names), low 31 bits = a key digest. A diff
+    segment carries at most ONE change per (repo, path), so per-key
+    order only needs the cross-segment component; the digest makes seq
+    values distinct without depending on nondeterministic block splits.
+    Round-tripped in tests (export → re-ingest → identical lake state).
+
+    Resumable and atomic:
     a sealed segment is never re-rendered; an unsealed leftover is
     rebuilt from scratch (part names derive from content, but a
     crashed attempt may have split blocks differently, so rebuild —
@@ -353,8 +378,14 @@ def export_feed_envelopes(feed_dir: str, out_dir: str) -> list[str]:
         shutil.rmtree(dest, ignore_errors=True)  # crashed unsealed try
         os.makedirs(dest)
         snapshot = "snapshot" in name
+        # seq high bits: segment ordinal from the NAME (stable across
+        # calls/crashes) — to-epoch ×2, +1 for deltas, matching the
+        # segments' lexicographic fold order (see docstring)
+        to_epoch = int(name.rsplit("-", 1)[1])
+        seq_base = (to_epoch * 2 + (0 if snapshot else 1)) << 32
 
-        def render(t: pa.Table, dest=dest, snapshot=snapshot, name=name) -> pa.Table:
+        def render(t: pa.Table, dest=dest, snapshot=snapshot, name=name,
+                   seq_base=seq_base) -> pa.Table:
             old_cols = [c[:-4] for c in t.column_names if c.endswith("_old")]
             new_cols = [c[:-4] for c in t.column_names if c.endswith("_new")]
             rows = t.to_pylist()
@@ -372,9 +403,14 @@ def export_feed_envelopes(feed_dir: str, out_dir: str) -> list[str]:
                     after = {"repo": r["repo"], "path": r["path"],
                              "content_sha256": r.get("content_sha256"),
                              **{c: r.get(f"{c}_new") for c in new_cols}}
+                key_digest = int.from_bytes(
+                    hashlib.sha256(
+                        f"{r['repo']}\n{r['path']}".encode()
+                    ).digest()[:4], "big"
+                ) & 0x7FFFFFFF
                 lines.append(_json.dumps({
                     "op": op, "before": before, "after": after,
-                    "source": {"segment": name, "seq": 0},
+                    "source": {"segment": name, "seq": seq_base + key_digest},
                 }, sort_keys=True, default=str))
             if not lines:  # empty block: nothing to publish
                 return pa.table({"part": pa.array([], pa.string()),
