@@ -1,18 +1,39 @@
 """Similarity search over an embedding column (list<float>):
-brute-force cosine top-k (baseline) and LSH-bucketed ANN (scale path).
+brute-force cosine top-k (baseline), LSH / IVF / PQ ANN (scale paths),
+embedding near-dup pairs and k-means semantic clustering.
 
-Pattern: the query matrix is small -> broadcast via ``ray.put`` once,
-loaded per actor in ``__init__``; each batch does one numpy matmul
-(vectorized) and emits only its local top-k per query; a final small
-``groupby(query_id)`` reduces local top-ks to the global top-k —
+Pattern: the query-side state (query matrix, hyperplanes, centroids,
+codebooks) is small -> broadcast via ``ray.put`` ONCE and fetched into
+a per-worker-process cache (``_fetch``); each batch does one numpy
+matmul (vectorized) and emits only its local top-k per query; a final
+small ``groupby(query_id)`` reduces local top-ks to the global top-k —
 a distributed top-k with O(batches * k) shuffle volume, never the full
 score matrix.
+
+Stage wiring: every stage is a plain FUNCTION run as a Ray TASK pool,
+not an actor pool — the per-stage state is one ``ray.get`` of a
+broadcast ref (zero-copy for numpy from plasma, microseconds after the
+first fetch on a node), so actors would buy nothing but spin-up
+latency and a fixed concurrency cap. A task pool reuses Ray's
+long-lived worker processes (the cache persists across batches and
+jobs) and scales to every core on every node. Same reasoning as the
+MinHash banding task pool (``stages/dedup.py``), where this conversion
+measured a ~20% stage win at 32 CPUs.
+
+Selection kernels are loop-free: batch rows are pre-sorted by id so a
+STABLE argsort on negated scores yields exactly (score desc, id asc)
+per query in one C call; multi-list candidates reduce through one
+lexsort-segmented top-k (``_topk_rows``). No per-query Python append
+loops — O(queries x k) output is built by column stacking.
 """
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -23,6 +44,98 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def _emb_matrix(series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _emb_matrix_arrow(col) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list<float> column —
+    zero-copy flatten + reshape when the lists are rectangular and
+    null-free (the embedding-table contract), per-row fallback
+    otherwise."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(a.type) and a.null_count == 0:
+        flat = a.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64).reshape(len(a), a.type.list_size)
+    if (pa.types.is_list(a.type) or pa.types.is_large_list(a.type)) and a.null_count == 0:
+        import pyarrow.compute as pc
+
+        widths = pc.list_value_length(a).to_numpy(zero_copy_only=False)
+        if len(widths) and (widths == widths[0]).all():
+            flat = a.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64).reshape(len(a), int(widths[0]))
+    return np.stack([np.asarray(v, dtype=np.float64) for v in a.to_pylist()])
+
+
+# per-worker-process cache of broadcast state: keyed by ObjectRef hex,
+# capped small (a long-lived worker sees a handful of jobs; numpy
+# entries are plasma-backed views, so the cap also bounds pinned
+# object-store memory)
+_BCAST: "OrderedDict[str, object]" = OrderedDict()
+
+
+def _fetch(ref):
+    key = ref.hex()
+    if key not in _BCAST:
+        import ray
+
+        _BCAST[key] = ray.get(ref)
+        while len(_BCAST) > 8:
+            _BCAST.popitem(last=False)
+    return _BCAST[key]
+
+
+_TOPK_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64())
+])
+
+
+def _empty_topk() -> pa.Table:
+    return _TOPK_SCHEMA.empty_table()
+
+
+def _ids_emb(batch: pa.Table, id_col: str, emb_col: str):
+    """Decode + pre-sort a batch by id ascending: with rows in id
+    order, a STABLE descending-score sort is exactly the engine's
+    (score desc, neighbor_id asc) determinism contract."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    emb = _normalize(_emb_matrix_arrow(batch[emb_col]))
+    order = np.argsort(ids, kind="stable")
+    return ids[order], emb[order]
+
+
+def _rowwise_topk(qids: np.ndarray, scores: np.ndarray, ids: np.ndarray, k: int) -> pa.Table:
+    """Exact per-row top-k of a dense (Q, B) score matrix whose columns
+    are id-ascending; excluded entries carry -inf. One stable argsort,
+    no Python loop over queries."""
+    if scores.size == 0:
+        return _empty_topk()
+    kk = min(k, scores.shape[1])
+    sel = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+    ssel = np.take_along_axis(scores, sel, axis=1)
+    valid = (ssel > -np.inf).ravel()
+    return pa.table({
+        "query_id": np.repeat(qids.astype(np.int64), kk)[valid],
+        "neighbor_id": ids[sel].ravel()[valid].astype(np.int64),
+        "score": ssel.ravel()[valid],
+    }, schema=_TOPK_SCHEMA)
+
+
+def _topk_rows(qids: np.ndarray, nids: np.ndarray, scores: np.ndarray, k: int) -> pa.Table:
+    """Per-query top-k over a flat candidate list (query_id, neighbor,
+    score) — the reduce for multi-list/multi-bucket accumulation. One
+    lexsort by (query, -score, id), then a segmented rank cut."""
+    if len(qids) == 0:
+        return _empty_topk()
+    order = np.lexsort((nids, -scores, qids))
+    qs, ns, ss = qids[order], nids[order], scores[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    seg_len = np.diff(np.r_[starts, len(qs)])
+    rank = np.arange(len(qs)) - np.repeat(starts, seg_len)
+    keep = rank < k
+    return pa.table({
+        "query_id": qs[keep].astype(np.int64),
+        "neighbor_id": ns[keep].astype(np.int64),
+        "score": ss[keep],
+    }, schema=_TOPK_SCHEMA)
 
 
 def _global_topk(k: int):
@@ -43,7 +156,6 @@ def _global_topk(k: int):
     return global_topk
 
 
-
 def knn_cosine(
     emb_ds,
     query_df: pd.DataFrame,
@@ -62,30 +174,17 @@ def knn_cosine(
     qids = query_df[id_col].to_numpy()
     ref = ray.put((qids, qmat))
 
-    class LocalTopK:
-        def __init__(self):
-            self.qids, self.qmat = ray.get(ref)
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk()
+        st_qids, st_qmat = _fetch(ref)
+        ids, emb = _ids_emb(batch, id_col, emb_col)
+        scores = st_qmat @ emb.T  # (Q, B)
+        if exclude_self:
+            scores[st_qids[:, None] == ids[None, :]] = -np.inf
+        return _rowwise_topk(st_qids, scores, ids, k)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            emb = _normalize(_emb_matrix(batch[emb_col]))
-            ids = batch[id_col].to_numpy()
-            scores = self.qmat @ emb.T  # (Q, B)
-            rows = []
-            for qi, qid in enumerate(self.qids):
-                s = scores[qi]
-                mask = ids != qid if exclude_self else np.ones(len(ids), bool)
-                cand = np.flatnonzero(mask)
-                if len(cand) == 0:
-                    continue
-                # local top-k: order by (-score, id) for determinism
-                order = cand[np.lexsort((ids[cand], -s[cand]))][:k]
-                for j in order:
-                    rows.append((int(qid), int(ids[j]), float(s[j])))
-            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
-
-    local = emb_ds.map_batches(
-        LocalTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    local = emb_ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
 
     return local.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
 
@@ -100,9 +199,12 @@ def ann_lsh_topk(
     seed: int = 42,
 ):
     """Approximate top-k: random-hyperplane LSH bucketing; only vectors
-    whose sign-signature matches a query's bucket are scored. Recall
-    traded for ~2^planes less compute; the bucket id is a deterministic
-    function of (seed, embedding) so results are reproducible."""
+    whose sign-signature matches a query's bucket are scored (the
+    matmul runs per distinct query bucket over just its matching batch
+    rows — the ~2^planes compute saving is preserved, not papered over
+    with a full score matrix). Recall traded for compute; the bucket id
+    is a deterministic function of (seed, embedding) so results are
+    reproducible."""
     import ray
 
     dim = len(query_df[emb_col].iloc[0])
@@ -113,30 +215,27 @@ def ann_lsh_topk(
     qbucket = qsig @ (1 << np.arange(num_planes, dtype=np.uint64))
     ref = ray.put((qids, qmat, qbucket, planes))
 
-    class BucketTopK:
-        def __init__(self):
-            self.qids, self.qmat, self.qbucket, self.planes = ray.get(ref)
+    def bucket_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk()
+        st_qids, st_qmat, st_qbucket, st_planes = _fetch(ref)
+        ids, emb = _ids_emb(batch, id_col, emb_col)
+        sig = (emb @ st_planes.T > 0).astype(np.uint8)
+        bucket = sig @ (1 << np.arange(st_planes.shape[0], dtype=np.uint64))
+        parts = []
+        for b in np.unique(st_qbucket):  # <= min(Q, 2^planes) groups
+            qsel = np.flatnonzero(st_qbucket == b)
+            cand = np.flatnonzero(bucket == b)
+            if len(cand) == 0:
+                continue
+            sub = st_qmat[qsel] @ emb[cand].T  # (Qb, Nb)
+            sub[st_qids[qsel][:, None] == ids[cand][None, :]] = -np.inf
+            parts.append(_rowwise_topk(st_qids[qsel], sub, ids[cand], k))
+        if not parts:
+            return _empty_topk()
+        return pa.concat_tables(parts)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            emb = _normalize(_emb_matrix(batch[emb_col]))
-            ids = batch[id_col].to_numpy()
-            sig = (emb @ self.planes.T > 0).astype(np.uint8)
-            bucket = sig @ (1 << np.arange(self.planes.shape[0], dtype=np.uint64))
-            rows = []
-            for qi, qid in enumerate(self.qids):
-                mask = (bucket == self.qbucket[qi]) & (ids != qid)
-                cand = np.flatnonzero(mask)
-                if len(cand) == 0:
-                    continue
-                s = self.qmat[qi] @ emb[cand].T
-                order = np.lexsort((ids[cand], -s))[:k]
-                for o in order:
-                    rows.append((int(qid), int(ids[cand[o]]), float(s[o])))
-            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
-
-    local = emb_ds.map_batches(
-        BucketTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    local = emb_ds.map_batches(bucket_topk, batch_format="pyarrow", batch_size=4096)
 
     return local.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
 
@@ -160,26 +259,19 @@ def cosine_dup_pairs(
     aids = all_df[id_col].to_numpy()
     ref = ray.put((aids, amat))
 
-    class DupPairs:
-        def __init__(self):
-            self.aids, self.amat = ray.get(ref)
+    def dup_pairs(batch: pa.Table) -> pa.Table:
+        st_aids, st_amat = _fetch(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        emb = _normalize(_emb_matrix_arrow(batch[emb_col]))
+        scores = emb @ st_amat.T  # (B, N)
+        bi, aj = np.nonzero(scores >= threshold)
+        keep = ids[bi] < st_aids[aj]  # dedupe + drop self-pairs
+        return pa.table({
+            "id_a": ids[bi][keep].astype(np.int64),
+            "id_b": st_aids[aj][keep].astype(np.int64),
+        })
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            emb = _normalize(_emb_matrix(batch[emb_col]))
-            ids = batch[id_col].to_numpy()
-            scores = emb @ self.amat.T  # (B, N)
-            bi, aj = np.nonzero(scores >= threshold)
-            keep = ids[bi] < self.aids[aj]  # dedupe + drop self-pairs
-            return pd.DataFrame(
-                {
-                    "id_a": ids[bi][keep].astype(np.int64),
-                    "id_b": self.aids[aj][keep].astype(np.int64),
-                }
-            )
-
-    return emb_ds.map_batches(
-        DupPairs, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    return emb_ds.map_batches(dup_pairs, batch_format="pyarrow", batch_size=4096)
 
 
 def ivf_dup_pairs(
@@ -219,26 +311,25 @@ def ivf_dup_pairs(
     ref = ray.put(cents)
     probes = max(1, assign_probes)
 
-    class AssignLists:
-        def __init__(self):
-            self.cents = ray.get(ref)
+    def assign_lists(batch: pa.Table) -> pa.Table:
+        st_cents = _fetch(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        emb = _normalize(_emb_matrix_arrow(batch[emb_col]))
+        sims = emb @ st_cents.T
+        k = min(probes, sims.shape[1])
+        lists = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        rep = np.repeat(np.arange(len(ids)), k)
+        flat = emb[rep].ravel()
+        emb_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float64()), emb.shape[1]
+        )
+        return pa.table({
+            "list_id": pa.array(lists.reshape(-1).astype(np.int64)),
+            id_col: pa.array(ids[rep].astype(np.int64)),
+            emb_col: emb_list,
+        })
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            emb = _normalize(_emb_matrix(batch[emb_col]))
-            ids = batch[id_col].to_numpy()
-            sims = emb @ self.cents.T
-            k = min(probes, sims.shape[1])
-            lists = np.argsort(-sims, axis=1, kind="stable")[:, :k]
-            rep = np.repeat(np.arange(len(ids)), k)
-            return pd.DataFrame({
-                "list_id": lists.reshape(-1).astype(np.int64),
-                id_col: ids[rep].astype(np.int64),
-                emb_col: [emb[i] for i in rep],
-            })
-
-    assigned = emb_ds.map_batches(
-        AssignLists, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    assigned = emb_ds.map_batches(assign_lists, batch_format="pyarrow", batch_size=4096)
 
     def pairs_in_list(g: pd.DataFrame) -> pd.DataFrame:
         emb = np.stack(g[emb_col].to_numpy())
@@ -290,24 +381,20 @@ def kmeans_assign(
     )
     ref = ray.put(cents)
 
-    class Assign:
-        def __init__(self):
-            self.cents = ray.get(ref)
+    def assign(batch: pa.Table) -> pa.Table:
+        st_cents = _fetch(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        emb = _normalize(_emb_matrix_arrow(batch[emb_col]))
+        sims = emb @ st_cents.T
+        c = sims.argmax(axis=1)
+        best = sims[np.arange(len(c)), c]
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(c.astype(np.int64)),
+            "sim_e6": pa.array(np.round(best * 1e6).astype(np.int64)),
+        })
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            emb = _normalize(_emb_matrix(batch[emb_col]))
-            sims = emb @ self.cents.T
-            c = sims.argmax(axis=1)
-            best = sims[np.arange(len(c)), c]
-            return pd.DataFrame({
-                id_col: batch[id_col].to_numpy().astype(np.int64),
-                "cluster": c.astype(np.int64),
-                "sim_e6": np.round(best * 1e6).astype(np.int64),
-            })
-
-    return emb_ds.map_batches(
-        Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    return emb_ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
@@ -345,8 +432,11 @@ def ivf_topk(
     against vectors in that query's ``nprobe`` closest lists — the
     classic Faiss-style IVF recall/compute trade
     (cf. Johnson et al., "Billion-scale similarity search with GPUs").
-    Batches never materialize the full score matrix; the final global
-    top-k reduce shuffles O(batches x k) rows.
+    The matmul runs per probed LIST over just its assigned batch rows
+    (queries probing a list are batched together), candidates from a
+    query's lists reduce through one segmented top-k; batches never
+    materialize the full score matrix and the final global reduce
+    shuffles O(batches x k) rows.
     """
     import ray
 
@@ -358,29 +448,36 @@ def ivf_topk(
     qlists = np.argsort(-(qmat @ cents.T), axis=1)[:, : max(1, nprobe)]
     ref = ray.put((qids, qmat, qlists, cents))
 
-    class IVFTopK:
-        def __init__(self):
-            self.qids, self.qmat, self.qlists, self.cents = ray.get(ref)
+    def ivf_local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk()
+        st_qids, st_qmat, st_qlists, st_cents = _fetch(ref)
+        ids, emb = _ids_emb(batch, id_col, emb_col)
+        assign = (emb @ st_cents.T).argmax(axis=1)
+        acc_q, acc_n, acc_s = [], [], []
+        for lst in np.unique(st_qlists):  # <= min(Q*nprobe, num_lists) groups
+            qsel = np.flatnonzero((st_qlists == lst).any(axis=1))
+            cand = np.flatnonzero(assign == lst)
+            if len(cand) == 0:
+                continue
+            sub = st_qmat[qsel] @ emb[cand].T  # (Ql, Nl)
+            qi = st_qids[qsel]
+            ci = ids[cand]
+            mask = qi[:, None] != ci[None, :]
+            nz_q, nz_c = np.nonzero(mask)
+            acc_q.append(qi[nz_q])
+            acc_n.append(ci[nz_c])
+            acc_s.append(sub[nz_q, nz_c])
+        if not acc_q:
+            return _empty_topk()
+        # each batch vector lives in exactly ONE list (argmax assign),
+        # so the accumulated candidates are duplicate-free; one
+        # segmented top-k reduces a query's multi-list candidates
+        return _topk_rows(
+            np.concatenate(acc_q), np.concatenate(acc_n), np.concatenate(acc_s), k
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            emb = _normalize(_emb_matrix(batch[emb_col]))
-            ids = batch[id_col].to_numpy()
-            assign = (emb @ self.cents.T).argmax(axis=1)
-            rows = []
-            for qi, qid in enumerate(self.qids):
-                mask = np.isin(assign, self.qlists[qi]) & (ids != qid)
-                cand = np.flatnonzero(mask)
-                if len(cand) == 0:
-                    continue
-                s = self.qmat[qi] @ emb[cand].T
-                order = np.lexsort((ids[cand], -s))[:k]
-                for o in order:
-                    rows.append((int(qid), int(ids[cand[o]]), float(s[o])))
-            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
-
-    local = emb_ds.map_batches(
-        IVFTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    local = emb_ds.map_batches(ivf_local, batch_format="pyarrow", batch_size=4096)
 
     return local.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
 
@@ -446,21 +543,18 @@ def pq_encode(
 
     ref = ray.put(books)
 
-    class Encode:
-        def __init__(self):
-            self.books = ray.get(ref)
+    def encode(batch: pa.Table) -> pa.Table:
+        st_books = _fetch(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        emb = _normalize(_emb_matrix_arrow(batch[emb_col]))
+        codes = _pq_codes(emb, st_books)  # (n, m) uint8, C-contiguous
+        m = codes.shape[1]
+        code_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), len(ids), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table({id_col: pa.array(ids), "pq_code": code_arr})
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            emb = _normalize(_emb_matrix(batch[emb_col]))
-            codes = _pq_codes(emb, self.books)
-            return pd.DataFrame({
-                id_col: batch[id_col].to_numpy(),
-                "pq_code": [c.tobytes() for c in codes],
-            })
-
-    return emb_ds.map_batches(
-        Encode, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    return emb_ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)
 
 
 def pq_topk(
@@ -478,12 +572,14 @@ def pq_topk(
     """PQ approximate top-k: asymmetric distance computation (ADC)
     shortlists ``rerank*k`` candidates per batch — each query
     precomputes an (m × kcodes) lookup table of subspace dot products
-    ONCE, and a candidate's ADC score is m table gathers summed — then
-    only the shortlist is re-scored exactly against the full vectors
-    already in the batch (the ADC+R re-rank of Jégou et al. 2011 §V;
-    exact work drops from O(n·d) to O(rerank·k·d) per query). Same
-    output contract as ivf_topk / ann_lsh_topk (query_id, neighbor_id,
-    rank); global reduce shuffles O(batches × k) rows."""
+    ONCE, a candidate's ADC score is m table gathers summed (the full
+    (Q, B) ADC matrix builds in m vectorized gathers, no per-query
+    loop) — then only the per-query shortlist (one argpartition row
+    cut) is re-scored exactly against the full vectors already in the
+    batch (the ADC+R re-rank of Jégou et al. 2011 §V; exact work drops
+    from O(n·d) to O(rerank·k·d) per query). Same output contract as
+    ivf_topk / ann_lsh_topk (query_id, neighbor_id, rank); global
+    reduce shuffles O(batches × k) rows."""
     import ray
 
     train = train_sample if train_sample is not None else query_df
@@ -496,32 +592,33 @@ def pq_topk(
     ref = ray.put((qids, qmat, lut, books))
     shortlist = rerank * k
 
-    class PQTopK:
-        def __init__(self):
-            self.qids, self.qmat, self.lut, self.books = ray.get(ref)
+    def pq_local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk()
+        st_qids, st_qmat, st_lut, st_books = _fetch(ref)
+        ids, emb = _ids_emb(batch, id_col, emb_col)
+        codes = _pq_codes(emb, st_books)  # (n, m)
+        n, mj = codes.shape
+        # dense ADC matrix (Q, n): m vectorized LUT gathers
+        s_adc = np.zeros((len(st_qids), n))
+        for j in range(mj):
+            s_adc += st_lut[:, j, codes[:, j]]
+        s_adc[st_qids[:, None] == ids[None, :]] = -np.inf  # self-exclusion
+        if n > shortlist:
+            sel = np.argpartition(-s_adc, shortlist, axis=1)[:, :shortlist]
+        else:
+            sel = np.broadcast_to(np.arange(n), (len(st_qids), n))
+        # exact re-rank of each query's shortlist: gather + einsum
+        s_exact = np.einsum("qsd,qd->qs", emb[sel], st_qmat)
+        s_exact = np.where(
+            np.take_along_axis(s_adc, sel, axis=1) > -np.inf, s_exact, -np.inf
+        )
+        qrep = np.repeat(st_qids, sel.shape[1])
+        valid = (s_exact > -np.inf).ravel()
+        return _topk_rows(
+            qrep[valid], ids[sel].ravel()[valid], s_exact.ravel()[valid], k
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            emb = _normalize(_emb_matrix(batch[emb_col]))
-            ids = batch[id_col].to_numpy()
-            codes = _pq_codes(emb, self.books)  # (n, m)
-            rows = []
-            j_idx = np.arange(codes.shape[1])
-            for qi, qid in enumerate(self.qids):
-                # ADC: sum over subspaces of LUT gathers
-                s_adc = self.lut[qi][j_idx, codes].sum(axis=1)
-                cand = np.flatnonzero(ids != qid)
-                if len(cand) > shortlist:
-                    keep = np.argpartition(-s_adc[cand], shortlist)[:shortlist]
-                    cand = cand[keep]
-                # exact re-rank of the shortlist only
-                s = emb[cand] @ self.qmat[qi]
-                order = np.lexsort((ids[cand], -s))[:k]
-                for o in order:
-                    rows.append((int(qid), int(ids[cand[o]]), float(s[o])))
-            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
-
-    local = emb_ds.map_batches(
-        PQTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
-    )
+    local = emb_ds.map_batches(pq_local, batch_format="pyarrow", batch_size=4096)
 
     return local.groupby("query_id").map_groups(_global_topk(k), batch_format="pandas")
