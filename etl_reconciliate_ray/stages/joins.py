@@ -22,6 +22,7 @@ message (J1 ``LoadSwiftMessagesTasklet.java:44``, J2
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -68,20 +69,59 @@ def broadcast_join(
     )
 
 
+def _derive_num_buckets(
+    left_ds, right_ds, target_bucket_bytes: int, floor: int = 32, cap: int = 4096
+) -> int:
+    """Size-derived bucket count for ``hash_join``: with a FIXED
+    bucket count, per-bucket pandas merges grow linearly with input —
+    a 100x-scale foot-gun. Estimate input bytes from the datasets'
+    input FILES (metadata only — never triggers execution; parquet
+    compression is compensated with a 4x in-memory factor) and pick
+    enough buckets that each holds ~``target_bucket_bytes``. Datasets
+    whose lineage hides the input files (from_pandas, post-shuffle)
+    estimate as unknown and fall back to the floor — callers at known
+    scale pass ``num_buckets`` explicitly, as the headline pipelines
+    do."""
+    total = 0
+    for ds in (left_ds, right_ds):
+        try:
+            files = ds.input_files()
+        except Exception:
+            return floor
+        if not files:
+            return floor
+        for f in files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                return floor
+    est_mem = total * 4  # parquet -> Arrow in-memory expansion
+    return max(floor, min(cap, -(-est_mem // max(1, target_bucket_bytes))))
+
+
 def hash_join(
     left_ds,
     right_ds,
     on: Sequence[str] | str,
     how: str = "inner",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     suffixes: tuple[str, str] = ("_l", "_r"),
+    target_bucket_bytes: int = 256 << 20,
 ):
     """Partitioned hash join of two large Datasets (single shuffle).
+
+    ``num_buckets=None`` (default) derives the bucket count from the
+    inputs' file sizes targeting ~``target_bucket_bytes`` of in-memory
+    data per bucket (floor 32) — see ``_derive_num_buckets``; pass an
+    explicit count to pin the layout. The bucket count is semantically
+    invisible (same rows either way).
 
     Colliding non-key column names get ``suffixes`` applied up front so
     the unioned stream has one uniform schema (Ray blocks must align).
     """
     on = [on] if isinstance(on, str) else list(on)
+    if num_buckets is None:
+        num_buckets = _derive_num_buckets(left_ds, right_ds, target_bucket_bytes)
     ls, rs = left_ds.schema(), right_ds.schema()  # ray.data Schema: .names/.types
 
     def _pa_type(t):
@@ -187,7 +227,9 @@ def _salted_route(
     return pa.array(_mix64(comp).view(np.int64), pa.int64())
 
 
-def hash_semi_join(left_ds, right_ds, on: Sequence[str] | str, num_buckets: int = 32):
+def hash_semi_join(
+    left_ds, right_ds, on: Sequence[str] | str, num_buckets: int | None = None
+):
     """Partitioned semi join for BIG-BIG membership: left rows whose key
     appears in the right Dataset, when the right key set is too large to
     broadcast (the scale path past ``broadcast_semi_join`` /

@@ -1236,3 +1236,49 @@ def test_incremental_dedup_matches_planted_sources(ray_session):
     ).sum()
     assert len(own) >= max(1, int(0.95 * n_sources))
     assert (out["jaccard"] >= 0.8).all()
+
+
+def test_hash_join_derives_num_buckets_from_input_size(ray_session, tmp_path):
+    """num_buckets=None sizes the bucket split from the inputs' file
+    bytes (metadata only, ~target bytes per bucket, floor 32) — the
+    100x-scale guard against linear per-bucket merge growth — and the
+    bucket count is semantically invisible: a tiny-target derived run
+    returns exactly the rows of an explicit num_buckets=32 run."""
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.joins import _derive_num_buckets, hash_join
+
+    left = pa.table({
+        "k": pa.array(np.arange(3000, dtype=np.int64) % 500),
+        "lv": pa.array(np.arange(3000, dtype=np.int64)),
+    })
+    right = pa.table({
+        "k": pa.array(np.arange(500, dtype=np.int64)),
+        "rv": pa.array(np.arange(500, dtype=np.int64) * 7),
+    })
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq_mod.write_table(left, lp)
+    pq_mod.write_table(right, rp)
+
+    # derived count scales with bytes/target: a tiny target must push
+    # past the 32 floor, a huge target sits at the floor
+    ldd, rdd = rd.read_parquet(lp), rd.read_parquet(rp)
+    assert _derive_num_buckets(ldd, rdd, target_bucket_bytes=1024) > 32
+    assert _derive_num_buckets(ldd, rdd, target_bucket_bytes=1 << 40) == 32
+    # lineage without file provenance falls back to the floor
+    assert _derive_num_buckets(
+        rd.from_arrow(left), rd.from_arrow(right), target_bucket_bytes=1024
+    ) == 32
+
+    def canon(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    derived = hash_join(
+        rd.read_parquet(lp), rd.read_parquet(rp), on="k",
+        target_bucket_bytes=1024,
+    ).to_pandas()
+    pinned = hash_join(
+        rd.read_parquet(lp), rd.read_parquet(rp), on="k", num_buckets=32
+    ).to_pandas()
+    pd.testing.assert_frame_equal(canon(derived), canon(pinned))
