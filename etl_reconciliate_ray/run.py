@@ -20,17 +20,18 @@ import os
 
 def _strip_serve(raw: list[str]) -> list[str]:
     """The argv the triggered job reruns with: this CLI run minus the
-    serve flag, in both spellings ('--serve PORT' and '--serve=PORT').
-    Argparse prefix-abbreviations of --serve are not supported here."""
+    serve-mode flags (--serve and --every), in both spellings
+    ('--flag VALUE' and '--flag=VALUE'). Argparse prefix-abbreviations
+    of these flags are not supported here."""
     inner, skip = [], False
     for tok in raw:
         if skip:
             skip = False
             continue
-        if tok == "--serve":
+        if tok in ("--serve", "--every"):
             skip = True
             continue
-        if tok.startswith("--serve="):
+        if tok.startswith("--serve=") or tok.startswith("--every="):
             continue
         inner.append(tok)
     return inner
@@ -125,7 +126,15 @@ def main(argv: list[str] | None = None) -> dict:
                         "once: GET /execute launches this exact job "
                         "(single-flight, 409 while active), GET /status reports "
                         "the last run; blocks until interrupted")
+    p.add_argument("--every", type=float, default=None, metavar="SECONDS",
+                   help="with --serve: additionally run the job on this fixed "
+                        "interval (the reference's disabled @Scheduled cron, "
+                        "SchedulerConfig.java:6-9, made live); a tick that "
+                        "overlaps an active run is skipped, never stacked")
     args = p.parse_args(argv)
+
+    if args.every is not None and args.serve is None:
+        p.error("--every schedules the served trigger; pass --serve PORT too")
 
     # flag-combination validation up front: rejecting --export-envelopes
     # without --export-feed only AFTER a full replay would make the user
@@ -221,7 +230,9 @@ def main(argv: list[str] | None = None) -> dict:
         # path for batch and triggered execution (the reference's
         # JobLauncher launches the same Job the cron would).
         raw = list(argv) if argv is not None else __import__("sys").argv[1:]
-        srv = TriggerServer(lambda: main(_strip_serve(raw)), port=args.serve)
+        srv = TriggerServer(
+            lambda: main(_strip_serve(raw)), port=args.serve, every=args.every
+        )
         host, port = srv.start()
         print(json.dumps({"serving": f"http://{host}:{port}/execute"}), flush=True)
         try:

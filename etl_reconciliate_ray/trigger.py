@@ -31,12 +31,27 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 class TriggerServer:
     """Minimal single-flight job trigger. ``job`` is a zero-arg
-    callable returning a JSON-serializable dict (its metrics)."""
+    callable returning a JSON-serializable dict (its metrics).
 
-    def __init__(self, job, host: str = "127.0.0.1", port: int = 0):
+    ``every`` (seconds) additionally runs the job on a fixed interval —
+    the reference's disabled cron schedule (``@EnableScheduling``,
+    ``config/SchedulerConfig.java:6-9``; commented ``@Scheduled`` on the
+    same ``reconcile()``, ``ReconciliationController.java:41-42``) made
+    live: each tick goes through the SAME single-flight ``_launch`` as
+    ``/execute``, so a tick that overlaps an active run (scheduled or
+    manual) is SKIPPED, never stacked — the skip count is reported in
+    ``/status`` as ``skipped_ticks``."""
+
+    def __init__(
+        self, job, host: str = "127.0.0.1", port: int = 0,
+        every: float | None = None,
+    ):
         self._job = job
         self._lock = threading.Lock()
         self._state: dict = {"state": "idle"}
+        self._every = every
+        self._ticker_stop = threading.Event()
+        self._skipped_ticks = 0
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -68,11 +83,25 @@ class TriggerServer:
     # -- lifecycle -------------------------------------------------------
     def start(self) -> tuple[str, int]:
         self._thread.start()
+        if self._every is not None:
+            threading.Thread(
+                target=self._tick_loop, name="trigger-cron", daemon=True
+            ).start()
         return self._httpd.server_address[:2]
 
     def stop(self) -> None:
+        self._ticker_stop.set()
         self._httpd.shutdown()
         self._httpd.server_close()
+
+    def _tick_loop(self) -> None:
+        # wait-first cadence: the serve start isn't itself a tick (the
+        # reference's cron fires on schedule, not at boot)
+        while not self._ticker_stop.wait(self._every):
+            started, _ = self._launch()
+            if not started:
+                with self._lock:
+                    self._skipped_ticks += 1
 
     # -- job bookkeeping ---------------------------------------------------
     def _launch(self) -> tuple[bool, dict]:
@@ -106,4 +135,8 @@ class TriggerServer:
 
     def status(self) -> dict:
         with self._lock:
-            return dict(self._state)
+            st = dict(self._state)
+            if self._every is not None:
+                st["every"] = self._every
+                st["skipped_ticks"] = self._skipped_ticks
+            return st

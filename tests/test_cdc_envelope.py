@@ -555,3 +555,52 @@ def test_exported_envelopes_reingest_roundtrip(env_fixture, tmp_path, ray_sessio
     rep = lake_table(rcfg.lake_root).select(["repo", "path", "content_sha256"])
     key = lambda t: {(r["repo"], r["path"]): r["content_sha256"] for r in t.to_pylist()}
     assert key(rep) == key(src)
+
+
+def test_trigger_envelope_ingest_export_chain(env_fixture, tmp_path, ray_session):
+    """The served trigger driving the full envelope loop (the
+    reference's REST-triggered 4-step job, BatchConfig.java:59-68,
+    mapped onto the CDC path): POST-free GET /execute with an
+    --envelope-dir job body must leave lake state + feed segments
+    identical to the plain CLI invocation."""
+    import time
+    import urllib.request
+
+    from etl_reconciliate_ray.pipelines.replay import lake_state_hash
+    from etl_reconciliate_ray.run import main
+    from etl_reconciliate_ray.trigger import TriggerServer
+
+    root = env_fixture["root"]
+    seed = str(root / "fix" / "lake_seed.parquet")
+
+    def argv(lake, feed):
+        return [
+            "--envelope-dir", str(root / "env"), "--lake-seed", seed,
+            "--lake", lake, "--num-buckets", "8", "--export-feed", feed,
+        ]
+
+    lake_cli, feed_cli = str(tmp_path / "lake_cli"), str(tmp_path / "feed_cli")
+    main(argv(lake_cli, feed_cli))
+
+    lake_t, feed_t = str(tmp_path / "lake_t"), str(tmp_path / "feed_t")
+    srv = TriggerServer(lambda: main(argv(lake_t, feed_t)))
+    host, port = srv.start()
+    try:
+        urllib.request.urlopen(f"http://{host}:{port}/execute")
+        st = {}
+        for _ in range(600):
+            st = json.loads(
+                urllib.request.urlopen(f"http://{host}:{port}/status").read()
+            )
+            if st["state"] in ("done", "failed"):
+                break
+            time.sleep(0.1)
+        assert st["state"] == "done", st
+    finally:
+        srv.stop()
+
+    assert lake_state_hash(lake_t) == lake_state_hash(lake_cli)
+    segs = sorted(os.listdir(os.path.join(feed_t, "feed")))
+    assert segs and segs == sorted(os.listdir(os.path.join(feed_cli, "feed")))
+    for s in segs:
+        assert os.path.exists(os.path.join(feed_t, "feed", s, "_SEALED"))

@@ -1522,3 +1522,42 @@ def test_cli_bucket_stats_flag(fixture_small, tmp_path, ray_session, capsys):
     assert lines, "audit summary printed"
     s = json.loads(lines[0])["bucket_stats"]
     assert s["parts"] > 0 and s["total_chain_rows"] > 0 and s["skew"] >= 1.0
+
+
+def test_trigger_interval_scheduler_single_flight():
+    """The --every cron wrapper (the reference's disabled @Scheduled,
+    SchedulerConfig.java:6-9): ticks fire the same single-flight launch
+    as /execute, so ticks overlapping an active run yield exactly one
+    run plus counted skips, and a later tick runs again once released."""
+    import threading
+    import time
+
+    from etl_reconciliate_ray.trigger import TriggerServer
+
+    gate = threading.Event()
+    runs = []
+
+    def job():
+        runs.append(time.time())
+        gate.wait(timeout=10)
+        return {"ok": True}
+
+    srv = TriggerServer(job, every=0.05)
+    srv.start()
+    try:
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            st = srv.status()
+            if st.get("skipped_ticks", 0) >= 1:
+                break
+            time.sleep(0.02)
+        assert len(runs) == 1, runs  # overlapping ticks never stacked
+        assert srv.status()["skipped_ticks"] >= 1
+        assert srv.status()["every"] == 0.05
+        gate.set()
+        deadline = time.time() + 5
+        while len(runs) < 2 and time.time() < deadline:
+            time.sleep(0.02)
+        assert len(runs) >= 2  # the schedule resumed after completion
+    finally:
+        srv.stop()
