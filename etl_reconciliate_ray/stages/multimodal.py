@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decoded / feature-extracted by actor-pool stages.
 
-The image/audio codecs are NOT in this container, so the decode kernel
-is stubbed (``decode_stub`` raises ``NotImplementedError`` unless the
-deterministic fake is enabled) — but the Ray-side plumbing is real and
-tested: binary column schema, small batch sizes for wide payloads,
-actor signature, and output layout all match what a real
-libjpeg/ffmpeg-backed stage would use.
+Image decode is REAL everywhere: ``codec="auto"`` resolves PIL when
+installed and otherwise falls back to the in-repo pure-Python PNG
+codec (``functions/minipng.py``, stdlib zlib only) — so the decode ->
+featurize / resize branch runs and is tested even in containers that
+ship no media libraries. Audio/video codecs are still stubbed
+(``decode_stub`` raises ``NotImplementedError`` unless the
+deterministic fake is enabled); the Ray-side plumbing — binary column
+schema, small batch sizes for wide payloads, actor signature, output
+layout — matches what a libjpeg/ffmpeg-backed stage would use.
 """
 
 from __future__ import annotations
@@ -42,18 +45,28 @@ def _import_pil():
 
 
 def _resolve_codec(codec: str):
-    """Map the ``codec`` knob to a PIL Image module or None (= fake).
-    ``"auto"`` uses PIL when importable; ``"pil"`` requires it;
+    """Map the ``codec`` knob to an Image backend or None (= fake).
+    ``"auto"`` uses PIL when importable, else the pure-Python PNG
+    fallback (``functions/minipng`` — real decode, stdlib only);
+    ``"pil"`` requires PIL; ``"minipng"`` forces the fallback;
     ``"fake"`` forces the deterministic fake."""
     if codec == "fake":
         return None
+    if codec == "minipng":
+        from ..functions import minipng
+
+        return minipng
     img = _import_pil()
     if codec == "pil" and img is None:
         raise ImportError("codec='pil' requested but PIL is not installed")
+    if codec in ("pil",):
+        return img
     if codec == "auto":
-        return img
-    if codec == "pil":
-        return img
+        if img is not None:
+            return img
+        from ..functions import minipng
+
+        return minipng
     raise ValueError(f"unknown codec mode: {codec!r}")
 
 
@@ -75,7 +88,8 @@ def decode_stub(payload: bytes, media_type: str, deterministic_fake: bool = Fals
 
 
 def decode_image_features(Image, payload: bytes) -> np.ndarray:
-    """REAL image featurization (used whenever PIL is importable):
+    """REAL image featurization (backend-agnostic: PIL or the minipng
+    fallback — both expose open/convert/resize/asarray):
     decode -> grayscale -> 4x4 thumbnail -> 16 normalized floats — the
     same output shape as the fake, so downstream schema/layout is
     identical in both modes."""

@@ -68,13 +68,22 @@ def test_band_hash_rejects_more_bands_than_perms():
         m.band_hash_matrix(sigs, num_bands=32)
 
 
-def test_media_strict_mode_raises_on_corrupt_payload():
+def _codec_backend(name):
+    """'minipng' always runs (the in-repo pure-Python codec); 'pil'
+    runs wherever PIL is installed and skips elsewhere."""
+    if name == "pil":
+        return pytest.importorskip("PIL.Image")
+    from etl_reconciliate_ray.functions import minipng
+
+    return minipng
+
+
+@pytest.mark.parametrize("backend", ["minipng", "pil"])
+def test_media_strict_mode_raises_on_corrupt_payload(backend):
     """deterministic_fake=False means 'never emit synthetic output':
     a corrupt image under a real codec must raise, not silently mix
-    hash-seeded pseudo-features among real ones (PIL-gated)."""
-    import io
-
-    Image = pytest.importorskip("PIL.Image")
+    hash-seeded pseudo-features among real ones."""
+    _codec_backend(backend)
 
     from etl_reconciliate_ray.stages.multimodal import MediaFeatures, MediaResize
 
@@ -84,9 +93,9 @@ def test_media_strict_mode_raises_on_corrupt_payload():
         "payload": pa.array([b"corrupt"], pa.large_binary()),
     })
     with pytest.raises(Exception):
-        MediaFeatures(deterministic_fake=False, codec="pil")(t)
+        MediaFeatures(deterministic_fake=False, codec=backend)(t)
     with pytest.raises(Exception):
-        MediaResize(width=4, height=3, deterministic_fake=False, codec="pil")(t)
+        MediaResize(width=4, height=3, deterministic_fake=False, codec=backend)(t)
 
 
 def test_commitlog_snapshot_cadence_survives_reopen(tmp_path):
@@ -195,13 +204,14 @@ def test_narrow_offsets_leaves_input_large_types_alone():
     assert pa.types.is_string(back.schema.field("content").type)
 
 
-def test_media_corrupt_payload_falls_back_per_row():
+@pytest.mark.parametrize("backend", ["minipng", "pil"])
+def test_media_corrupt_payload_falls_back_per_row(backend):
     """With a REAL codec resolved, one corrupt image in a batch must
     degrade to the deterministic fake for THAT ROW only, never kill
-    the actor task (skips where PIL is absent — this container)."""
+    the actor task."""
     import io
 
-    Image = pytest.importorskip("PIL.Image")
+    Image = _codec_backend(backend)
 
     from etl_reconciliate_ray.stages.multimodal import MediaFeatures, MediaResize
 
@@ -212,12 +222,12 @@ def test_media_corrupt_payload_falls_back_per_row():
         "media_type": pa.array(["image", "image"]),
         "payload": pa.array([buf.getvalue(), b"corrupt"], pa.large_binary()),
     })
-    out = MediaFeatures(codec="pil")(t)
+    out = MediaFeatures(codec=backend)(t)
     feats = out["feature"].to_pylist()
     assert len(feats) == 2 and all(len(f) == 16 for f in feats)
     # the good row is a real decode (normalized grayscale in [0,1])
     assert all(0.0 <= v <= 1.0 for v in feats[0])
-    r = MediaResize(width=4, height=3, codec="pil")(t)
+    r = MediaResize(width=4, height=3, codec=backend)(t)
     good = Image.open(io.BytesIO(r["payload"].to_pylist()[0]))
     assert good.size == (4, 3)
     assert len(r["payload"].to_pylist()[1]) > 0  # fake bytes, not a crash
@@ -245,3 +255,81 @@ def test_trigram_kernel_seam_masking():
     # genuine spaces INSIDE a doc are real trigrams, not seams
     ids, doc_of = _trigram_ids(["a bc"], np)
     assert sorted(decode(i) for i in ids) == [" bc", "a b"]
+
+
+def test_minipng_roundtrip_and_filters():
+    """The pure-Python PNG fallback: encode->decode round-trips RGB and
+    L exactly; a hand-filtered stream (Sub/Up/Average/Paeth scanlines,
+    the filters real encoders emit) reconstructs the reference image;
+    palette/interlace/garbage refuse loudly."""
+    import io
+    import struct
+    import zlib
+
+    from etl_reconciliate_ray.functions import minipng
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    minipng.MiniImage(rgb, "RGB").save(buf, format="PNG")
+    back = minipng.open(io.BytesIO(buf.getvalue()))
+    assert back.mode == "RGB" and np.array_equal(np.asarray(back), rgb)
+
+    gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    buf = io.BytesIO()
+    minipng.MiniImage(gray, "L").save(buf, format="PNG")
+    assert np.array_equal(np.asarray(minipng.open(io.BytesIO(buf.getvalue()))), gray)
+
+    # hand-filter a known grayscale image with every non-zero filter
+    img = rng.integers(0, 256, (4, 5), dtype=np.uint8).astype(np.int32)
+    rows = []
+    prev = np.zeros(5, np.int32)
+    for y, ftype in enumerate([1, 2, 3, 4]):  # Sub, Up, Average, Paeth
+        cur = img[y]
+        if ftype == 1:
+            f = [cur[i] - (cur[i - 1] if i else 0) for i in range(5)]
+        elif ftype == 2:
+            f = list(cur - prev)
+        elif ftype == 3:
+            f = [cur[i] - (((cur[i - 1] if i else 0) + prev[i]) >> 1)
+                 for i in range(5)]
+        else:
+            f = []
+            for i in range(5):
+                a = int(cur[i - 1]) if i else 0
+                b = int(prev[i])
+                c = int(prev[i - 1]) if i else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                f.append(int(cur[i]) - pred)
+        rows.append(bytes([ftype]) + bytes((v & 0xFF) for v in f))
+        prev = cur
+    body = zlib.compress(b"".join(rows))
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 0, 0, 0, 0)
+    blob = [b"\x89PNG\r\n\x1a\n"]
+    for tag, data in ((b"IHDR", ihdr), (b"IDAT", body), (b"IEND", b"")):
+        blob.append(struct.pack(">I", len(data)) + tag + data)
+        blob.append(struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    dec = minipng.open(io.BytesIO(b"".join(blob)))
+    assert np.array_equal(np.asarray(dec), img.astype(np.uint8))
+
+    # refusals: garbage, palette color type, Adam7 interlace
+    with pytest.raises(ValueError):
+        minipng.open(io.BytesIO(b"nope"))
+    for ct, il in ((3, 0), (0, 1)):
+        bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, ct, 0, 0, il)
+        bad = [b"\x89PNG\r\n\x1a\n"]
+        for tag, data in ((b"IHDR", bad_ihdr),
+                          (b"IDAT", zlib.compress(b"\0\0\0\0\0\0")),
+                          (b"IEND", b"")):
+            bad.append(struct.pack(">I", len(data)) + tag + data)
+            bad.append(struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+        with pytest.raises(ValueError):
+            minipng.open(io.BytesIO(b"".join(bad)))
+
+    # resize: nearest-neighbor integer downscale picks block centers
+    big = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    small = np.asarray(minipng.MiniImage(big, "L").resize((4, 4)))
+    assert small.shape == (4, 4)
+    assert np.array_equal(small, big[np.ix_([0, 2, 4, 6], [0, 2, 4, 6])] + 9)

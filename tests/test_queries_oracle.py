@@ -524,20 +524,25 @@ def test_media_resize_and_frame_sampler_plumbing():
     assert f["frame_ts_ms"].to_pylist()[-3:] == [0, 1000, 2000]
 
 
-def test_media_codec_pil_path_when_installed():
-    """REAL codec path (skips where PIL is absent — this container):
-    MediaFeatures/MediaResize with codec="auto" must decode an actual
-    PNG, emit the same 16-float feature shape as the fake, and resize
-    to the target dims."""
+def test_media_codec_real_decode_path():
+    """REAL codec path — ALWAYS runs now: codec="auto" resolves PIL
+    where installed and the in-repo pure-Python PNG codec elsewhere;
+    MediaFeatures/MediaResize must decode an actual PNG, emit the same
+    16-float feature shape as the fake, and resize to the target
+    dims. A solid-color source makes the decoded luma value exact and
+    backend-independent."""
     import io
 
     import pyarrow as pa
-    import pytest
 
-    Image = pytest.importorskip("PIL.Image")
+    from etl_reconciliate_ray.stages.multimodal import (
+        MediaFeatures,
+        MediaResize,
+        _resolve_codec,
+    )
 
-    from etl_reconciliate_ray.stages.multimodal import MediaFeatures, MediaResize
-
+    Image = _resolve_codec("auto")
+    assert Image is not None  # auto is never the fake
     buf = io.BytesIO()
     Image.new("RGB", (8, 6), (120, 30, 200)).save(buf, format="PNG")
     t = pa.table({
@@ -547,16 +552,19 @@ def test_media_codec_pil_path_when_installed():
     })
     out = MediaFeatures(codec="auto")(t)
     feat = out["feature"].to_pylist()[0]
-    assert len(feat) == 16 and all(0.0 <= v <= 1.0 for v in feat)
+    assert len(feat) == 16
+    # luma of (120, 30, 200) under ITU-R 601 integer weighting = 76
+    assert all(abs(v - 76.0 / 255.0) < 2.0 / 255.0 for v in feat)
     r = MediaResize(width=4, height=3, codec="auto")(t)
     rt = Image.open(io.BytesIO(r["payload"].to_pylist()[0]))
     assert rt.size == (4, 3)
 
 
-def test_media_codec_fake_fallback_without_pil():
-    """codec="auto" without PIL resolves to the deterministic fake
-    (actor init must not crash in codec-less containers), and
-    codec="pil" refuses loudly."""
+def test_media_codec_fake_and_pil_knobs():
+    """codec="auto" decodes for real in every container (PIL or
+    minipng); a corrupt payload still degrades per row to the
+    deterministic fake, so actor init and batch survive. codec="pil"
+    refuses loudly where PIL is absent; codec="fake" never decodes."""
     import importlib.util
 
     import pyarrow as pa
@@ -571,6 +579,8 @@ def test_media_codec_fake_fallback_without_pil():
     })
     out = MediaFeatures(codec="auto")(t)
     assert len(out["feature"].to_pylist()[0]) == 16
+    out_fake = MediaFeatures(codec="fake")(t)
+    assert len(out_fake["feature"].to_pylist()[0]) == 16
     if importlib.util.find_spec("PIL") is None:
         with pytest.raises(ImportError):
             MediaFeatures(codec="pil")
