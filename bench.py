@@ -39,6 +39,11 @@ HEADLINE_QUERIES = [
     # — timed here so the optimization is measured, not asserted.
     "minhash_clusters",
     "span_dedup_docs",
+    # round-5 addition: the whole similarity family moved from fixed
+    # (1,8) actor pools to task pools with vectorized top-k kernels —
+    # ann_variants (LSH+IVF+PQ legs in one run) times that change
+    # alongside the existing knn_cosine row.
+    "ann_variants",
 ]
 
 BENCH_CACHE = "/tmp/etl_rec_bench"
