@@ -68,20 +68,18 @@ def bloom_prefilter(ds, bloom: dict, on: str, invert: bool = False, batch_size: 
     exact join: ``invert=False`` keeps possibly-present rows (semi/join
     prefilter), ``invert=True`` keeps definitely-absent rows (anti-join
     fast path). The filter dict is broadcast once via ``ray.put`` and
-    read per actor."""
+    fetched into a per-worker-process cache — a task pool scaling to
+    every core, no fixed actor cap."""
     import ray
+
+    from .broadcast import fetch
 
     ref = ray.put(bloom)
 
-    class BloomFilterStage:
-        def __init__(self):
-            self.bloom = ray.get(ref)  # 128 KiB-ish, fetched once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = bloom_contains(self.bloom, batch[on])
-            return batch.filter(pa.array(~m if invert else m))
+    def bloom_stage(batch: pa.Table) -> pa.Table:
+        m = bloom_contains(fetch(ref), batch[on])
+        return batch.filter(pa.array(~m if invert else m))
 
     return ds.map_batches(
-        BloomFilterStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 8),
+        bloom_stage, batch_format="pyarrow", batch_size=batch_size
     )

@@ -125,37 +125,36 @@ def fuzzy_self_join(ds, col: str, k: int = 2, q: int = 2):
     order_ref = ray.put(order)
     prefix_n = k * q + 1
 
-    class EmitPrefix:
-        def __init__(self):
-            self.order = ray.get(order_ref)
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import fetch
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            grams, vals = [], []
-            for s in t[col].to_pylist():
-                if len(s) < short_cut:
-                    # short values: the count filter can be void for a
-                    # short-short pair (T <= 0), so they all meet in one
-                    # sentinel pool (bounded: short strings over a finite
-                    # alphabet). A short-LONG pair still has T =
-                    # g_long - k*q >= 1 (the long side is >= q*(k+1) by
-                    # definition), so the gram filter applies — but only
-                    # if the short side emits its FULL gram set (its
-                    # partner's prefix is unknowable), else boundary
-                    # pairs like ('abcd', 'abcdef') are silently lost.
-                    for g in set(_grams(s, q)):
-                        grams.append(g)
-                        vals.append(s)
-                    grams.append("\x00short")
-                    vals.append(s)
-                    continue
-                gs = sorted(set(_grams(s, q)), key=self.order.__getitem__)
-                for g in gs[:prefix_n]:
+        order = fetch(order_ref)
+        grams, vals = [], []
+        for s in t[col].to_pylist():
+            if len(s) < short_cut:
+                # short values: the count filter can be void for a
+                # short-short pair (T <= 0), so they all meet in one
+                # sentinel pool (bounded: short strings over a finite
+                # alphabet). A short-LONG pair still has T =
+                # g_long - k*q >= 1 (the long side is >= q*(k+1) by
+                # definition), so the gram filter applies — but only
+                # if the short side emits its FULL gram set (its
+                # partner's prefix is unknowable), else boundary
+                # pairs like ('abcd', 'abcdef') are silently lost.
+                for g in set(_grams(s, q)):
                     grams.append(g)
                     vals.append(s)
-            return pa.table({
-                "gram": pa.array(grams, pa.string()),
-                "val": pa.array(vals, pa.string()),
-            })
+                grams.append("\x00short")
+                vals.append(s)
+                continue
+            gs = sorted(set(_grams(s, q)), key=order.__getitem__)
+            for g in gs[:prefix_n]:
+                grams.append(g)
+                vals.append(s)
+        return pa.table({
+            "gram": pa.array(grams, pa.string()),
+            "val": pa.array(vals, pa.string()),
+        })
 
     def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
         vs = sorted(set(g["val"]))
@@ -168,7 +167,7 @@ def fuzzy_self_join(ds, col: str, k: int = 2, q: int = 2):
         return pd.DataFrame({"name_a": out_a, "name_b": out_b})
 
     cand = (
-        names_ds.map_batches(EmitPrefix, batch_format="pyarrow", concurrency=(1, 8))
+        names_ds.map_batches(emit_prefix, batch_format="pyarrow")
         .groupby("gram")
         .map_groups(pairs_in_group, batch_format="pandas")
     )

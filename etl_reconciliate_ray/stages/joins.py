@@ -30,6 +30,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.broadcast import fetch as _bfetch
 from ..functions.hashing import hash64
 
 
@@ -51,21 +52,19 @@ def broadcast_join(
     batch_size: int = 65536,
 ):
     """Join a large Dataset against a small pandas table without a
-    shuffle: the small side rides the object store once."""
+    shuffle: the small side rides the object store once and is fetched
+    into a per-worker-process cache — a TASK pool that scales to every
+    core (an actor pool here bought only a fixed concurrency cap)."""
     import ray
 
     ref = ray.put(small_df)
     on = [on] if isinstance(on, str) else list(on)
 
-    class JoinSmall:
-        def __init__(self):
-            self.small = ray.get(ref)  # fetched once per actor
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+    def join_small(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(_bfetch(ref), on=on, how=how)
 
     return big_ds.map_batches(
-        JoinSmall, batch_format="pandas", batch_size=batch_size, concurrency=(1, 8)
+        join_small, batch_format="pandas", batch_size=batch_size
     )
 
 
@@ -334,21 +333,18 @@ def broadcast_anti_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int 
     # nulls dropped from the value set: a NULL key matches nothing
     # (and sorted() would crash on mixed None/value sets)
 
-    class AntiFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)  # pa.Array value set, fetched once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(self.keys) == 0:
-                return batch  # empty set: nothing to exclude (is_in would
-                # reject a null-typed empty value set)
-            # vectorized membership (Arrow C kernel; null keys -> not in
-            # set -> kept, matching Python `v not in keys` semantics)
-            mask = pc.invert(pc.is_in(batch[on], value_set=self.keys))
-            return batch.filter(mask)
+    def anti_filter(batch: pa.Table) -> pa.Table:
+        keys = _bfetch(ref)
+        if len(keys) == 0:
+            return batch  # empty set: nothing to exclude (is_in would
+            # reject a null-typed empty value set)
+        # vectorized membership (Arrow C kernel; null keys -> not in
+        # set -> kept, matching Python `v not in keys` semantics)
+        mask = pc.invert(pc.is_in(batch[on], value_set=keys))
+        return batch.filter(mask)
 
     return big_ds.map_batches(
-        AntiFilter, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8)
+        anti_filter, batch_format="pyarrow", batch_size=batch_size
     )
 
 
@@ -359,18 +355,15 @@ def broadcast_semi_join(big_ds, keys_df: pd.DataFrame, on: str, batch_size: int 
     # nulls dropped from the value set: a NULL key matches nothing
     # (and sorted() would crash on mixed None/value sets)
 
-    class SemiFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(self.keys) == 0:
-                return batch.slice(0, 0)  # empty set: nothing matches
-            mask = pc.is_in(batch[on], value_set=self.keys)
-            return batch.filter(mask)
+    def semi_filter(batch: pa.Table) -> pa.Table:
+        keys = _bfetch(ref)
+        if len(keys) == 0:
+            return batch.slice(0, 0)  # empty set: nothing matches
+        mask = pc.is_in(batch[on], value_set=keys)
+        return batch.filter(mask)
 
     return big_ds.map_batches(
-        SemiFilter, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8)
+        semi_filter, batch_format="pyarrow", batch_size=batch_size
     )
 
 

@@ -29,8 +29,6 @@ loops — O(queries x k) output is built by column stacking.
 
 from __future__ import annotations
 
-from collections import OrderedDict
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -65,22 +63,8 @@ def _emb_matrix_arrow(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in a.to_pylist()])
 
 
-# per-worker-process cache of broadcast state: keyed by ObjectRef hex,
-# capped small (a long-lived worker sees a handful of jobs; numpy
-# entries are plasma-backed views, so the cap also bounds pinned
-# object-store memory)
-_BCAST: "OrderedDict[str, object]" = OrderedDict()
-
-
-def _fetch(ref):
-    key = ref.hex()
-    if key not in _BCAST:
-        import ray
-
-        _BCAST[key] = ray.get(ref)
-        while len(_BCAST) > 8:
-            _BCAST.popitem(last=False)
-    return _BCAST[key]
+# per-worker-process cache of broadcast state (shared engine-wide)
+from ..functions.broadcast import fetch as _fetch  # noqa: E402
 
 
 _TOPK_SCHEMA = pa.schema([

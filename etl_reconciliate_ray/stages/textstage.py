@@ -860,14 +860,19 @@ class TrigramCounts:
         return pa.table({"tri": pa.array(tri), "n": pa.array(n.astype(np.int64))})
 
 
+# per-worker-process cache of constructed LM scorers (see the task-pool
+# rationale on _BANDERS in stages/dedup.py); bounded like it
+_LM_SCORERS: dict[tuple, "TrigramLMScore"] = {}
+
+
 class TrigramLMScore:
     """Score pass: mean negative log-likelihood per document under the
     corpus char-trigram LM with add-1 smoothing over a 256-char
     third-position alphabet: p(c3|c1c2) = (c3_count+1)/(c2_count+256).
     The broadcast model (sorted trigram ids + counts + derived prefix
-    counts) is fetched ONCE per actor in ``__init__`` via its object
-    ref; every scored trigram was seen by the count pass (same
-    corpus), so lookups always hit."""
+    counts) is fetched and derived ONCE per worker process (cached
+    construction, task-pool wiring below); every scored trigram was
+    seen by the count pass (same corpus), so lookups always hit."""
 
     def __init__(self, model_ref, text_col: str = "text", doc_id_col: str = "doc_id"):
         import numpy as np
@@ -929,10 +934,18 @@ def trigram_lm_scores(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
     order = np.argsort(tri)
     n = np.array([r["n"] for r in counts], dtype=np.float64)[order]
     model_ref = ray.put((tri[order], n))
-    return ds.map_batches(
-        TrigramLMScore,
-        fn_constructor_kwargs={"model_ref": model_ref, "text_col": text_col,
-                               "doc_id_col": doc_id_col},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+
+    # task pool with a per-worker-process scorer cache: the scorer's
+    # setup (one ray.get + prefix-count reduceat) runs once per process,
+    # not once per batch, and the stage scales to every core instead of
+    # a fixed actor cap
+    def score(batch, _ref=model_ref, _t=text_col, _d=doc_id_col):
+        key = (_ref.hex(), _t, _d)
+        st = _LM_SCORERS.get(key)
+        if st is None:
+            st = _LM_SCORERS.setdefault(key, TrigramLMScore(_ref, _t, _d))
+            while len(_LM_SCORERS) > 8:
+                _LM_SCORERS.pop(next(iter(_LM_SCORERS)))
+        return st(batch)
+
+    return ds.map_batches(score, batch_format="pyarrow")
