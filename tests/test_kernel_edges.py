@@ -129,15 +129,19 @@ def test_commitlog_snapshot_cadence_survives_reopen(tmp_path):
 
 
 def test_strip_serve_both_spellings():
-    """The triggered job's argv is this CLI run minus the serve flag,
-    in BOTH spellings — '--serve 8080' (two tokens) and
-    '--serve=8080' (one token); everything else passes through."""
+    """The triggered job's argv is this CLI run minus the serve-mode
+    flags (--serve AND --every), in BOTH spellings — '--flag VALUE'
+    (two tokens) and '--flag=VALUE' (one token); everything else
+    passes through. A rerun that kept --every would fail the
+    '--every needs --serve' validation."""
     from etl_reconciliate_ray.run import _strip_serve
 
     base = ["--fixture", "/x", "--lake", "/y", "--num-buckets", "8"]
     assert _strip_serve(base + ["--serve", "8080"]) == base
     assert _strip_serve(["--serve=8080"] + base) == base
     assert _strip_serve(["--serve", "0", "--serve=1"] + base) == base
+    assert _strip_serve(base + ["--serve", "8080", "--every", "60"]) == base
+    assert _strip_serve(["--every=0.5", "--serve=1"] + base) == base
     assert _strip_serve(base) == base
 
 
