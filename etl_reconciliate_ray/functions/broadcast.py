@@ -20,18 +20,21 @@ _CACHE: "OrderedDict[tuple, object]" = OrderedDict()
 _CAP = 16
 
 
-def fetch(ref, build=None):
+def fetch(ref, build=None, key=()):
     """Return the broadcast object behind ``ref``, cached per worker
-    process. ``build`` (a MODULE-LEVEL function — its qualname is part
-    of the cache key) transforms the raw object once per process, e.g.
+    process. ``build`` transforms the raw object once per process, e.g.
     deriving lookup structures a stage would otherwise rebuild per
-    batch."""
-    key = (ref.hex(), getattr(build, "__qualname__", None))
-    if key not in _CACHE:
+    batch. The cache key is (ref, build's qualname, ``key``): a
+    module-level ``build`` identifies itself via qualname; a
+    parameterized build (``functools.partial``, closure) MUST pass its
+    parameters as ``key`` (a hashable tuple) so two different builds
+    over the same ref never alias one cache slot."""
+    ckey = (ref.hex(), getattr(build, "__qualname__", None), key)
+    if ckey not in _CACHE:
         import ray
 
         obj = ray.get(ref)
-        _CACHE[key] = build(obj) if build is not None else obj
+        _CACHE[ckey] = build(obj) if build is not None else obj
         while len(_CACHE) > _CAP:
             _CACHE.popitem(last=False)
-    return _CACHE[key]
+    return _CACHE[ckey]

@@ -44,7 +44,11 @@ class MiniImage:
         return (w, h)
 
     def __array__(self, dtype=None, copy=None):
-        return self.arr.astype(dtype) if dtype is not None else self.arr
+        # numpy>=2 trusts this method to honor copy=True — returning
+        # the backing buffer there would alias the image's pixels
+        if dtype is not None:
+            return self.arr.astype(dtype, copy=bool(copy) or copy is None)
+        return self.arr.copy() if copy else self.arr
 
     def convert(self, mode: str) -> "MiniImage":
         if mode == self.mode:

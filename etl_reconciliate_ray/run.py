@@ -135,6 +135,8 @@ def main(argv: list[str] | None = None) -> dict:
 
     if args.every is not None and args.serve is None:
         p.error("--every schedules the served trigger; pass --serve PORT too")
+    if args.every is not None and not args.every > 0:
+        p.error("--every must be a positive number of seconds")
 
     # flag-combination validation up front: rejecting --export-envelopes
     # without --export-feed only AFTER a full replay would make the user

@@ -336,16 +336,21 @@ def export_feed_envelopes(feed_dir: str, out_dir: str) -> list[str]:
     images, ``d`` keyed tombstones) reproduces the lake state —
     verified against ``lake_table`` in tests.
 
-    ``source.seq`` is a deterministic TOTAL order consistent with that
-    name-order fold, so the rendered envelopes are also re-ingestable
-    through the inbound ``--envelope-dir`` path (LWW on seq resolves to
-    the same winners): high bits = the segment's ordinal parsed from
-    its name (to-epoch ×2, +1 for delta segments — snapshot names sort
-    before same-head delta names), low 31 bits = a key digest. A diff
-    segment carries at most ONE change per (repo, path), so per-key
-    order only needs the cross-segment component; the digest makes seq
-    values distinct without depending on nondeterministic block splits.
-    Round-tripped in tests (export → re-ingest → identical lake state).
+    ``source.seq`` is a deterministic PER-KEY strict order consistent
+    with that name-order fold, so the rendered envelopes are also
+    re-ingestable through the inbound ``--envelope-dir`` path (LWW on
+    seq resolves to the same winners): high bits = the segment's
+    ordinal parsed from its name (to-epoch ×2, +1 for delta segments —
+    snapshot names sort before same-head delta names), low 32 bits = a
+    key digest. A diff segment carries at most ONE change per
+    (repo, path), so a key's changes always live in DIFFERENT segments
+    and its seq values are strictly increasing in fold order — the
+    property LWW replay needs. Two DIFFERENT keys in one segment can
+    digest-collide (birthday bound on 32 bits); such ties are harmless
+    because LWW never compares seq across keys, but consumers must not
+    treat seq as a globally unique id. Deterministic without depending
+    on nondeterministic block splits. Round-tripped in tests (export →
+    re-ingest → identical lake state).
 
     Resumable and atomic:
     a sealed segment is never re-rendered; an unsealed leftover is
@@ -407,7 +412,7 @@ def export_feed_envelopes(feed_dir: str, out_dir: str) -> list[str]:
                     hashlib.sha256(
                         f"{r['repo']}\n{r['path']}".encode()
                     ).digest()[:4], "big"
-                ) & 0x7FFFFFFF
+                )
                 lines.append(_json.dumps({
                     "op": op, "before": before, "after": after,
                     "source": {"segment": name, "seq": seq_base + key_digest},

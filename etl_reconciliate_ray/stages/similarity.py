@@ -244,6 +244,9 @@ def cosine_dup_pairs(
     ref = ray.put((aids, amat))
 
     def dup_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         st_aids, st_amat = _fetch(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         emb = _normalize(_emb_matrix_arrow(batch[emb_col]))
@@ -297,6 +300,14 @@ def ivf_dup_pairs(
 
     def assign_lists(batch: pa.Table) -> pa.Table:
         st_cents = _fetch(ref)
+        if batch.num_rows == 0:
+            return pa.table({
+                "list_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                emb_col: pa.array(
+                    [], pa.list_(pa.float64(), st_cents.shape[1])
+                ),
+            })
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         emb = _normalize(_emb_matrix_arrow(batch[emb_col]))
         sims = emb @ st_cents.T
@@ -366,6 +377,12 @@ def kmeans_assign(
     ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "sim_e6": pa.array([], pa.int64()),
+            })
         st_cents = _fetch(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         emb = _normalize(_emb_matrix_arrow(batch[emb_col]))
@@ -438,7 +455,7 @@ def ivf_topk(
         st_qids, st_qmat, st_qlists, st_cents = _fetch(ref)
         ids, emb = _ids_emb(batch, id_col, emb_col)
         assign = (emb @ st_cents.T).argmax(axis=1)
-        acc_q, acc_n, acc_s = [], [], []
+        parts = []
         for lst in np.unique(st_qlists):  # <= min(Q*nprobe, num_lists) groups
             qsel = np.flatnonzero((st_qlists == lst).any(axis=1))
             cand = np.flatnonzero(assign == lst)
@@ -447,18 +464,23 @@ def ivf_topk(
             sub = st_qmat[qsel] @ emb[cand].T  # (Ql, Nl)
             qi = st_qids[qsel]
             ci = ids[cand]
-            mask = qi[:, None] != ci[None, :]
-            nz_q, nz_c = np.nonzero(mask)
-            acc_q.append(qi[nz_q])
-            acc_n.append(ci[nz_c])
-            acc_s.append(sub[nz_q, nz_c])
-        if not acc_q:
+            sub[qi[:, None] == ci[None, :]] = -np.inf  # self-exclusion
+            # per-list top-k FIRST: O(Ql*k) rows survive each list
+            # instead of every (query, candidate) pair — the reduce
+            # below then touches O(Q*nprobe*k) rows, not Q*B
+            parts.append(_rowwise_topk(qi, sub, ci, k))
+        if not parts:
             return _empty_topk()
         # each batch vector lives in exactly ONE list (argmax assign),
-        # so the accumulated candidates are duplicate-free; one
-        # segmented top-k reduces a query's multi-list candidates
+        # so per-list candidates are duplicate-free and the top-k of
+        # per-list top-ks equals the top-k of the full candidate set;
+        # one segmented cut reduces a query's multi-list survivors
+        t = pa.concat_tables(parts)
         return _topk_rows(
-            np.concatenate(acc_q), np.concatenate(acc_n), np.concatenate(acc_s), k
+            t["query_id"].to_numpy(),
+            t["neighbor_id"].to_numpy(),
+            t["score"].to_numpy(),
+            k,
         )
 
     local = emb_ds.map_batches(ivf_local, batch_format="pyarrow", batch_size=4096)
@@ -529,6 +551,11 @@ def pq_encode(
 
     def encode(batch: pa.Table) -> pa.Table:
         st_books = _fetch(ref)
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "pq_code": pa.array([], pa.binary(st_books.shape[0])),
+            })
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         emb = _normalize(_emb_matrix_arrow(batch[emb_col]))
         codes = _pq_codes(emb, st_books)  # (n, m) uint8, C-contiguous

@@ -860,26 +860,20 @@ class TrigramCounts:
         return pa.table({"tri": pa.array(tri), "n": pa.array(n.astype(np.int64))})
 
 
-# per-worker-process cache of constructed LM scorers (see the task-pool
-# rationale on _BANDERS in stages/dedup.py); bounded like it
-_LM_SCORERS: dict[tuple, "TrigramLMScore"] = {}
-
-
 class TrigramLMScore:
     """Score pass: mean negative log-likelihood per document under the
     corpus char-trigram LM with add-1 smoothing over a 256-char
     third-position alphabet: p(c3|c1c2) = (c3_count+1)/(c2_count+256).
     The broadcast model (sorted trigram ids + counts + derived prefix
     counts) is fetched and derived ONCE per worker process (cached
-    construction, task-pool wiring below); every scored trigram was
-    seen by the count pass (same corpus), so lookups always hit."""
+    construction via ``functions.broadcast.fetch``, task-pool wiring
+    below); every scored trigram was seen by the count pass (same
+    corpus), so lookups always hit."""
 
-    def __init__(self, model_ref, text_col: str = "text", doc_id_col: str = "doc_id"):
+    def __init__(self, model, text_col: str = "text", doc_id_col: str = "doc_id"):
         import numpy as np
 
-        import ray
-
-        tri, n = ray.get(model_ref)
+        tri, n = model
         self.tri, self.n = tri, n
         pref = tri // _TRI_M
         cuts = np.concatenate(([0], np.flatnonzero(np.diff(pref)) + 1))
@@ -935,17 +929,21 @@ def trigram_lm_scores(ds, text_col: str = "text", doc_id_col: str = "doc_id"):
     n = np.array([r["n"] for r in counts], dtype=np.float64)[order]
     model_ref = ray.put((tri[order], n))
 
-    # task pool with a per-worker-process scorer cache: the scorer's
-    # setup (one ray.get + prefix-count reduceat) runs once per process,
-    # not once per batch, and the stage scales to every core instead of
-    # a fixed actor cap
+    # task pool over the shared per-worker-process broadcast cache: the
+    # scorer's setup (one ray.get + prefix-count reduceat) runs once per
+    # process, not once per batch, and the stage scales to every core
+    # instead of a fixed actor cap; (text_col, doc_id_col) ride the
+    # cache key so differently-parameterized scorers never alias
+    from functools import partial
+
+    from ..functions.broadcast import fetch as _fetch
+
     def score(batch, _ref=model_ref, _t=text_col, _d=doc_id_col):
-        key = (_ref.hex(), _t, _d)
-        st = _LM_SCORERS.get(key)
-        if st is None:
-            st = _LM_SCORERS.setdefault(key, TrigramLMScore(_ref, _t, _d))
-            while len(_LM_SCORERS) > 8:
-                _LM_SCORERS.pop(next(iter(_LM_SCORERS)))
+        st = _fetch(
+            _ref,
+            build=partial(TrigramLMScore, text_col=_t, doc_id_col=_d),
+            key=("trigram_lm", _t, _d),
+        )
         return st(batch)
 
     return ds.map_batches(score, batch_format="pyarrow")

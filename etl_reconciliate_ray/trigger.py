@@ -46,6 +46,10 @@ class TriggerServer:
         self, job, host: str = "127.0.0.1", port: int = 0,
         every: float | None = None,
     ):
+        if every is not None and not every > 0:
+            # Event.wait(0) returns immediately: a non-positive interval
+            # would busy-spin the cron thread against the launch lock
+            raise ValueError(f"every must be a positive interval, got {every!r}")
         self._job = job
         self._lock = threading.Lock()
         self._state: dict = {"state": "idle"}

@@ -503,12 +503,14 @@ def test_reserved_after_field_refused(ray_session):
 
 
 def test_exported_envelopes_reingest_roundtrip(env_fixture, tmp_path, ray_session):
-    """The outbound JSONL envelopes now carry a deterministic total
-    order under source.seq, so they are RE-INGESTABLE through the
-    inbound --envelope-dir path: export the feed of a replayed lake,
-    flatten each sealed segment dir to one epoch file (preserving name
-    order), convert + replay into a fresh empty lake, and the replica's
-    (repo, path) -> content_sha256 state must equal the source's."""
+    """The outbound JSONL envelopes carry a deterministic PER-KEY
+    strict order under source.seq (cross-key digest ties are allowed —
+    LWW never compares seq across keys), so they are RE-INGESTABLE
+    through the inbound --envelope-dir path: export the feed of a
+    replayed lake, flatten each sealed segment dir to one epoch file
+    (preserving name order), convert + replay into a fresh empty lake,
+    and the replica's (repo, path) -> content_sha256 state must equal
+    the source's."""
     from etl_reconciliate_ray.pipelines.replay import (
         ReplayConfig, export_changelog, replay,
     )
@@ -526,17 +528,30 @@ def test_exported_envelopes_reingest_roundtrip(env_fixture, tmp_path, ray_sessio
     segs = export_feed_envelopes(feed, env_out)
     assert len(segs) >= 2
 
-    # seq values: distinct per record within a segment, strictly
-    # ordered across segments in fold (name) order
+    # seq contract: within a segment each KEY appears at most once
+    # (its seq is then trivially unique per key), and a key's seqs
+    # strictly increase across segments in fold (name) order — the
+    # exact property per-key LWW needs. Global distinctness is NOT
+    # asserted: two different keys may digest-collide at scale.
     prev_hi = -1
+    per_key: dict = {}
     for seg in sorted(segs):
         seqs = []
+        seg_keys = []
         for part in sorted(glob.glob(os.path.join(seg, "*.jsonl"))):
             with open(part) as fh:
-                seqs += [json.loads(l)["source"]["seq"] for l in fh]
-        assert len(set(seqs)) == len(seqs)
-        assert min(seqs) > prev_hi
+                for l in fh:
+                    r = json.loads(l)
+                    img = r["after"] or r["before"]
+                    k = (img["repo"], img["path"])
+                    seqs.append(r["source"]["seq"])
+                    seg_keys.append(k)
+                    per_key.setdefault(k, []).append(r["source"]["seq"])
+        assert len(set(seg_keys)) == len(seg_keys)  # <=1 change per key
+        assert min(seqs) > prev_hi  # segment ordinal dominates
         prev_hi = max(seqs)
+    for k, ks in per_key.items():
+        assert ks == sorted(ks) and len(set(ks)) == len(ks), k
 
     # consumer concatenates each segment dir into one epoch jsonl
     reindir = tmp_path / "reingest"

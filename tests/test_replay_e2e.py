@@ -1561,3 +1561,39 @@ def test_trigger_interval_scheduler_single_flight():
         assert len(runs) >= 2  # the schedule resumed after completion
     finally:
         srv.stop()
+
+
+def test_trigger_rejects_nonpositive_interval():
+    """Event.wait(0) returns immediately — a non-positive --every would
+    busy-spin the cron thread against the launch lock, so the server
+    refuses it at construction (and the CLI refuses it at parse)."""
+    import pytest
+
+    from etl_reconciliate_ray.trigger import TriggerServer
+
+    for bad in (0, -1, 0.0):
+        with pytest.raises(ValueError, match="positive"):
+            TriggerServer(lambda: {}, every=bad)
+
+
+def test_broadcast_fetch_parameterized_builds_dont_alias(ray_session):
+    """Two differently-parameterized builds over the SAME broadcast ref
+    must occupy separate cache slots: the `key` tuple disambiguates
+    builds whose callable has no stable qualname (partial/lambda)."""
+    from functools import partial
+
+    import ray
+
+    from etl_reconciliate_ray.functions.broadcast import fetch
+
+    ref = ray.put({"base": 10})
+
+    def build(obj, scale):
+        return obj["base"] * scale
+
+    a = fetch(ref, build=partial(build, scale=2), key=("scale", 2))
+    b = fetch(ref, build=partial(build, scale=3), key=("scale", 3))
+    assert (a, b) == (20, 30)
+    # repeat fetches hit the cached values, not a re-run of build
+    assert fetch(ref, build=partial(build, scale=2), key=("scale", 2)) == 20
+    assert fetch(ref) == {"base": 10}  # bare fetch is its own slot
