@@ -893,6 +893,24 @@ def q_semantic_clusters(sf_dir: str):
     return kmeans_assign(ds, k=8, train_sample=train)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """Rows-only: the full SemDeDup composition (Abbas et al. 2023) —
+    k-means semantic clusters, then within-cluster cosine near-dup
+    groups keep only their lowest id (stages/similarity.semantic_dedup).
+    Runs over the planted-dup derived table (`_plant_dup_rows` — the
+    raw corpus has no >=0.99 pairs, so the raw table proves nothing):
+    every planted clone shares its original's direction, lands in its
+    cluster, and must NOT be kept. Not SQL-expressible (iterative
+    training + transitive grouping); falsifiable tests pin planted
+    family recovery, keep/rep contract and determinism."""
+    from ..stages.similarity import semantic_dedup
+
+    train = _plant_dup_rows(
+        read_table_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+    return semantic_dedup(_dup_embeddings(sf_dir), train, k=8, threshold=0.99)
+
+
 # ---------------------------------------------------------------- text
 def q_token_stats(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -3921,11 +3939,17 @@ QUERIES = {
     # of the r4 window stays put, so r5 both completes the evidence
     # matrix (every registry key driver-checked at least once;
     # 110/110 oracle-backed keys green) AND re-confirms the r4 set.
+    # Late-r5 add: `semantic_dedup_docs` (rows-only, the SemDeDup
+    # composition) takes slot 5 so the NEW key gets driver evidence in
+    # its landing round; it evicts `triangles_users`, which is already
+    # driver-green (rows+schema+hash) from r4 — cumulative coverage
+    # stays complete.
     # The in-repo pytest oracle covers ALL entries every run.
     "reconcile_detail": q_reconcile_detail,
     "cdc_lww_events": q_cdc_lww_events,
     "envelope_replay": q_envelope_replay,
     "semantic_clusters": q_semantic_clusters,
+    "semantic_dedup_docs": q_semantic_dedup,
     "ann_variants": q_ann_variants,
     "media_pipeline": q_media_pipeline,
     "hll_users_by_type": q_hll_users_by_type,

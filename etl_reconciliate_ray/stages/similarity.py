@@ -352,6 +352,7 @@ def kmeans_assign(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    keep_embedding: bool = False,
 ):
     """Semantic clustering of an embedding corpus (the SemDeDup /
     topic-bucketing primitive: cluster first, then dedup or sample
@@ -377,25 +378,100 @@ def kmeans_assign(
     ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
+        st_cents = _fetch(ref)
         if batch.num_rows == 0:
-            return pa.table({
+            cols = {
                 id_col: pa.array([], pa.int64()),
                 "cluster": pa.array([], pa.int64()),
                 "sim_e6": pa.array([], pa.int64()),
-            })
-        st_cents = _fetch(ref)
+            }
+            if keep_embedding:
+                cols[emb_col] = pa.array(
+                    [], pa.list_(pa.float64(), st_cents.shape[1])
+                )
+            return pa.table(cols)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         emb = _normalize(_emb_matrix_arrow(batch[emb_col]))
         sims = emb @ st_cents.T
         c = sims.argmax(axis=1)
         best = sims[np.arange(len(c)), c]
-        return pa.table({
+        cols = {
             id_col: pa.array(ids.astype(np.int64)),
             "cluster": pa.array(c.astype(np.int64)),
             "sim_e6": pa.array(np.round(best * 1e6).astype(np.int64)),
-        })
+        }
+        if keep_embedding:  # prune stages need the vectors co-shuffled
+            cols[emb_col] = pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float64()), emb.shape[1]
+            )
+        return pa.table(cols)
 
     return emb_ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+
+def semantic_dedup(
+    emb_ds,
+    train_sample: pd.DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): semantic
+    deduplication as cluster-then-prune — seeded k-means topic clusters
+    over the normalized embedding corpus (the ``kmeans_assign``
+    quantizer), then WITHIN each cluster every connected group of
+    near-duplicates (cosine >= ``threshold``) keeps only its lowest-id
+    member. Cross-cluster pairs are never compared: that restriction is
+    the algorithm's compute saving (O(sum cluster_size^2) instead of
+    O(corpus^2)) and its documented approximation — a near-dup pair
+    split across a cluster boundary survives.
+
+    Returns Dataset(``id_col``, cluster int64, rep int64, keep bool):
+    ``rep`` is the minimum id of the row's within-cluster duplicate
+    group (``rep == id`` exactly for kept rows), so downstream filters
+    keep survivors with ``keep`` and audits recover the full group map.
+
+    Scale shape: centroids broadcast once (``ray.put``), assignment
+    map-only, ONE shuffle on cluster id, per-cluster pairwise scoring
+    inside ``map_groups``. Partitioning assumption: one cluster's
+    members fit one task — raise ``k`` until they do (same contract as
+    every cluster-local stage here). Deterministic in
+    (train_sample, k, iters, seed)."""
+    assigned = kmeans_assign(
+        emb_ds, k=k, train_sample=train_sample, iters=iters, seed=seed,
+        id_col=id_col, emb_col=emb_col, keep_embedding=True,
+    )
+
+    def prune_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        emb = _normalize(np.stack(g[emb_col].to_numpy()))
+        ids = g[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, emb = ids[order], emb[order]
+        n = len(ids)
+        ei, ej = np.nonzero(np.triu(emb @ emb.T >= threshold, k=1))
+        lab = np.arange(n)
+        while True:  # min-label propagation + pointer jumping
+            new = lab.copy()
+            np.minimum.at(new, ej, lab[ei])
+            np.minimum.at(new, ei, lab[ej])
+            new = new[new]
+            if (new == lab).all():
+                break
+            lab = new
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": g["cluster"].to_numpy()[order],
+            "rep": ids[lab],
+            "keep": lab == np.arange(n),
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        prune_cluster, batch_format="pandas"
+    )
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:

@@ -359,6 +359,59 @@ def test_kmeans_assign_recovers_planted_clusters(ray_session):
     pd.testing.assert_frame_equal(got, run())
 
 
+def test_semantic_dedup_prunes_planted_families(ray_session):
+    """The full SemDeDup composition: three separated clusters, each
+    holding two planted near-dup families plus a singleton — every
+    family must collapse to its LOWEST id (keep/rep contract), the
+    singleton and cross-family pairs must survive untouched, and the
+    run must be seed-deterministic."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(17)
+    dim = 16
+    vecs, fam = [], []  # fam: (cluster, family-id or None)
+    for c in range(3):
+        axis, mix_a, sing = (
+            np.eye(dim)[c], np.eye(dim)[c + 3], np.eye(dim)[c + 6]
+        )
+        for _ in range(3):  # family A: 3 members, cos ~ 1
+            vecs.append(axis + 0.5 * mix_a + rng.standard_normal(dim) * 1e-3)
+            fam.append((c, "A"))
+        for _ in range(2):  # family B: cos(A, B) = 0.6 < threshold
+            vecs.append(axis - 0.5 * mix_a + rng.standard_normal(dim) * 1e-3)
+            fam.append((c, "B"))
+        vecs.append(axis + 0.5 * sing)  # singleton: cos 0.8 to A/B
+        fam.append((c, None))
+    emb = np.stack(vecs)
+    ids = rng.permutation(len(emb) * 3)[: len(emb)].astype(np.int64)  # scrambled
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(emb)})
+
+    def run():
+        return (
+            semantic_dedup(
+                rd.from_pandas(df), df.copy(), k=3, threshold=0.95, seed=9
+            )
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+
+    got = run()
+    assert len(got) == len(emb)
+    assert (got["keep"] == (got["rep"] == got["vec_id"])).all()
+    by_id = got.set_index("vec_id")
+    for key in {f for f in fam}:
+        members = ids[[i for i, f in enumerate(fam) if f == key]]
+        reps = {by_id.loc[m, "rep"] for m in members}
+        if key[1] is None:  # singleton is its own group
+            assert reps == {members[0]}
+        else:  # family collapses to exactly its min id
+            assert reps == {members.min()}, (key, reps)
+    # families are the ONLY merges: kept rows = 3 x (A + B + singleton)
+    assert int(got["keep"].sum()) == 9
+    pd.testing.assert_frame_equal(got, run())
+
+
 def test_money_dual_equality_semantics():
     """BigDecimal semantics on decimal128: compareTo says 1.50 == 1.5000
     (scale-insensitive), equals says they differ when the declared
