@@ -362,7 +362,10 @@ def kmeans_assign(
     assignment MAP-ONLY (one matmul per batch, no shuffle). Returns
     Dataset(``id_col``, cluster int64, sim_e6 int64) — sim_e6 is the
     cosine to the assigned centroid in the engine's e6 integer
-    contract. Deterministic in (train_sample, k, iters, seed).
+    contract; ``keep_embedding=True`` additionally carries the
+    NORMALIZED vectors (fixed-size list) for cluster-local downstream
+    stages (``semantic_dedup``'s prune rides the one cluster shuffle).
+    Deterministic in (train_sample, k, iters, seed).
 
     Scale shape: the centroid matrix is O(k x dim) regardless of corpus
     size; per-cluster downstream work (``groupby("cluster")``) carries
