@@ -640,9 +640,62 @@ def run_stress_docs() -> dict:
     )
     res["minhash_recall"] = round(hits / k, 4)
     res["checks"]["minhash_recall_ok"] = bool(hits / k >= 0.8)
+    res["docs_per_sec"] = int(
+        n_docs * 3 / max(sum(res["queries"].values()), 1e-9)
+    )
+
+    # 4) SemDeDup semantic dedup at vector scale over the planted-vector
+    #    corpus (bench_fixture.vec_plan/vecs_batch — closed-form
+    #    invariants, construction documented there; small-scale
+    #    validation through the real stage in tests/test_stress_docs.py)
+    t = time.time()
+    import pandas as pd
+
+    from etl_reconciliate_ray.bench_fixture import vec_dirs, vec_plan, vecs_batch
+    from etl_reconciliate_ray.stages.similarity import semantic_dedup
+
+    n_vec = int(os.environ.get("GRAFT_STRESS_VECS", "1000000"))
+    vplan = vec_plan(n_vec)
+    dirs = vec_dirs()
+    n_fam = vplan["n_fam"]
+
+    def gen_vectors(b: pa.Table) -> pa.Table:
+        return vecs_batch(
+            b["id"].to_numpy(zero_copy_only=False), vplan, dirs
+        )
+
+    vecs = rd.range(n_vec).map_batches(
+        gen_vectors, batch_format="pyarrow", batch_size=8192
+    )
+    train = pd.DataFrame({
+        "vec_id": np.arange(len(dirs), dtype=np.int64), "embedding": list(dirs),
+    })
+    out = semantic_dedup(
+        vecs, train, k=vplan["clusters"], threshold=vplan["threshold"]
+    )
+
+    def sem_partials(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        rep = b["rep"].to_numpy(zero_copy_only=False)
+        keep = b["keep"].to_numpy(zero_copy_only=False)
+        odd_fam = (ids < 2 * n_fam) & (ids % 2 == 1)
+        exp_rep = np.where(odd_fam, ids - 1, ids)
+        return pa.table({
+            "rows": pa.array([len(ids)], pa.int64()),
+            "kept": pa.array([int(keep.sum())], pa.int64()),
+            "bad": pa.array(
+                [int(((rep != exp_rep) | (keep != ~odd_fam)).sum())], pa.int64()
+            ),
+        })
+
+    sm = out.map_batches(sem_partials, batch_format="pyarrow").to_pandas().sum()
+    res["queries"]["semantic_dedup"] = round(time.time() - t, 2)
+    res["n_vecs"] = n_vec
+    res["checks"]["sem_rows"] = bool(int(sm["rows"]) == n_vec)
+    res["checks"]["sem_kept_exact"] = bool(int(sm["kept"]) == vplan["expected_kept"])
+    res["checks"]["sem_reps_exact"] = bool(int(sm["bad"]) == 0)
 
     res["value"] = round(sum(res["queries"].values()), 2)
-    res["docs_per_sec"] = int(n_docs * 3 / max(res["value"], 1e-9))
     ray.shutdown()
     _append_docs_md(res)
     return res
@@ -663,7 +716,10 @@ def _append_docs_md(res: dict) -> None:
         f"{res['n_docs']:,} documents (~{res['n_docs'] // 5000}x the sf0.1",
         f"corpus) with planted dup structure, num_cpus={res['num_cpus']},",
         "single process: exact dedup (incl. a degenerate hot key), MinHash",
-        "near-dup clustering, and span dedup through the SHARDED probe.",
+        "near-dup clustering, and span dedup through the SHARDED probe;",
+        f"plus SemDeDup semantic dedup over {res.get('n_vecs', 0):,} planted",
+        "vectors (256 clusters, 5% exact-clone pairs at cosine exactly 1,",
+        "hash-noise singletons, closed-form keep/rep invariants).",
         "",
         "| stage | sec |",
         "|---|---|",

@@ -314,6 +314,73 @@ def ensure_docs_fixture(cache_root: str, n_docs: int) -> tuple[str, dict]:
     return os.path.join(d, "data"), plan
 
 
+# ---- planted-vector corpus for the SemDeDup stress stage ------------
+# Closed-form invariants through stages/similarity.semantic_dedup: the
+# planted cluster directions ARE the quantizer's train sample (k ==
+# clusters: Lloyd converges immediately and deterministically), every
+# odd id < 2*n_fam is an EXACT x2-scaled copy of its even partner
+# (cosine exactly 1 — the x2 scale is lossless in fp — and identical
+# cluster assignment by construction), and per-id noise is splitmix64
+# (independent across ids; sinusoidal pseudo-noise is NOT usable here —
+# its Dirichlet-kernel resonances produce near-parallel id pairs). A
+# non-clone pair reaching the 0.999 threshold needs noise cosine >
+# 0.997: P ~ exp(-dim/2) per pair, negligible at any n. Every vector is
+# a pure function of vec_id (batch-layout independent, safe under any
+# parallelism).
+
+_VEC_DIM = 64
+_VEC_CLUSTERS = 256
+_VEC_THRESHOLD = 0.999
+
+
+def vec_plan(n_vec: int) -> dict:
+    """Planted layout: ids [0, 2*n_fam) are clone PAIRS (2t, 2t+1);
+    the rest are hash-noise singletons. Closed form: exactly n_fam rows
+    prune, each clone's rep is its even partner."""
+    n_fam = n_vec // 20  # 5% of the corpus is clone pairs
+    if 2 * n_fam >= n_vec:
+        raise ValueError(f"n_vec={n_vec} too small for the planted plan")
+    return {
+        "n_vec": n_vec, "n_fam": n_fam, "dim": _VEC_DIM,
+        "clusters": _VEC_CLUSTERS, "threshold": _VEC_THRESHOLD,
+        "expected_kept": n_vec - n_fam,
+    }
+
+
+def vec_dirs() -> np.ndarray:
+    """The planted cluster directions — also the k-means train sample."""
+    dirs = np.random.default_rng(123).standard_normal((_VEC_CLUSTERS, _VEC_DIM))
+    return dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+
+
+def _vec_noise(u: np.ndarray) -> np.ndarray:
+    """Deterministic unit noise per id: splitmix64 of (id, col)."""
+    from .functions.hashing import _mix64
+
+    x = (u[:, None].astype(np.uint64) << np.uint64(32)) | np.arange(
+        _VEC_DIM, dtype=np.uint64
+    )[None, :]
+    m = _mix64(x + np.uint64(0x9E3779B97F4A7C15)).astype(np.float64)
+    m = m / 2.0**63 - 1.0  # uniform [-1, 1)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def vecs_batch(ids: np.ndarray, plan: dict, dirs: np.ndarray) -> pa.Table:
+    """Synthesize the batch's embedding rows — fully vectorized,
+    content a pure function of vec_id."""
+    ids = np.asarray(ids, dtype=np.int64)
+    odd_fam = (ids < 2 * plan["n_fam"]) & (ids % 2 == 1)
+    u = np.where(odd_fam, ids - 1, ids)  # clone source id
+    v = dirs[u % plan["clusters"]] + 0.8 * _vec_noise(u)
+    v *= np.where(odd_fam, 2.0, 1.0)[:, None]  # cos(clone, src) == 1
+    return pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(v.ravel(), pa.float64()), plan["dim"]
+        ),
+    })
+
+
 def ensure_bench_fixture(
     cache_root: str,
     num_events: int,

@@ -455,7 +455,20 @@ def semantic_dedup(
         order = np.argsort(ids, kind="stable")
         ids, emb = ids[order], emb[order]
         n = len(ids)
-        ei, ej = np.nonzero(np.triu(emb @ emb.T >= threshold, k=1))
+        # chunked edge discovery: O(chunk x n) transient memory instead
+        # of the full n x n similarity matrix — a hot cluster's pairwise
+        # pass stays bounded; only the above-threshold EDGES persist
+        chunk = 1024
+        eis, ejs = [], []
+        for s in range(0, n, chunk):
+            sub = emb[s : s + chunk] @ emb.T  # (c, n)
+            bi, bj = np.nonzero(sub >= threshold)
+            gi = bi + s
+            up = gi < bj  # upper triangle only (i < j, no self)
+            eis.append(gi[up])
+            ejs.append(bj[up])
+        ei = np.concatenate(eis) if eis else np.array([], dtype=np.int64)
+        ej = np.concatenate(ejs) if ejs else np.array([], dtype=np.int64)
         lab = np.arange(n)
         while True:  # min-label propagation + pointer jumping
             new = lab.copy()

@@ -110,3 +110,55 @@ def test_minhash_recall_on_planted_near_pairs(corpus):
         and lm.get(base + 2 * i) == lm.get(base + 2 * i + 1)
     )
     assert hits / k >= 0.8, f"recall {hits}/{k}"
+
+
+def test_vec_generation_is_batch_layout_independent():
+    from etl_reconciliate_ray.bench_fixture import vec_dirs, vec_plan, vecs_batch
+
+    plan = vec_plan(4000)
+    dirs = vec_dirs()
+    ids = np.arange(0, 4000, 3)  # spans clone pairs and singletons
+    whole = vecs_batch(ids, plan, dirs).to_pandas()
+    parts = pd.concat(
+        [vecs_batch(c, plan, dirs).to_pandas() for c in np.array_split(ids, 7)],
+        ignore_index=True,
+    )
+    assert (whole["vec_id"] == parts["vec_id"]).all()
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(whole["embedding"], parts["embedding"])
+    )
+
+
+def test_semantic_dedup_planted_vec_invariants(ray_session):
+    """The stress probe's closed-form planted-vector invariants hold
+    through the REAL semantic_dedup stage at small scale: exactly the
+    odd clone ids prune, each onto its even partner; every singleton
+    and every even partner survives as its own rep."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.bench_fixture import vec_dirs, vec_plan, vecs_batch
+    from etl_reconciliate_ray.stages.similarity import semantic_dedup
+
+    n = 4000
+    plan = vec_plan(n)
+    dirs = vec_dirs()
+
+    def gen(b):
+        return vecs_batch(b["id"].to_numpy(zero_copy_only=False), plan, dirs)
+
+    vecs = rd.range(n).map_batches(gen, batch_format="pyarrow", batch_size=512)
+    train = pd.DataFrame({
+        "vec_id": np.arange(len(dirs), dtype=np.int64),
+        "embedding": list(dirs),
+    })
+    out = semantic_dedup(
+        vecs, train, k=plan["clusters"], threshold=plan["threshold"]
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    ids = out["vec_id"].to_numpy()
+    odd_fam = (ids < 2 * plan["n_fam"]) & (ids % 2 == 1)
+    assert len(out) == n
+    assert int(out["keep"].sum()) == plan["expected_kept"]
+    assert (out["rep"].to_numpy() == np.where(odd_fam, ids - 1, ids)).all()
+    assert (out["keep"].to_numpy() == ~odd_fam).all()
