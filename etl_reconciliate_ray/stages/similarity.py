@@ -421,6 +421,7 @@ def semantic_dedup(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    chunk: int = 1024,
 ):
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", 2023): semantic
@@ -458,7 +459,6 @@ def semantic_dedup(
         # chunked edge discovery: O(chunk x n) transient memory instead
         # of the full n x n similarity matrix — a hot cluster's pairwise
         # pass stays bounded; only the above-threshold EDGES persist
-        chunk = 1024
         eis, ejs = [], []
         for s in range(0, n, chunk):
             sub = emb[s : s + chunk] @ emb.T  # (c, n)

@@ -162,3 +162,65 @@ def test_semantic_dedup_planted_vec_invariants(ray_session):
     assert int(out["keep"].sum()) == plan["expected_kept"]
     assert (out["rep"].to_numpy() == np.where(odd_fam, ids - 1, ids)).all()
     assert (out["keep"].to_numpy() == ~odd_fam).all()
+
+
+def test_semantic_dedup_fuzz_vs_bruteforce(ray_session):
+    """Differential fuzz: semantic_dedup (distributed, chunked edge
+    pass, min-label propagation) must equal a plain numpy reference
+    (same quantizer, per-cluster union-find) on random geometry with
+    borderline-threshold pairs — catches chunk-boundary and
+    propagation defects the planted fixtures can't."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.similarity import (
+        _kmeans, _normalize, semantic_dedup,
+    )
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        n, d, k, thr = 300, 8, 4, 0.9
+        # lumpy geometry: half the points are jittered copies of a few
+        # anchors (dense near-threshold pairs), half are free
+        anchors = rng.standard_normal((12, d))
+        emb = np.vstack([
+            anchors[rng.integers(12, size=n // 2)]
+            + rng.standard_normal((n // 2, d)) * rng.uniform(0.05, 0.4),
+            rng.standard_normal((n - n // 2, d)),
+        ])
+        ids = rng.permutation(n * 2)[:n].astype(np.int64)
+        df = pd.DataFrame({"vec_id": ids, "embedding": list(emb)})
+        train = df.sample(60, random_state=seed).reset_index(drop=True)
+
+        got = (
+            semantic_dedup(rd.from_pandas(df), train, k=k, threshold=thr,
+                           seed=seed, chunk=64)  # force chunk boundaries
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+
+        # reference: same quantizer math, per-cluster union-find
+        cents = _kmeans(_normalize(np.stack(train["embedding"].to_numpy())),
+                        k, seed=seed)
+        nemb = _normalize(emb)
+        assign = (nemb @ cents.T).argmax(axis=1)
+        order = np.argsort(ids, kind="stable")
+        sids, semb, sassign = ids[order], nemb[order], assign[order]
+        parent = dict(zip(sids.tolist(), sids.tolist()))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for c in range(k):
+            m = sassign == c
+            cide, cemb = sids[m], semb[m]
+            s = cemb @ cemb.T
+            for i, j in zip(*np.nonzero(np.triu(s >= thr, k=1))):
+                a, b = find(int(cide[i])), find(int(cide[j]))
+                if a != b:
+                    lo, hi = min(a, b), max(a, b)
+                    parent[hi] = lo
+        exp_rep = np.array([find(int(i)) for i in got["vec_id"]])
+        assert (got["rep"].to_numpy() == exp_rep).all(), seed
+        assert (got["keep"].to_numpy() == (exp_rep == got["vec_id"].to_numpy())).all(), seed
