@@ -117,9 +117,19 @@ def hash64(values: np.ndarray | pa.Array | pa.ChunkedArray | list) -> np.ndarray
         values = pa.array(np.asarray(values, dtype=object))
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
+    t = values.type
+    if pa.types.is_integer(t) and t != pa.int64():
+        # dtype-insensitive integer hashing: an int32 and an int64
+        # column holding the same VALUES must hash identically — the
+        # polars fast path hashes the physical width, so without this
+        # cast a bloom built over int64 ids silently rejects an int32
+        # probe column (false negatives) and a bucketed join whose two
+        # sides differ in width routes matching keys to different
+        # buckets. safe=False: uint64 > 2^63 wraps, deterministically
+        # and identically on every side.
+        values = pc.cast(values, pa.int64(), safe=False)
     if _pl is not None:
         return _pl.from_arrow(values).hash(seed=_HASH_SEED).to_numpy()
-    t = values.type
     if pa.types.is_integer(t):
         v = pc.fill_null(values, 0).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return _mix64(v.view(np.uint64))

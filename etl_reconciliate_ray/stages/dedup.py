@@ -28,25 +28,59 @@ from ..functions import text as T
 from ..functions.hashing import sha256_hex_array
 
 
-def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(
+    docs_ds, id_col: str = "doc_id", text_col: str = "text",
+    null_text: str = "collapse",
+):
     """One representative (min id) per distinct content hash.
-    Returns Dataset(doc_id, content_sha256)."""
+    Returns Dataset(doc_id, content_sha256).
+
+    ``null_text`` sets the policy for rows whose text is NULL (their
+    hash is null): ``"collapse"`` (default) groups them as ONE key —
+    SQL GROUP BY semantics, what the DuckDB oracle computes; ``"keep"``
+    treats unknown content as incomparable (the module's near-dup
+    stages' policy: null text is never a candidate), so every null-text
+    doc survives as its own representative with a null hash."""
     from ray.data.aggregate import Min
 
+    if null_text not in ("collapse", "keep"):
+        raise ValueError(f"null_text must be 'collapse' or 'keep', got {null_text!r}")
+
     def hash_and_partial_min(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {id_col: batch[id_col], "content_sha256": sha256_hex_array(batch[text_col])}
-        )
+        sha = sha256_hex_array(batch[text_col])
+        if null_text == "keep":
+            # per-doc sentinel key: "\x00<id>" can never collide with a
+            # hex sha, so null-text rows pass the groupbys unmerged
+            mask = pc.is_null(sha)
+            if pc.any(mask).as_py():
+                sent = pc.binary_join_element_wise(
+                    pa.scalar("\x00"), pc.cast(batch[id_col], pa.string()),
+                    pa.scalar(""),
+                )
+                sha = pc.if_else(mask, sent, sha)
+        t = pa.table({id_col: batch[id_col], "content_sha256": sha})
         red = t.group_by(["content_sha256"], use_threads=False).aggregate([(id_col, "min")])
         return pa.table(
             {id_col: red[f"{id_col}_min"], "content_sha256": red["content_sha256"]}
         )
 
-    return (
+    out = (
         docs_ds.map_batches(hash_and_partial_min, batch_format="pyarrow")
         .groupby("content_sha256")
         .aggregate(Min(on=id_col, alias_name=id_col))
     )
+    if null_text == "collapse":
+        return out
+
+    def restore_null(t: pa.Table) -> pa.Table:
+        sha = t["content_sha256"]
+        m = pc.starts_with(pc.fill_null(sha, ""), "\x00")
+        return pa.table({
+            "content_sha256": pc.if_else(m, pa.nulls(t.num_rows, pa.string()), sha),
+            id_col: t[id_col],
+        })
+
+    return out.map_batches(restore_null, batch_format="pyarrow")
 
 
 class MinHashBands:
@@ -122,11 +156,15 @@ def _dedupe_pairs(pairs):
 # grouping by raw bucket (one tiny group per bucket — tens of thousands
 # of them) is dominated by dispatch, not work. Grouping by a hash PART
 # keeps the shuffle volume identical while the within-part kernel walks
-# bucket boundaries vectorized (lexsort + boundary flags).
+# bucket boundaries vectorized (lexsort + boundary flags). The default
+# suits bench-scale corpora; per-part band rows grow as
+# docs x num_bands / parts, so at much larger corpora raise
+# ``pair_parts`` on the caller until one part's rows fit a worker —
+# the same fixed-bucket scale rule as joins._derive_num_buckets.
 _PAIR_PARTS = 64
 
 
-def _with_part(bands):
+def _with_part(bands, parts: int = _PAIR_PARTS):
     """Tag each band row with its shuffle part = band_hash-derived
     hash, so whole-part kernels replace per-bucket dispatch."""
     def tag(t: pa.Table) -> pa.Table:
@@ -134,7 +172,7 @@ def _with_part(bands):
         band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
         mix = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ (band << np.uint64(32))
         return t.append_column(
-            "part", pa.array((mix % np.uint64(_PAIR_PARTS)).astype(np.int64))
+            "part", pa.array((mix % np.uint64(parts)).astype(np.int64))
         )
 
     return bands.map_batches(tag, batch_format="pyarrow")
@@ -143,8 +181,10 @@ def _with_part(bands):
 def _bucket_bounds(band, bh, ids):
     """Sort band rows by (band, band_hash, doc_id), drop duplicate
     (bucket, id) rows, and return the deduped arrays plus each bucket's
-    [start, end) bounds — the vectorized spine shared by the self-join
-    and cross (incremental) pair kernels."""
+    [start, end) bounds — the vectorized spine of the self-join pair
+    kernel. The cross (incremental) kernel carries its own variant
+    inline because it folds the ``side`` flag into the sort order
+    (corpus rows before new rows within each bucket)."""
     order = np.lexsort((ids, bh, band))
     band, bh, ids = band[order], bh[order], ids[order]
     same_bucket = np.empty(len(ids), dtype=bool)
@@ -160,7 +200,10 @@ def _bucket_bounds(band, bh, ids):
     return band, bh, ids, starts, ends
 
 
-def lsh_candidate_pairs(docs_ds, max_bucket_size: int = 512, **mh_kwargs):
+def lsh_candidate_pairs(
+    docs_ds, max_bucket_size: int = 512, pair_parts: int = _PAIR_PARTS,
+    **mh_kwargs,
+):
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     Returns Dataset(doc_a, doc_b) with doc_a < doc_b, deduplicated.
 
@@ -168,10 +211,11 @@ def lsh_candidate_pairs(docs_ds, max_bucket_size: int = 512, **mh_kwargs):
     degenerate band hash (boilerplate docs) would otherwise produce one
     quadratic group. Oversized buckets contribute only pairs among
     their ``max_bucket_size`` smallest doc_ids (deterministic) and the
-    drop is logged — never silent (ray_guide.md "no silent caps")."""
+    drop is logged — never silent (ray_guide.md "no silent caps").
+    ``pair_parts`` sizes the shuffle fan-out (see _PAIR_PARTS)."""
     import logging
 
-    bands = _with_part(_band_rows(docs_ds, mh_kwargs))
+    bands = _with_part(_band_rows(docs_ds, mh_kwargs), pair_parts)
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
         band = g["band"].to_numpy().astype(np.int64)
@@ -278,28 +322,35 @@ def verify_pairs_distributed(
     # size the join fan-out to the candidate volume: a sparse pair set
     # through a fixed 16-way exchange is pure scheduling overhead, a
     # dense one still gets the full fan-out (caller's num_buckets caps)
-    num_buckets = max(1, min(num_buckets, -(-pairs_ds.count() // 8192)))
+    num_buckets = max(1, min(num_buckets, -(-n_pairs // 8192)))
+
+    bloom_k = 7  # ONE constant for build and the reassembled probe dict
 
     def part_bloom(t: pa.Table) -> pa.Table:
         ids = np.concatenate([
             t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
             t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
         ])
-        b = build_bloom(pa.array(ids), bits_log2=bloom_bits_log2)
+        b = build_bloom(pa.array(ids), bits_log2=bloom_bits_log2, k=bloom_k)
         return pa.table({"bits": [b["bits"]]})
 
     parts = pairs_ds.map_batches(part_bloom, batch_format="pyarrow").to_pandas()
     bits = np.zeros((1 << bloom_bits_log2) // 64, dtype=np.uint64)
     for arr in parts["bits"]:
         bits |= np.asarray(arr, dtype=np.uint64)
-    bloom_ref = ray.put({"bits": bits, "bits_log2": bloom_bits_log2, "k": 7})
+    bloom_ref = ray.put({"bits": bits, "bits_log2": bloom_bits_log2, "k": bloom_k})
 
     def endpoint_docs(t: pa.Table) -> pa.Table:
         bloom = ray.get(bloom_ref)
         keep = bloom_contains(bloom, t["doc_id"])
         return t.filter(pa.array(keep))
 
-    docs_pruned = docs_ds.map_batches(endpoint_docs, batch_format="pyarrow")
+    # materialized: consumed by BOTH join sides — without this the full
+    # corpus scan + bloom probe would execute twice; the pruned set is
+    # endpoint docs + the FP sliver, i.e. O(dup tail), safe to pin
+    docs_pruned = docs_ds.map_batches(
+        endpoint_docs, batch_format="pyarrow"
+    ).materialize()
 
     def as_a(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_a": df["doc_id"], "text_a": df["text"]})
@@ -359,20 +410,21 @@ def _verify_pairs_small(pairs_ds, docs_ds, threshold: float, shingle_k: int):
         sel = df[m]
         return pd.DataFrame({
             "doc_id": sel["doc_id"].astype("int64"),
-            "sh": [
-                np.unique(T.char_shingles(t, shingle_k)) for t in sel["text"]
-            ],
+            # char_shingles already returns np.unique output
+            "sh": [T.char_shingles(t, shingle_k) for t in sel["text"]],
         })
 
     sh_rows = docs_ds.map_batches(endpoint_shingles, batch_format="pandas").take_all()
-    sh = {int(r["doc_id"]): r["sh"] for r in sh_rows}
+    # set conversion ONCE per endpoint doc — a hot doc in thousands of
+    # pairs must not rebuild its Python set per pair
+    sh = {int(r["doc_id"]): set(np.asarray(r["sh"]).tolist()) for r in sh_rows}
     rows = []
     for r in plist:
         a, b = int(r["doc_a"]), int(r["doc_b"])
         sa, sb = sh.get(a), sh.get(b)
         if sa is None or sb is None:
             continue
-        j = T.jaccard(set(np.asarray(sa).tolist()), set(np.asarray(sb).tolist()))
+        j = T.jaccard(sa, sb)
         if j >= threshold:
             rows.append((a, b, round(float(j), 6)))
     if not rows:
@@ -595,6 +647,7 @@ def incremental_dup_check(
     threshold: float = 0.8,
     max_bucket_size: int = 512,
     num_buckets: int = 16,
+    pair_parts: int = _PAIR_PARTS,
     **mh_kwargs,
 ):
     """Incremental (CDC-flavored) near-dup check: match an INCOMING
@@ -624,7 +677,7 @@ def incremental_dup_check(
 
         return b.map_batches(tag, batch_format="pyarrow")
 
-    bands = _with_part(banded(corpus_ds, 0).union(banded(new_ds, 1)))
+    bands = _with_part(banded(corpus_ds, 0).union(banded(new_ds, 1)), pair_parts)
 
     def cross_pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
         band = g["band"].to_numpy().astype(np.int64)

@@ -224,3 +224,49 @@ def test_semantic_dedup_fuzz_vs_bruteforce(ray_session):
         exp_rep = np.array([find(int(i)) for i in got["vec_id"]])
         assert (got["rep"].to_numpy() == exp_rep).all(), seed
         assert (got["keep"].to_numpy() == (exp_rep == got["vec_id"].to_numpy())).all(), seed
+
+
+def test_exact_dedup_null_text_policies(ray_session):
+    """null-text rows: default 'collapse' groups them as one key (SQL
+    GROUP BY semantics, what the DuckDB oracle computes); 'keep' treats
+    unknown content as incomparable — every null-text doc survives as
+    its own representative with a null hash."""
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["same", "same", None, None, "only", None],
+    })
+    ds = rd.from_pandas(df)
+
+    col = exact_dedup(ds).to_pandas()
+    assert sorted(col["doc_id"]) == [0, 2, 4]  # nulls collapsed onto id 2
+
+    keep = exact_dedup(ds, null_text="keep").to_pandas()
+    assert sorted(keep["doc_id"]) == [0, 2, 3, 4, 5]
+    by_id = keep.set_index("doc_id")["content_sha256"]
+    assert by_id[[2, 3, 5]].isna().all()  # null hash restored, not sentinel
+    assert by_id[[0, 4]].notna().all()
+
+
+def test_bloom_membership_is_integer_dtype_insensitive():
+    """A bloom built over int64 ids must accept an int32 (or uint64)
+    probe column holding the same values: hash64 normalizes integer
+    width, otherwise the polars fast path hashes the physical
+    representation and every probe is a silent false negative (the
+    verify_pairs_distributed endpoint prune would drop all docs)."""
+    from etl_reconciliate_ray.functions.bloom import bloom_contains, build_bloom
+
+    ids = np.array([5, 99, 12345, 2**40], dtype=np.int64)
+    bloom = build_bloom(pa.array(ids), bits_log2=16)
+    for typ, vals in (
+        (pa.int32(), [5, 99, 12345]),
+        (pa.uint64(), [5, 99, 12345, 2**40]),
+        (pa.int16(), [5, 99, 12345]),
+    ):
+        probe = pa.array(vals, typ)
+        assert bloom_contains(bloom, probe).all(), typ
+    # and misses still miss
+    assert not bloom_contains(bloom, pa.array([7, 8, 1000], pa.int32())).any()
