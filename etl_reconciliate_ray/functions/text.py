@@ -31,10 +31,22 @@ def tokens(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
+# RE2's \s (what DuckDB's regexp functions use): ASCII [\t\n\f\r ] only
+# — NOT Python str.split()'s Unicode whitespace. The oracle-compared
+# token counts must match RE2 exactly, including edge empty tokens
+# (RE2 split of '\ta' yields ['', 'a']) and SQL trim() trimming SPACES
+# only. Divergence is invisible on ASCII corpora and silent elsewhere.
+_RE2_WS = re.compile(r"[ \t\n\f\r]+")
+
+
 def whitespace_token_count(text: str) -> int:
-    """Token count by whitespace split (matches SQL
-    ``length(regexp_split_to_array(trim(text), '\\s+'))`` on non-empty)."""
-    return len(text.split())
+    """Token count matching SQL ``CASE WHEN trim(text) = '' THEN 0 ELSE
+    length(regexp_split_to_array(trim(text), '\\s+')) END`` exactly —
+    RE2 \\s semantics, space-only trim, edge empties counted."""
+    t = text.strip(" ")
+    if t == "":
+        return 0
+    return len(_RE2_WS.split(t))
 
 
 def whitespace_quality(text: str) -> tuple[int, float]:
@@ -42,13 +54,14 @@ def whitespace_quality(text: str) -> tuple[int, float]:
     lowercased trimmed text — bit-identical to the DuckDB oracle's
     ``regexp_split_to_array(lower(trim(text)), '\\s+')`` tokenization
     (a token like 'the,' counts as one token and is NOT a stopword on
-    either side)."""
-    toks = text.lower().split()
-    n = len(toks)
-    if n == 0:
+    either side; RE2 \\s + space-only trim, see ``_RE2_WS``)."""
+    t = text.lower().strip(" ")
+    if t == "":
         return 0, 0.0
+    toks = _RE2_WS.split(t)
+    n = len(toks)
     stop = STOPWORDS["en"]
-    return n, sum(t in stop for t in toks) / n
+    return n, sum(tk in stop for tk in toks) / n
 
 
 def quality_signals(text: str) -> dict:

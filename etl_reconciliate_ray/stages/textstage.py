@@ -29,7 +29,14 @@ def _whitespace_explode(batch: pa.Table, text_col: str):
     import numpy as np
     import pyarrow.compute as pc
 
-    lists = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0 or pa.types.is_null(col.type):
+        # an all-null block arrives as a null-typed column (same guard
+        # as _span_explode); utf8_lower would raise on it
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+    lists = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
     flat = pc.list_flatten(lists)
     parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
     keep = pc.not_equal(flat, "")
@@ -37,12 +44,22 @@ def _whitespace_explode(batch: pa.Table, text_col: str):
 
 
 class TokenStats:
-    """doc_id, n_tokens (whitespace tokens), n_chars."""
+    """doc_id, n_tokens (whitespace tokens), n_chars. NULL text emits
+    NULL stats (SQL ``length(NULL)`` semantics) instead of crashing."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"]
         out = pd.DataFrame({"doc_id": batch["doc_id"]})
-        out["n_tokens"] = batch["text"].map(T.whitespace_token_count).astype("int64")
-        out["n_chars"] = batch["text"].str.len().astype("int64")
+        if txt.notna().all():
+            out["n_tokens"] = txt.map(T.whitespace_token_count).astype("int64")
+            out["n_chars"] = txt.str.len().astype("int64")
+        else:
+            out["n_tokens"] = pd.array(
+                [T.whitespace_token_count(s) if isinstance(s, str) else None
+                 for s in txt], dtype="Int64")
+            out["n_chars"] = pd.array(
+                [len(s) if isinstance(s, str) else None for s in txt],
+                dtype="Int64")
         return out
 
 
@@ -57,26 +74,41 @@ class QualityScore:
     keep the regex tokenization (not oracle-compared)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sig = batch["text"].map(T.quality_signals)
+        txt = batch["text"]
         out = pd.DataFrame({"doc_id": batch["doc_id"]})
-        ws = batch["text"].map(T.whitespace_quality)
-        out["n_tokens"] = ws.map(lambda s: s[0]).astype("int64")
-        out["stop_ratio"] = ws.map(lambda s: s[1])
-        for k in ("punct_ratio", "mean_token_len"):
-            out[k] = sig.map(lambda s, k=k: s[k])
+        if txt.notna().all():
+            sig = txt.map(T.quality_signals)
+            ws = txt.map(T.whitespace_quality)
+            out["n_tokens"] = ws.map(lambda s: s[0]).astype("int64")
+            out["stop_ratio"] = ws.map(lambda s: s[1])
+            for k in ("punct_ratio", "mean_token_len"):
+                out[k] = sig.map(lambda s, k=k: s[k])
+        else:
+            # NULL text -> NULL signals (SQL semantics), never a crash
+            ws = [T.whitespace_quality(s) if isinstance(s, str) else None
+                  for s in txt]
+            sig = [T.quality_signals(s) if isinstance(s, str) else None
+                   for s in txt]
+            out["n_tokens"] = pd.array(
+                [w[0] if w else None for w in ws], dtype="Int64")
+            out["stop_ratio"] = [w[1] if w else None for w in ws]
+            for k in ("punct_ratio", "mean_token_len"):
+                out[k] = [s[k] if s else None for s in sig]
         return out
 
 
 class LangId:
-    """Stopword-hit-rate language ID (deterministic tie-break)."""
-
-    def __init__(self):
-        self.stop = {k: frozenset(v) for k, v in T.STOPWORDS.items()}
+    """Stopword-hit-rate language ID (deterministic tie-break; state
+    lives in functions.text.STOPWORDS — nothing per-actor to build).
+    NULL text -> 'und' (the oracle's CASE falls to its ELSE)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "pred_lang": batch["text"].map(T.langid)}
-        )
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "pred_lang": batch["text"].map(
+                lambda s: T.langid(s) if isinstance(s, str) else "und"
+            ),
+        })
 
 
 def sha256_stage(batch: pa.Table) -> pa.Table:
@@ -95,6 +127,8 @@ class RollingFingerprint:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, hashes = [], []
         for did, txt in zip(batch["doc_id"], batch["text"]):
+            if not isinstance(txt, str):
+                continue  # NULL text has no fingerprints
             for h in T.rolling_fingerprint(txt, window=self.window):
                 ids.append(did)
                 hashes.append(h)
@@ -118,7 +152,18 @@ def word_repetition_stats(batch: pa.Table) -> pa.Table:
     """
     import pyarrow.compute as pc
 
-    lists = pc.split_pattern(batch["text"], " ")
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0 or pa.types.is_null(col.type):
+        # all-null block: null-typed column (same guard as _span_explode)
+        return pa.table({
+            "doc_id": batch["doc_id"].slice(0, 0),
+            "n_words": pa.array([], pa.int64()),
+            "n_distinct_words": pa.array([], pa.int64()),
+            "top_word_count": pa.array([], pa.int64()),
+        })
+    lists = pc.split_pattern(col, " ")
     flat = pc.list_flatten(lists)
     parent = pc.list_parent_indices(lists)
     ids = pc.take(batch["doc_id"], parent)
@@ -149,8 +194,6 @@ def collect_ngram_set(bench_ds, n: int = 4, text_col: str = "text") -> frozenset
     large-benchmark scale, store 64-bit gram hashes instead of strings
     and front the set with a Bloom filter (functions/bloom.py) — same
     broadcast contract."""
-    import pandas as pd  # noqa: F811  (local to keep stage imports lazy)
-
     def grams(batch: pd.DataFrame) -> pd.DataFrame:
         out: set[str] = set()
         for txt in batch[text_col]:
@@ -257,8 +300,7 @@ def _dup_span_ds(ds, width: int, text_col: str):
     )
 
 
-def dup_span_hashes(ds, width: int = 20, text_col: str = "text",
-                    doc_id_col: str = "doc_id"):
+def dup_span_hashes(ds, width: int = 20, text_col: str = "text"):
     """Duplicated-span digests collected to a driver-side frozenset —
     the BROADCAST probe's build step. Only the dup tail reaches the
     driver; when that tail itself is too big for one node, use
@@ -278,16 +320,23 @@ def _sorted_member(sorted_keys, probe):
 
 
 def _rebuild_from_drops(docs: pa.Table, drop_parent, drop_ord, width: int,
-                        text_col: str, doc_id_col: str) -> pa.Table:
-    """Shared output assembly for both probe paths: re-explode the
-    given non-null-text doc rows, mask the (parent, ordinal) pairs
-    listed in ``drop_parent``/``drop_ord``, and rejoin kept segments in
-    order with one ``pc.binary_join`` (all-dropped docs come back as
-    '', matching the oracle's COALESCE('') leg)."""
+                        text_col: str, doc_id_col: str,
+                        exploded=None) -> pa.Table:
+    """Shared output assembly for both probe paths: explode the given
+    non-null-text doc rows (or reuse a caller's already-computed
+    ``exploded`` = (segs, parent, ordv) — the broadcast probe computed
+    it for hashing and must not pay the split twice), mask the
+    (parent, ordinal) pairs listed in ``drop_parent``/``drop_ord``, and
+    rejoin kept segments in order with one ``pc.binary_join``
+    (all-dropped docs come back as '', matching the oracle's
+    COALESCE('') leg)."""
     import numpy as np
     import pyarrow.compute as pc
 
-    segs, parent, ordv = _span_explode(docs[text_col], width)
+    segs, parent, ordv = (
+        exploded if exploded is not None
+        else _span_explode(docs[text_col], width)
+    )
     nrows = docs.num_rows
     n_spans = np.bincount(parent, minlength=nrows).astype(np.int64)
     if len(drop_parent):
@@ -355,6 +404,7 @@ class SpanDedup:
         return _rebuild_from_drops(
             docs, parent[drop], ordv[drop], self.width,
             self.text_col, self.doc_id_col,
+            exploded=(segs, parent, ordv),  # computed above: don't re-split
         )
 
 
@@ -541,8 +591,6 @@ def bigram_counts(ds, top_n: int = 20, text_col: str = "text", doc_id_col: str =
         if n < 2:
             return pa.table({"bigram": pa.array([], pa.string()),
                              "c": pa.array([], pa.int64())})
-        import numpy as np
-
         # adjacent pairs within the same doc: rows i, i+1 with equal parent
         same = parent[1:] == parent[:-1]
         a = flat.slice(0, n - 1).filter(pa.array(same))
@@ -761,6 +809,16 @@ def bm25_topk(
     stats = ds.map_batches(doc_len, batch_format="pyarrow").aggregate(
         Count(alias_name="n_docs"), Mean(on="dl", alias_name="avgdl")
     )
+    if not stats or not stats.get("n_docs") or stats.get("avgdl") is None:
+        # empty (or all-null-text) corpus: no docs to rank
+        import ray.data as rd
+
+        sch = ds.schema()  # Ray Data Schema: parallel names/types lists
+        id_type = dict(zip(sch.names, sch.types))[doc_id_col]
+        return rd.from_arrow(pa.table({
+            doc_id_col: pa.array([], id_type),
+            "score_e4": pa.array([], pa.int64()),
+        }))
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
 
     def candidates(t: pa.Table) -> pa.Table:
@@ -802,7 +860,8 @@ def bm25_topk(
             (w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))).sum()
         )
         return pd.DataFrame({
-            "doc_id": [int(g["doc_id"].iloc[0])],
+            # keep the id value as-is: doc_id_col may be non-integer
+            "doc_id": [g["doc_id"].iloc[0]],
             "score_e4": [int(round(s * 10000))],
         })
 
@@ -885,10 +944,13 @@ class TrigramLMScore:
         import numpy as np
 
         rows = batch[self.text_col].to_pylist()
-        doc_ids = batch[self.doc_id_col].to_pylist()
+        id_col = batch[self.doc_id_col]
+        if isinstance(id_col, pa.ChunkedArray):
+            id_col = id_col.combine_chunks()
         keep = [i for i, s in enumerate(rows) if s and len(s) >= 3]
         if not keep:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
+            # id dtype preserved (doc_id_col may be non-integer)
+            return pa.table({"doc_id": id_col.slice(0, 0),
                              "nll_e4": pa.array([], pa.int64())})
         texts = [rows[i] for i in keep]
         ids, doc_of = _trigram_ids(texts, np)
@@ -899,7 +961,7 @@ class TrigramLMScore:
         cnts = np.bincount(doc_of, minlength=len(texts))
         nll = sums / np.maximum(cnts, 1)
         return pa.table({
-            "doc_id": pa.array([int(doc_ids[i]) for i in keep], pa.int64()),
+            "doc_id": id_col.take(pa.array(keep, pa.int64())),
             "nll_e4": pa.array(np.round(nll * 1e4).astype(np.int64)),
         })
 

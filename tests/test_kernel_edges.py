@@ -337,3 +337,100 @@ def test_minipng_roundtrip_and_filters():
     small = np.asarray(minipng.MiniImage(big, "L").resize((4, 4)))
     assert small.shape == (4, 4)
     assert np.array_equal(small, big[np.ix_([0, 2, 4, 6], [0, 2, 4, 6])] + 9)
+
+
+def test_whitespace_tokenization_matches_duckdb_on_exotic_whitespace():
+    """The oracle-compared token count must equal DuckDB's
+    CASE WHEN trim(text)='' THEN 0 ELSE length(regexp_split_to_array(
+    trim(text), '\\s+')) END on EVERY input — RE2 \\s is ASCII-only
+    (a NBSP is not whitespace), trim() strips spaces only, and edge
+    empty tokens are counted. str.split() got all three wrong."""
+    import duckdb
+
+    from etl_reconciliate_ray.functions.text import (
+        whitespace_quality, whitespace_token_count,
+    )
+
+    cases = [
+        "a b c", " padded ", "", "   ", "a b", "\ta b", "a b\t",
+        "a b c", "\va", "x", "a  b", "\t\t", "the quick the",
+    ]
+    con = duckdb.connect()
+    for s in cases:
+        want = con.execute(
+            "SELECT CASE WHEN trim(?) = '' THEN 0 ELSE "
+            "length(regexp_split_to_array(trim(?), '\\s+')) END", [s, s]
+        ).fetchone()[0]
+        assert whitespace_token_count(s) == want, repr(s)
+        # quality's n_tokens leg uses the same kernel over lower(trim())
+        wantq = con.execute(
+            "SELECT CASE WHEN trim(?) = '' THEN 0 ELSE "
+            "length(regexp_split_to_array(lower(trim(?)), '\\s+')) END", [s, s]
+        ).fetchone()[0]
+        assert whitespace_quality(s)[0] == wantq, repr(s)
+
+
+def test_text_stages_tolerate_null_text():
+    """One NULL text row must not kill a stage: TokenStats/QualityScore
+    emit NULL stats (SQL length(NULL) semantics), LangId answers 'und'
+    (the oracle CASE's ELSE), RollingFingerprint emits no rows."""
+    import pandas as pd
+
+    from etl_reconciliate_ray.stages.textstage import (
+        LangId, QualityScore, RollingFingerprint, TokenStats,
+    )
+
+    batch = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat sat", None, ""],
+    })
+    ts = TokenStats()(batch)
+    assert ts["n_tokens"].tolist()[0] == 3 and pd.isna(ts["n_tokens"][1])
+    assert ts["n_tokens"].tolist()[2] == 0
+    qs = QualityScore()(batch)
+    assert qs["n_tokens"][0] == 3 and pd.isna(qs["stop_ratio"][1])
+    li = LangId()(batch)
+    assert li["pred_lang"].tolist() == ["en", "und", "und"]
+    fp = RollingFingerprint()(batch)
+    assert set(fp["doc_id"]) <= {1, 3}  # null doc contributes nothing
+
+
+def test_explode_kernels_tolerate_null_typed_text_column(ray_session):
+    """An all-null block arrives as a NULL-TYPED column; the shared
+    explode kernels must return empty instead of crashing utf8_lower /
+    split_pattern (the guard _span_explode always had)."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.textstage import (
+        _whitespace_explode, word_repetition_stats,
+    )
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.nulls(2)})
+    flat, parent = _whitespace_explode(t, "text")
+    assert len(flat) == 0 and len(parent) == 0
+    out = word_repetition_stats(t)
+    assert out.num_rows == 0
+    assert out.column_names == [
+        "doc_id", "n_words", "n_distinct_words", "top_word_count"
+    ]
+
+
+def test_bm25_empty_and_allnull_corpus(ray_session):
+    """BM25 over an empty (or all-null-text) corpus returns an empty
+    ranked result instead of TypeError on float(None) avgdl."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.textstage import bm25_topk
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert bm25_topk(empty, ["merge"], k=3).count() == 0
+    allnull = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array([None, None], pa.string()),
+    }))
+    assert bm25_topk(allnull, ["merge"], k=3).count() == 0
