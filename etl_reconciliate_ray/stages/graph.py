@@ -31,9 +31,24 @@ import pyarrow.compute as pc
 
 _SENTINEL = -1  # dangling-mass accumulator key; real node ids are >= 0
 
+# wedge-expansion chunk for the broadcast triangle fast path: peak
+# transient memory per task is ~5 arrays of this many int64s (a single
+# hub edge whose adjacency exceeds it still processes alone, bounded by
+# max degree <= the edge budget)
+_WEDGE_CHUNK = 4_000_000
+
 
 def _i64(col):
     return pc.cast(col, pa.int64())
+
+
+def _bucket_tag(col, num_buckets: int) -> pa.Array:
+    """int32 hash-bucket id per row — ONE routing expression shared by
+    every bucketed kernel in this module (hash64 is dtype-insensitive,
+    so both sides of any cogroup built on this tag always agree)."""
+    from ..functions.hashing import hash64
+
+    return pa.array((hash64(col) % np.uint64(num_buckets)).astype(np.int32))
 
 
 def pagerank(
@@ -84,6 +99,12 @@ def pagerank(
         "rank_e9": pa.array([], pa.int64()),
     })
     if n_total == 0:
+        if edges.count() > 0:
+            # edges against an empty node set would otherwise skip the
+            # loud undeclared-endpoint validation entirely
+            raise ValueError(
+                "pagerank: edges_ds is non-empty but nodes_ds declares no nodes"
+            )
         return nodes_ds.map_batches(lambda t: empty, batch_format="pyarrow")
 
     # OUTER join so an edge source absent from nodes_ds surfaces as a
@@ -115,6 +136,16 @@ def pagerank(
                 "pagerank: edge endpoint(s) not present in nodes_ds: "
                 f"{bad['node'].to_pylist()[:5]}"
             )
+        if t.num_rows:
+            lo = pc.min(t["node"]).as_py()
+            if lo is not None and lo < 0:
+                # negative ids would be silently dropped by the round
+                # filters (and -1 aliases the dangling sentinel), so
+                # their rank mass would leak without this refusal
+                raise ValueError(
+                    f"pagerank: node ids must be >= 0, got {lo} — negative "
+                    "ids collide with the internal dangling-mass sentinel"
+                )
         return pa.table({
             "node": _i64(t["node"]),
             "s": pa.array(np.zeros(t.num_rows)),
@@ -259,15 +290,13 @@ def chain_edges(
     bucket — NaN partitions never compare equal in the shift and NaT
     casts to INT64_MIN days, silently dropping or fabricating edges);
     pre-filter upstream."""
-    from ..functions.hashing import hash64
 
     def tag(t: pa.Table) -> pa.Table:
-        b = (hash64(t[part_col]) % np.uint64(num_buckets)).astype(np.int32)
         return pa.table({
             part_col: t[part_col],
             node_col: _i64(t[node_col]),
             ts_col: t[ts_col],
-            "__b": pa.array(b),
+            "__b": _bucket_tag(t[part_col], num_buckets),
         })
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -300,7 +329,7 @@ def chain_edges(
     )
 
 
-def cooccurrence_edges(ds, group_cols, node_col: str):
+def cooccurrence_edges(ds, group_cols, node_col: str, num_buckets: int = 32):
     """Clique edges between nodes co-occurring in the same group (the
     standard cohesion-graph construction: users co-active in the same
     (event_type, hour), docs sharing a shingle bucket). Per-group
@@ -322,10 +351,7 @@ def cooccurrence_edges(ds, group_cols, node_col: str):
     at any scale."""
     from ray.data.aggregate import Count
 
-    from ..functions.hashing import hash64
-
     group_cols = list(group_cols)
-    num_buckets = 32
 
     def tag(t: pa.Table) -> pa.Table:
         key = t[group_cols[0]]
@@ -333,8 +359,7 @@ def cooccurrence_edges(ds, group_cols, node_col: str):
             key = pc.binary_join_element_wise(
                 *[pc.cast(t[c], pa.string()) for c in group_cols], "\x1f"
             )
-        b = (hash64(key) % np.uint64(num_buckets)).astype(np.int32)
-        return t.append_column("__b", pa.array(b))
+        return t.append_column("__b", _bucket_tag(key, num_buckets))
 
     def cliques(df: pd.DataFrame) -> pd.DataFrame:
         if df[group_cols + [node_col]].isna().any().any():
@@ -415,24 +440,42 @@ def _triangles_broadcast(edges_ds):
         lo = np.searchsorted(ea_s, b, "left")
         hi = np.searchsorted(ea_s, b, "right")
         cnt = hi - lo
-        tot = int(cnt.sum())
-        if not tot:
+        if not int(cnt.sum()):
             return pa.table({
                 "node": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
             })
-        # flat indices of each edge's adjacency-of-b slice
-        starts = np.repeat(lo, cnt)
-        offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        c = eb_s[starts + offs]  # wedge tips: c > b by orientation
-        wa = np.repeat(a, cnt)
-        wb = np.repeat(b, cnt)
-        q = (wa.astype(np.uint64) << np.uint64(32)) | c.astype(np.uint64)
-        pos = np.minimum(np.searchsorted(packed_s, q), len(packed_s) - 1)
-        closed = packed_s[pos] == q
-        ids = np.concatenate([wa[closed], wb[closed], c[closed]])
+        # wedge expansion CHUNKED by cumulative adjacency size: the
+        # flat arrays are batch_rows x degree, so a skewed hub inside
+        # one batch must not expand in a single multi-GB allocation
+        csum = np.cumsum(cnt)
+        closed_ids = []
+        start = 0
+        while start < len(a):
+            base = csum[start - 1] if start else 0
+            end = int(np.searchsorted(csum, base + _WEDGE_CHUNK, side="right"))
+            end = max(end, start + 1)
+            sl = slice(start, end)
+            cnt_s = cnt[sl]
+            tot = int(cnt_s.sum())
+            start = end
+            if not tot:
+                continue
+            # flat indices of each edge's adjacency-of-b slice
+            starts = np.repeat(lo[sl], cnt_s)
+            offs = np.arange(tot) - np.repeat(np.cumsum(cnt_s) - cnt_s, cnt_s)
+            c = eb_s[starts + offs]  # wedge tips: c > b by orientation
+            wa = np.repeat(a[sl], cnt_s)
+            wb = np.repeat(b[sl], cnt_s)
+            q = (wa.astype(np.uint64) << np.uint64(32)) | c.astype(np.uint64)
+            pos = np.minimum(np.searchsorted(packed_s, q), len(packed_s) - 1)
+            closed = packed_s[pos] == q
+            closed_ids.append(np.concatenate([wa[closed], wb[closed], c[closed]]))
+        ids = (np.concatenate(closed_ids) if closed_ids
+               else np.array([], dtype=np.int64))
         u, n = np.unique(ids, return_counts=True)
-        return pa.table({"node": pa.array(u), "n": pa.array(n.astype("int64"))})
+        return pa.table({"node": pa.array(u.astype("int64")),
+                         "n": pa.array(n.astype("int64"))})
 
     return edges_ds.map_batches(
         count_part, batch_format="pyarrow", batch_size=8192
@@ -459,8 +502,10 @@ def triangle_counts(nodes_ds, edges_ds, num_buckets: int = 32,
     runs (logged); ``driver_edge_budget=0`` forces it.
 
     ``edges_ds``: Dataset(doc_a, doc_b), doc_a < doc_b, DISTINCT (feed
-    ``cooccurrence_edges`` output). Returns Dataset(node, n_triangles)
-    covering every node in ``nodes_ds`` (zero-filled)."""
+    ``cooccurrence_edges`` output); every endpoint must be declared in
+    ``nodes_ds`` (undeclared endpoints are refused loudly, matching
+    pagerank's contract). Returns Dataset(node, n_triangles) covering
+    every node in ``nodes_ds`` (zero-filled)."""
     import logging
 
     from ray.data.aggregate import Sum
@@ -475,18 +520,40 @@ def triangle_counts(nodes_ds, edges_ds, num_buckets: int = 32,
     edges_ds = edges_ds.materialize()
 
     def _finish(partials):
+        # declared-node marker rides the small (node) aggregate so an
+        # edge endpoint absent from nodes_ds surfaces LOUDLY (pagerank's
+        # contract) instead of as a silent phantom output row
         zeros = nodes_ds.map_batches(
             lambda t: pa.table({
                 "node": _i64(t["node"]),
                 "n": pa.array(np.zeros(t.num_rows, np.int64)),
+                "__isn": pa.array(np.ones(t.num_rows, np.int64)),
             }),
             batch_format="pyarrow",
         )
-        return (
-            partials.union(zeros)
-            .groupby("node")
-            .aggregate(Sum(on="n", alias_name="n_triangles"))
+        tagged = partials.map_batches(
+            lambda t: t.append_column(
+                "__isn", pa.array(np.zeros(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
         )
+        agg = (
+            tagged.union(zeros)
+            .groupby("node")
+            .aggregate(Sum(on="n", alias_name="n_triangles"),
+                       Sum(on="__isn", alias_name="__isn"))
+        )
+
+        def check(t: pa.Table) -> pa.Table:
+            bad = t.filter(pc.equal(t["__isn"], 0))
+            if bad.num_rows:
+                raise ValueError(
+                    "triangle_counts: edge endpoint(s) not present in "
+                    f"nodes_ds: {bad['node'].to_pylist()[:5]}"
+                )
+            return t.drop_columns(["__isn"])
+
+        return agg.map_batches(check, batch_format="pyarrow")
 
     n_edges = edges_ds.count()
     if 0 < n_edges <= driver_edge_budget:

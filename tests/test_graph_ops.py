@@ -148,3 +148,60 @@ def test_cc_orders_distributed_path_matches_fast_path(ray_session):
     pd.testing.assert_frame_equal(fast.astype("int64"), dist.astype("int64"))
     # the graph is non-trivial: some orders actually link
     assert fast["label"].nunique() < len(fast)
+
+
+def test_graph_contract_refusals(ray_session):
+    """Contract violations surface LOUDLY: negative node ids (they
+    alias or fall below the dangling sentinel and their rank mass would
+    silently leak), edges against an empty node set, and triangle edge
+    endpoints absent from nodes_ds (previously silent phantom output
+    rows)."""
+    import pytest
+
+    from etl_reconciliate_ray.stages.graph import pagerank, triangle_counts
+
+    edges = pd.DataFrame({"doc_a": [0], "doc_b": [1]})
+
+    neg_nodes = pd.DataFrame({"node": np.array([-5, 0, 1], dtype=np.int64)})
+    neg_edges = pd.DataFrame({"doc_a": [-5], "doc_b": [1]})
+    with pytest.raises(Exception, match="node ids must be >= 0"):
+        pagerank(_ds(neg_nodes), _ds(neg_edges)).to_pandas()
+
+    empty_nodes = pd.DataFrame({"node": np.array([], dtype=np.int64)})
+    with pytest.raises(ValueError, match="nodes_ds declares no nodes"):
+        pagerank(_ds(empty_nodes), _ds(edges))
+
+    two_nodes = pd.DataFrame({"node": np.array([0, 1], dtype=np.int64)})
+    phantom = pd.DataFrame({"doc_a": [7, 7, 8], "doc_b": [8, 9, 9]})
+    for budget in (5_000_000, 0):
+        with pytest.raises(Exception, match="not present in nodes_ds"):
+            triangle_counts(
+                _ds(two_nodes), _ds(phantom), driver_edge_budget=budget
+            ).to_pandas()
+
+
+def test_triangle_wedge_chunking_exact_on_hub(ray_session, monkeypatch):
+    """The chunked wedge expansion (skew-hub memory bound) is exact:
+    with the chunk forced tiny, a star-plus-closures graph whose hub
+    adjacency spans many chunks still counts identically to the
+    unchunked join path."""
+    from etl_reconciliate_ray.stages import graph
+
+    monkeypatch.setattr(graph, "_WEDGE_CHUNK", 7)  # force many chunks
+    hub = 0
+    leaves = np.arange(1, 40)
+    star = [(hub, int(v)) for v in leaves]
+    closures = [(int(a), int(b)) for a, b in zip(leaves[:-1], leaves[1:])]
+    edges = pd.DataFrame(sorted(star + closures), columns=["doc_a", "doc_b"])
+    nodes = pd.DataFrame({"node": np.arange(40, dtype=np.int64)})
+    fast = (
+        graph.triangle_counts(_ds(nodes), _ds(edges), num_buckets=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    joined = (
+        graph.triangle_counts(_ds(nodes), _ds(edges), num_buckets=4,
+                              driver_edge_budget=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert fast["n_triangles"].sum() > 0
+    pd.testing.assert_frame_equal(fast.astype("int64"), joined.astype("int64"))
