@@ -127,10 +127,13 @@ class MediaFeatures:
                 except Exception:
                     # corrupt/truncated payload: fall back PER ROW (an
                     # unhandled decode error would kill the whole
-                    # actor task for one bad image in the corpus) —
-                    # honoring strict mode: deterministic_fake=False
-                    # means "never emit synthetic features", so raise
-                    arr = decode_stub(payload, mtype, deterministic_fake=self.fake)
+                    # actor task for one bad image in the corpus).
+                    # Strict mode re-raises the REAL decode error —
+                    # routing through decode_stub would mislabel a
+                    # corrupt payload as "no codecs installed"
+                    if not self.fake:
+                        raise
+                    arr = decode_stub(payload, mtype, deterministic_fake=True)
             else:
                 arr = decode_stub(payload, mtype, deterministic_fake=self.fake)
             feats.append(arr.tolist())
@@ -208,7 +211,14 @@ class MediaResize:
                     digest = hashlib.sha256(payload + f"{self.w}x{self.h}".encode()).digest()
                     out_payloads.append(digest * 4)
             else:
-                decode_stub(payload, mtype, deterministic_fake=self.fake)
+                if not self.fake:
+                    # strict mode: non-image (or codec-less) rows have
+                    # no real resize path — say so directly instead of
+                    # computing and discarding a fake decode
+                    raise NotImplementedError(
+                        f"media_resize: no real codec path for {mtype!r} "
+                        "payloads (deterministic_fake=False)"
+                    )
                 # fake re-encode: content-derived bytes sized like a thumbnail
                 digest = hashlib.sha256(payload + f"{self.w}x{self.h}".encode()).digest()
                 out_payloads.append(digest * 4)
@@ -232,6 +242,10 @@ class FrameSampler:
     on — are real."""
 
     def __init__(self, interval_ms: int = 1000, deterministic_fake: bool = True):
+        if not int(interval_ms) > 0:
+            # 0 would ZeroDivisionError per batch deep inside the actor
+            # task; negative would silently emit one frame per video
+            raise ValueError(f"interval_ms must be > 0, got {interval_ms!r}")
         self.interval = int(interval_ms)
         self.fake = deterministic_fake
 
@@ -259,10 +273,16 @@ class FrameSampler:
         })
 
 
-def media_resize(media_ds, width=224, height=224, concurrency=(1, 4), batch_size: int = 64):
+def media_resize(media_ds, width=224, height=224, concurrency=(1, 4),
+                 batch_size: int = 64, codec: str = "fake"):
+    """Wire MediaResize as an actor pool. ``codec`` plumbs through like
+    ``media_features``: "auto" resizes with a real codec (PIL, or the
+    pure-Python minipng fallback) wherever one resolves; the default
+    "fake" keeps driver queries deterministic."""
     return media_ds.map_batches(
         MediaResize,
-        fn_constructor_kwargs={"width": width, "height": height, "deterministic_fake": True},
+        fn_constructor_kwargs={"width": width, "height": height,
+                               "deterministic_fake": True, "codec": codec},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )

@@ -32,13 +32,22 @@ def split_assign(
     at any parallelism level and in any engine."""
     if sum(splits.values()) != modulus:
         raise ValueError(f"split sizes {splits} must sum to modulus {modulus}")
+    if any(w < 0 for w in splits.values()):
+        # a negative width passes the sum check while later ranges
+        # silently overwrite earlier labels — refuse
+        raise ValueError(f"split sizes must be >= 0, got {splits}")
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if ids.null_count:
+        # NaN -> int64 casts to INT64_MIN, whose residue lands the row
+        # deterministically in SOME split — a silent data-quality leak
+        # into the training set; assignment must come from real ids
+        raise ValueError(
+            f"split_assign: {ids.null_count} null id(s) — every document "
+            "must carry a real id (pre-filter or repair upstream)"
+        )
     r = np.mod(
-        np.asarray(
-            ids.combine_chunks().to_numpy(zero_copy_only=False)
-            if isinstance(ids, pa.ChunkedArray)
-            else ids.to_numpy(zero_copy_only=False),
-            dtype=np.int64,
-        ),
+        np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64),
         modulus,
     )
     labels = np.empty(len(r), dtype=object)
@@ -62,6 +71,15 @@ def pack_batch(
     ``doc_ids`` (list<int64> in packing order), ``n_docs``,
     ``total_tokens``.
     """
+    nulls = batch[id_col].null_count + batch[ntok_col].null_count
+    if nulls:
+        # a null token count NaN->int64-casts to INT64_MIN, 'fits'
+        # every bin and drives totals hugely negative — silent
+        # training-set corruption; refuse like split_assign
+        raise ValueError(
+            f"pack_batch: {nulls} null {id_col}/{ntok_col} value(s) — "
+            "token counts and ids must be non-null (pre-filter upstream)"
+        )
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     toks = batch[ntok_col].to_numpy(zero_copy_only=False).astype(np.int64)
     bin_used: list[int] = []  # tokens packed per open bin

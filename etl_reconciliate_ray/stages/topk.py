@@ -35,7 +35,15 @@ def _rank_in_group(sorted_keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
     n = len(keys)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    a, b = keys.slice(1), keys.slice(0, n - 1)
+    # NULL-SAFE boundary test: a null group key is its own group (SQL
+    # PARTITION BY semantics). Plain not_equal is null when either side
+    # is null, which flatnonzero would read as 'no boundary' — the null
+    # run would then continue the previous group's rank sequence and
+    # its rows would silently miss the top-k cut.
+    ne = pc.fill_null(pc.not_equal(a, b), True)
+    both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+    neq = pc.and_(ne, pc.invert(both_null)).to_numpy(zero_copy_only=False)
     starts = np.concatenate([[0], np.flatnonzero(neq) + 1]).astype(np.int64)
     lengths = np.diff(np.concatenate([starts, [n]]))
     return np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
@@ -63,6 +71,14 @@ def topk_per_group(
     per-group final — only O(groups x k) rows shuffle."""
 
     def partial(t: pa.Table) -> pa.Table:
+        if "rank" in t.column_names:
+            # append_column would create a duplicate 'rank' and the
+            # drop below would then die with a misleading KeyError —
+            # refuse with the actual problem instead
+            raise ValueError(
+                "topk_per_group: input already has a 'rank' column "
+                "(rename it; the stage emits its own)"
+            )
         if t.num_rows == 0:
             return t
         return _select_topk(t, group_key, order_col, k, tiebreak, descending).drop_columns(
@@ -94,15 +110,23 @@ def histogram_quantiles(
     counts (vectorized bincount — a combiner), counts merge by sum (one
     tiny shuffle), and the quantile is the lower edge of the bin where
     the cumulative count crosses q*n. Error is bounded by ONE BIN WIDTH
-    ((hi-lo)/num_bins) by construction — property-tested against the
-    exact reduction, not assumed."""
+    ((hi-lo)/num_bins) by construction FOR VALUES INSIDE [lo, hi) —
+    property-tested against the exact reduction, not assumed. Values
+    outside the range land in two dedicated overflow bins whose
+    reported edge clamps to lo/hi; a quantile that resolves to an
+    overflow bin carries NO width bound (its true value may sit
+    arbitrarily far outside the configured range), so the finalize
+    stage LOGS the overflow counts per group — never a silent clip."""
     import pyarrow.compute as pc
 
     width = max(1, (hi - lo + num_bins - 1) // num_bins)
 
     def to_bins(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = np.clip((v - lo) // width, 0, num_bins - 1)
+        # overflow bins -1 / num_bins instead of a silent clip into the
+        # edge bins: rank arithmetic stays exact, the bound caveat is
+        # detectable downstream
+        b = np.clip((v - lo) // width, -1, num_bins)
         keys = t[group_key]
         tb = pa.table({group_key: keys, "bin": pa.array(b, pa.int64())})
         red = tb.group_by([group_key, "bin"], use_threads=False).aggregate([("bin", "count")])
@@ -119,17 +143,31 @@ def histogram_quantiles(
     )
 
     def finalize(t: pa.Table) -> pa.Table:
+        import logging
+
         t = t.sort_by([("bin", "ascending")])
         n_col = "sum(n)" if "sum(n)" in t.column_names else "n"
         counts = t[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bins = t["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
         total = int(counts.sum())
         cum = np.cumsum(counts)
-        row: dict[str, object] = {group_key: t[group_key][0].as_py(), "n": total}
+        n_under = int(counts[bins < 0].sum())
+        n_over = int(counts[bins >= num_bins].sum())
+        gval = t[group_key][0].as_py()
+        if n_under or n_over:
+            logging.getLogger(__name__).warning(
+                "histogram_quantiles: group %r has %d value(s) below lo=%d "
+                "and %d above hi=%d — quantiles resolving to an overflow "
+                "bin clamp to the range edge and carry NO one-bin-width "
+                "bound (widen [lo, hi) to restore it)",
+                gval, n_under, lo, n_over, hi,
+            )
+        row: dict[str, object] = {group_key: gval, "n": total}
         for name, q in quantiles.items():
             target = int(np.floor(q * (total - 1))) + 1  # rank, 1-based
             idx = int(np.searchsorted(cum, target))
-            row[name] = int(lo + bins[idx] * width)  # lower bin edge
+            # lower bin edge, overflow bins clamped to the range
+            row[name] = int(min(max(lo + bins[idx] * width, lo), hi))
         return pa.Table.from_pylist([row])
 
     return merged.groupby(group_key).map_groups(finalize, batch_format="pyarrow")

@@ -434,3 +434,110 @@ def test_bm25_empty_and_allnull_corpus(ray_session):
         "text": pa.array([None, None], pa.string()),
     }))
     assert bm25_topk(allnull, ["merge"], k=3).count() == 0
+
+
+def test_packing_refuses_nulls_and_negative_widths():
+    """NaN -> int64 casts to INT64_MIN: a null token count would 'fit'
+    every bin with hugely negative totals, a null id would land
+    deterministically in SOME split, and a negative split width passes
+    the sum check while overwriting earlier labels — all refused."""
+    import pyarrow as pa
+    import pytest
+
+    from etl_reconciliate_ray.stages.packing import (
+        pack_batch, split_assign,
+    )
+
+    with pytest.raises(ValueError, match="null id"):
+        split_assign(pa.array([1, None, 5], pa.int64()),
+                     {"train": 90, "val": 5, "test": 5})
+    with pytest.raises(ValueError, match=">= 0"):
+        split_assign(pa.array([1], pa.int64()), {"a": 50, "b": -10, "c": 60})
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "n_tokens": pa.array([100, None], pa.int64())})
+    with pytest.raises(ValueError, match="null"):
+        pack_batch(batch, "doc_id", "n_tokens", budget=2048)
+
+
+def test_topk_null_group_is_its_own_group_and_rank_collision_refused(ray_session):
+    """A null group key is its own group (SQL PARTITION BY): its top-k
+    rows must survive with ranks restarting at 1, not silently continue
+    the previous group's sequence and get cut. An input that already
+    has a 'rank' column is refused with the actual problem."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.topk import topk_per_group
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", None, None], pa.string()),
+        "s": pa.array([5, 4, 3, 9, 8], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = (
+        topk_per_group(rd.from_arrow(t), "g", "s", k=2, tiebreak="id")
+        .to_pandas()
+    )
+    a_rows = out[out["g"] == "a"]
+    null_rows = out[out["g"].isna()]
+    assert sorted(a_rows["id"]) == [1, 2]
+    assert sorted(null_rows["id"]) == [4, 5]
+    assert sorted(null_rows["rank"]) == [1, 2]
+
+    has_rank = t.append_column("rank", pa.array([0] * 5, pa.int64()))
+    with pytest.raises(Exception, match="already has a 'rank' column"):
+        topk_per_group(rd.from_arrow(has_rank), "g", "s", k=2,
+                       tiebreak="id").to_pandas()
+
+
+def test_histogram_quantiles_overflow_bins_clamp_and_stay_exact_in_range(ray_session):
+    """Out-of-range values land in overflow bins (logged, clamped to
+    the range edge) instead of silently absorbing into the edge bins;
+    in-range data keeps the one-bin-width bound and identical results."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.topk import histogram_quantiles
+
+    t = pa.table({
+        "g": pa.array(["x"] * 10, pa.string()),
+        "v": pa.array([10, 20, 30, 40, 50, 60, 70, 80, 90, 5_000_000],
+                      pa.int64()),
+    })
+    out = histogram_quantiles(
+        rd.from_arrow(t), "g", "v", {"p50": 0.5, "pmax": 1.0},
+        lo=0, hi=100, num_bins=10,
+    ).to_pandas()
+    assert int(out["n"][0]) == 10
+    assert 40 <= int(out["p50"][0]) <= 60  # in-range: one-bin bound
+    assert int(out["pmax"][0]) == 100  # overflow: clamped to hi, not wild
+
+
+def test_media_guard_rails(ray_session):
+    """interval_ms must be positive; strict-mode resize of a non-image
+    says there is no real path instead of computing a fake; media_resize
+    plumbs the codec knob like media_features."""
+    import inspect
+
+    import pytest
+
+    from etl_reconciliate_ray.stages.multimodal import (
+        FrameSampler, MediaResize, media_resize,
+    )
+
+    for bad in (0, -1000):
+        with pytest.raises(ValueError, match="interval_ms"):
+            FrameSampler(interval_ms=bad)
+
+    import pyarrow as pa
+    stage = MediaResize(deterministic_fake=False, codec="fake")
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "media_type": pa.array(["audio"], pa.string()),
+        "payload": pa.array([b"\x00\x01"], pa.large_binary()),
+    })
+    with pytest.raises(NotImplementedError, match="no real codec path"):
+        stage(batch)
+
+    assert "codec" in inspect.signature(media_resize).parameters
