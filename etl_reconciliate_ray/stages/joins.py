@@ -33,6 +33,19 @@ import pyarrow.compute as pc
 from ..functions.broadcast import fetch as _bfetch
 from ..functions.hashing import hash64
 
+# arrow -> pandas NULLABLE dtype map for per-bucket merges: keeps a
+# null-bearing (or unmatched-outer) bucket's integer/bool columns at
+# their arrow type instead of pandas' silent int64+null -> float64
+# degrade, so every bucket emits one uniform schema and ids past 2^53
+# never round through float
+_NULLABLE_PD = {
+    pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+    pa.bool_(): pd.BooleanDtype(),
+}
+
 
 def _bucket_expr(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     typ = col.type if hasattr(col, "type") else col.chunk(0).type
@@ -54,9 +67,19 @@ def broadcast_join(
     """Join a large Dataset against a small pandas table without a
     shuffle: the small side rides the object store once and is fetched
     into a per-worker-process cache — a TASK pool that scales to every
-    core (an actor pool here bought only a fixed concurrency cap)."""
+    core (an actor pool here bought only a fixed concurrency cap).
+
+    Only ``inner``/``left`` are valid: outer/right semantics need the
+    small side's UNMATCHED rows exactly once globally, but a per-batch
+    merge would replay them once per batch — use ``hash_join``."""
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast_join: how={how!r} unsupported — outer/right would "
+            "duplicate the broadcast side's unmatched rows once per batch; "
+            "use hash_join"
+        )
     ref = ray.put(small_df)
     on = [on] if isinstance(on, str) else list(on)
 
@@ -163,10 +186,19 @@ def hash_join(
         # split sides while still Arrow: the other side's null-padded
         # columns stay TYPED nulls and are dropped before the pandas
         # conversion, so an int64 join key can never degrade to float64
-        # (which would silently empty a chained join on that key)
+        # (which would silently empty a chained join on that key).
+        # Integer/bool columns convert to pandas NULLABLE dtypes so a
+        # null-bearing or unmatched-outer bucket emits the SAME arrow
+        # type as a fully-matched one (plain to_pandas would degrade
+        # int64+null to float64 in some buckets only — mixed block
+        # schemas and silent precision loss past 2^53)
         mask = pc.equal(t["__side__"], "L")
-        left = t.filter(mask).select(on + l_final).to_pandas()
-        right = t.filter(pc.invert(mask)).select(on + r_final).to_pandas()
+        left = t.filter(mask).select(on + l_final).to_pandas(
+            types_mapper=_NULLABLE_PD.get
+        )
+        right = t.filter(pc.invert(mask)).select(on + r_final).to_pandas(
+            types_mapper=_NULLABLE_PD.get
+        )
         merged = left.merge(right, on=on, how=how)
         return pa.Table.from_pandas(merged, preserve_index=False)
 
@@ -264,7 +296,7 @@ def salted_hash_join(
     hot_keys,
     num_salts: int = 8,
     how: str = "inner",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     suffixes: tuple[str, str] = ("_l", "_r"),
 ):
     """Skew-safe partitioned hash join on a single column: DECLARED hot
@@ -419,6 +451,15 @@ def asof_join(
             [by, on], keep="last"
         )
         r = r.rename(columns=right_cols)
+        bad = (set(r.columns) - {by, on}) & set(l.columns)
+        if bad:
+            # merge_asof would silently _x/_y-suffix both sides and the
+            # promised output columns would never exist (interval_join
+            # refuses its analogous collision too)
+            raise ValueError(
+                f"asof_join: right_cols target name(s) {sorted(bad)} "
+                "collide with left columns — rename the right targets"
+            )
         l = l.sort_values(on, kind="stable")
         # sort the right side by on + EVERY remaining column, not just
         # on: rows tied on `on` (necessarily different `by` after the
@@ -457,11 +498,6 @@ def interval_join(
     salting on the interval's time-bin, which changes only the bucket
     fn, not the semantics.
     """
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
-
-    from ..functions.hashing import hash64
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:

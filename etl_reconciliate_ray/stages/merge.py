@@ -283,6 +283,14 @@ def read_chain(
     tagged = []
     for link in chain:
         rgs = link.get("rgs") or [-1] * len(link["files"])
+        if len(rgs) != len(link["files"]):
+            # zip would silently skip trailing files — stale reads, no
+            # error; a length-skewed link is a corrupt/foreign manifest
+            raise ValueError(
+                f"read_chain: manifest link epoch={link.get('epoch')} has "
+                f"{len(link['files'])} files but {len(rgs)} row-group "
+                "ordinals — refusing a partial chain read"
+            )
         for f, rg in zip(link["files"], rgs):
             cols = None
             if need is not None:
@@ -313,8 +321,18 @@ def merge_apply(events: pa.Table, prev: pa.Table | None) -> pa.Table:
     if prev is None or prev.num_rows == 0:
         merged = keep
     else:
-        wkeys = key_strings(winners["repo"], winners["path"])
-        pkeys = key_strings(prev["repo"], prev["path"])
+        # sentinel-fill null key components like resolve_chain_tables:
+        # unjoined null keys all collapse to ONE null string and
+        # is_in's null-matches-null would then delete every untouched
+        # null-component lake row whenever any event carries one
+        wkeys = key_strings(
+            pc.fill_null(winners["repo"], "\x00N"),
+            pc.fill_null(winners["path"], "\x00N"),
+        )
+        pkeys = key_strings(
+            pc.fill_null(prev["repo"], "\x00N"),
+            pc.fill_null(prev["path"], "\x00N"),
+        )
         untouched = prev.filter(pc.invert(pc.is_in(pkeys, value_set=wkeys.combine_chunks())))
         merged = _unify_concat([untouched, keep])
     # canonical column order: LAKE_COLS + bucket + evolved extras (sorted)
@@ -372,7 +390,13 @@ def make_merge_fn(
         # multi-epoch execution: the group key is (epoch, bucket) and
         # each group's epoch rides in its own column
         this_epoch = epoch if epoch is not None else events["epoch"][0].as_py()
-        manifest: dict[int, list[dict]] = ray.get(manifest_ref)
+        # per-worker-process cache: the {part -> chain} manifest dict
+        # deserializes ONCE per worker instead of once per bucket group
+        # (an epoch touching hundreds of buckets re-paid the ray.get
+        # dict deserialization per map_groups call)
+        from ..functions.broadcast import fetch as _bfetch
+
+        manifest: dict[int, list[dict]] = _bfetch(manifest_ref)
         chain = manifest.get(part, [])
         want_delta = force_delta or (chain and 1 < delta_threshold and len(chain) < delta_threshold)
         if writers is not None and want_delta:

@@ -541,3 +541,75 @@ def test_media_guard_rails(ray_session):
         stage(batch)
 
     assert "codec" in inspect.signature(media_resize).parameters
+
+
+def test_hash_join_preserves_int_types_across_buckets(ray_session):
+    """A bucket holding unmatched left-outer rows (or nulls) must emit
+    the SAME arrow schema as a fully-matched bucket: integer columns
+    ride pandas nullable dtypes through the per-bucket merge instead of
+    degrading to float64 — ids past 2^53 survive exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.joins import hash_join
+
+    big = 2**53 + 3  # not representable in float64
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "lv": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 3], pa.int64()),
+        "rv": pa.array([big, 7], pa.int64()),
+    })
+    out = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), on="k", how="left",
+        num_buckets=4,
+    )
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")],
+        promote_options="default",
+    )
+    assert pa.types.is_integer(t.schema.field("rv").type), t.schema
+    vals = {r["k"]: r["rv"] for r in t.to_pylist()}
+    assert vals[1] == big and vals[3] == 7
+    assert vals[2] is None and vals[4] is None
+
+
+def test_broadcast_join_rejects_outer_and_right():
+    """Per-batch merges cannot express outer/right: the broadcast
+    side's unmatched rows would replay once per batch."""
+    import pandas as pd
+    import pytest
+
+    from etl_reconciliate_ray.stages.joins import broadcast_join
+
+    for how in ("outer", "right"):
+        with pytest.raises(ValueError, match="unsupported"):
+            broadcast_join(None, pd.DataFrame({"k": [1]}), on="k", how=how)
+
+
+def test_asof_join_rejects_right_col_collision(ray_session):
+    """A right_cols target that collides with a left column would be
+    silently _x/_y-suffixed by merge_asof; refused instead."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.joins import asof_join
+
+    left = pa.table({
+        "u": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([5, 9], pa.int64()),
+        "v": pa.array([100, 200], pa.int64()),
+    })
+    right = pa.table({
+        "u": pa.array([1], pa.int64()),
+        "ts": pa.array([4], pa.int64()),
+        "v": pa.array([7], pa.int64()),
+    })
+    with pytest.raises(Exception, match="collide with left columns"):
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right), by="u", on="ts",
+            right_cols={"v": "v"},
+        ).to_pandas()

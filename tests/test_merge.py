@@ -218,3 +218,55 @@ def test_bucket_of_null_repo_routes_batch_independently():
                      salt_for_repo={"alpha": 4})
     assert full[0].as_py() == solo[0].as_py()
     assert pc.min(bucket_of(pa.nulls(5), pa.array(list("abcde")), 8)).as_py() is not None
+
+
+def test_merge_apply_null_key_components_stay_distinct():
+    """Sentinel-fill regression: with prev holding (repoA, null) and an
+    epoch touching only (repoB, null), plain key_strings would collapse
+    both to ONE null key and is_in (null matches null) would silently
+    delete the untouched (repoA, null) lake row."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.merge import merge_apply
+
+    prev = pa.table({
+        "repo": pa.array(["repoA", "repoC"]),
+        "path": pa.array([None, "p1"], pa.string()),
+        "content": pa.array(["keepA", "keepC"]),
+        "content_sha256": pa.array(["ha", "hc"]),
+        "bucket": pa.array([0, 0], pa.int32()),
+    })
+    events = pa.table({
+        "repo": pa.array(["repoB"]),
+        "path": pa.array([None], pa.string()),
+        "content": pa.array(["newB"]),
+        "content_sha256": pa.array(["hb"]),
+        "bucket": pa.array([0], pa.int32()),
+        "op": pa.array(["I"]),
+        "seq": pa.array([1], pa.int64()),
+    })
+    out = merge_apply(events, prev)
+    keys = {(r["repo"], r["path"]) for r in out.to_pylist()}
+    assert ("repoA", None) in keys  # previously silently deleted
+    assert ("repoB", None) in keys and ("repoC", "p1") in keys
+    assert out.num_rows == 3
+
+
+def test_read_chain_refuses_length_skewed_manifest_link(tmp_path):
+    """A manifest link whose rgs list is shorter than its files list
+    would silently zip-skip the trailing files (stale reads); refused
+    loudly instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from etl_reconciliate_ray.stages.merge import read_chain
+
+    f1 = str(tmp_path / "a.parquet")
+    f2 = str(tmp_path / "b.parquet")
+    t = pa.table({"repo": ["r"], "path": ["p"], "content": ["c"],
+                  "seq": pa.array([1], pa.int64())})
+    pq.write_table(t, f1)
+    pq.write_table(t, f2)
+    with pytest.raises(ValueError, match="row-group ordinals"):
+        read_chain([{"epoch": 0, "files": [f1, f2], "rgs": [0]}])
