@@ -88,9 +88,21 @@ class CommitLog:
     #: lifecycle (an in-process counter would reset every poll and the
     #: cadence would never fire on slow streams).
     _tail_seals: int = 0
+    #: tail-generation fence: each snapshot stamps a new generation and
+    #: the fresh (truncated) tail opens with a matching TAIL_OPEN
+    #: record. A crash BETWEEN snapshot publish and tail truncate
+    #: leaves the pre-snapshot tail on disk; without the fence its
+    #: replay would resurrect pruned history (or, worse, entries an
+    #: abort's snapshot rewrite removed). A mismatched/unfenced tail
+    #: under a fenced snapshot is ignored wholesale — everything live
+    #: at publish time is in the snapshot by construction.
+    _tail_fence: int = 0
     # pipelined replay commits epochs from worker threads; the log
-    # stays single-writer per PROCESS, serialized by this lock
-    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
+    # stays single-writer per PROCESS, serialized by this lock.
+    # REENTRANT: mutators hold it while calling reader helpers
+    # (write_snapshot -> part_chains), and readers take it too so a
+    # concurrent commit can never tear an iteration mid-dict
+    _lock: threading.RLock = field(default_factory=threading.RLock, repr=False, compare=False)
 
     @property
     def path(self) -> str:
@@ -108,12 +120,23 @@ class CommitLog:
                     continue
                 rec = json.loads(line)
                 if rec.get("type") == "EPOCH_COMMIT":
+                    if is_tail and rec["epoch"] in self._sealed:
+                        # stale tail after a crash between snapshot
+                        # publish and tail truncate: this seal is
+                        # already in the snapshot — recounting it would
+                        # fire the next cadence snapshot early
+                        continue
                     self._sealed.add(rec["epoch"])
                     if is_tail:
                         self._tail_seals += 1
                 elif rec.get("type") == "SNAPSHOT_SEALED":
                     self._sealed.update(rec["sealed"])
                     self._floor = max(self._floor, int(rec.get("floor", 0)))
+                    self._tail_fence = max(
+                        self._tail_fence, int(rec.get("tail_fence", 0))
+                    )
+                elif rec.get("type") == "TAIL_OPEN":
+                    continue  # generation marker, validated in open()
                 elif rec.get("type") == "LAYOUT":
                     self._layout = rec["layout"]
                 elif rec.get("type") == "REPLACE":
@@ -146,6 +169,7 @@ class CommitLog:
                     )
                     self._entries[(e.epoch, e.part)] = e
 
+
     @classmethod
     def open(cls, root: str) -> "CommitLog":
         log = cls(root=root)
@@ -154,9 +178,25 @@ class CommitLog:
         # of records already in the snapshot are idempotent dict puts
         if os.path.exists(log.snapshot_path):
             log._apply_file(log.snapshot_path)
-        if os.path.exists(log.path):
+        if os.path.exists(log.path) and not log._tail_is_stale():
             log._apply_file(log.path, is_tail=True)
         return log
+
+    def _tail_is_stale(self) -> bool:
+        """True when the snapshot demands a tail generation the on-disk
+        tail does not open with — the crash-between-publish-and-truncate
+        window. An empty tail is never stale."""
+        if not self._tail_fence:
+            return False  # fence-less lake (no snapshot yet / legacy)
+        with open(self.path) as fh:
+            first = fh.readline().strip()
+        if not first:
+            return False
+        rec = json.loads(first)
+        return not (
+            rec.get("type") == "TAIL_OPEN"
+            and int(rec.get("fence", -1)) == self._tail_fence
+        )
 
     @property
     def seals_since_snapshot(self) -> int:
@@ -175,27 +215,39 @@ class CommitLog:
         snapshot is idempotent. Returns the number of live entries."""
         with self._lock:
             sealed_upto = self.latest_sealed_epoch()
+            chains_now = self.part_chains()
             if sealed_upto is None:
                 live = list(self._entries.values())  # nothing sealed yet
             else:
-                live = [e for chain in self.part_chains().values() for e in chain]
+                live = [e for chain in chains_now.values() for e in chain]
                 # entries newer than the newest sealed epoch (committed
                 # but unsealed — a crash window) must survive too
                 live += [e for (ep, _), e in self._entries.items() if ep > sealed_upto]
             recs = []
             if self._layout is not None:
                 recs.append({"type": "LAYOUT", "layout": self._layout})
-            # advance the time-travel floor: everything before each
-            # part's current base is about to be dropped
-            chains_now = self.part_chains()
-            self._floor = max(
-                self._floor,
-                max((c[0].epoch for c in chains_now.values()), default=0),
+            # advance the time-travel floor ONLY past history actually
+            # being dropped: a part whose chain starts at its base keeps
+            # every pre-base entry out of `live`, but a delta-only part
+            # (chain[0] == its birth entry) drops NOTHING — advancing to
+            # its birth epoch would spuriously refuse as-of reads the
+            # retained log can still answer exactly
+            min_epoch: dict[int, int] = {}
+            for (ep, p) in self._entries:
+                if p not in min_epoch or ep < min_epoch[p]:
+                    min_epoch[p] = ep
+            dropped_floor = max(
+                (c[0].epoch for p, c in chains_now.items()
+                 if min_epoch.get(p, c[0].epoch) < c[0].epoch),
+                default=0,
             )
+            self._floor = max(self._floor, dropped_floor)
+            self._tail_fence += 1
             recs.append({
                 "type": "SNAPSHOT_SEALED",
                 "sealed": sorted(self._sealed),
                 "floor": self._floor,
+                "tail_fence": self._tail_fence,
             })
             recs += [self._entry_rec(e) for e in sorted(live, key=lambda x: (x.epoch, x.part))]
             tmp = self.snapshot_path + ".tmp"
@@ -208,6 +260,10 @@ class CommitLog:
                 fh.flush()
                 os.fsync(fh.fileno())
             os.replace(self.path + ".tmp", self.path)  # truncate tail
+            # the fresh tail opens with its generation marker so a
+            # crash-stale pre-snapshot tail can never replay over this
+            # snapshot (see _tail_is_stale)
+            self._append({"type": "TAIL_OPEN", "fence": self._tail_fence})
             # prune in-memory history to match the snapshot
             self._entries = {(e.epoch, e.part): e for e in live}
             self._tail_seals = 0  # everything sealed now lives in the snapshot
@@ -225,10 +281,12 @@ class CommitLog:
         recs: list[dict] = []
         if self._layout is not None:
             recs.append({"type": "LAYOUT", "layout": self._layout})
+        self._tail_fence += 1
         recs.append({
             "type": "SNAPSHOT_SEALED",
             "sealed": sorted(self._sealed),
             "floor": self._floor,
+            "tail_fence": self._tail_fence,
         })
         recs += [
             self._entry_rec(e)
@@ -244,6 +302,10 @@ class CommitLog:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(self.path + ".tmp", self.path)  # truncate tail
+        # generation marker: a crash-stale pre-snapshot tail can never
+        # replay over this snapshot (an abort's removed entries would
+        # otherwise resurrect — see _tail_is_stale)
+        self._append({"type": "TAIL_OPEN", "fence": self._tail_fence})
         self._tail_seals = 0
 
     def drop_unsealed_epoch(self, epoch: int) -> list[str]:
@@ -349,10 +411,12 @@ class CommitLog:
             return sorted({ep for (ep, _) in self._entries if ep not in self._sealed})
 
     def is_committed(self, epoch: int, part: int) -> bool:
-        return (epoch, part) in self._entries
+        with self._lock:
+            return (epoch, part) in self._entries
 
     def is_sealed(self, epoch: int) -> bool:
-        return epoch in self._sealed
+        with self._lock:
+            return epoch in self._sealed
 
     @staticmethod
     def _entry_rec(entry: PartEntry) -> dict:
@@ -374,7 +438,20 @@ class CommitLog:
 
     def commit_parts(self, entries: list[PartEntry]) -> int:
         """Commit a batch of per-partition entries with ONE durable
-        append; fenced per (epoch, part). Returns how many were new."""
+        append; fenced per (epoch, part). Returns how many were new.
+        Two DIFFERENT entries for one slot within a batch are refused
+        (both would pass the fence and the durable last-wins replay
+        could diverge from the first-wins in-memory state); identical
+        duplicates dedupe silently."""
+        seen: dict[tuple[int, int], PartEntry] = {}
+        for e in entries:
+            k = (e.epoch, e.part)
+            if k in seen and seen[k] != e:
+                raise ValueError(
+                    f"commit_parts: conflicting duplicate slot {k} within one batch"
+                )
+            seen[k] = e
+        entries = list(seen.values())
         with self._lock:
             fresh = [e for e in entries if (e.epoch, e.part) not in self._entries]
             self._append_many([self._entry_rec(e) for e in fresh])
@@ -383,6 +460,14 @@ class CommitLog:
             return len(fresh)
 
     def seal_epoch(self, epoch: int) -> None:
+        """Publish an epoch (sealing is THE visibility point). The log
+        deliberately does NOT reject pre-existing unsealed entries at
+        this epoch: the (epoch, part) fence is what lets the SAME
+        writer resume its own crashed attempt. A DIFFERENT writer (e.g.
+        a txn that staged here and crashed before PREPARE) must be
+        resolved first — ``unsealed_epochs`` surfaces such leftovers
+        and ``replay.run_epoch``/``txn.stage`` check it before writing;
+        the log itself cannot tell the two writers apart."""
         with self._lock:
             if epoch in self._sealed:
                 return
@@ -392,7 +477,8 @@ class CommitLog:
 
     # -- manifest resolution --------------------------------------------
     def latest_sealed_epoch(self) -> int | None:
-        return max(self._sealed) if self._sealed else None
+        with self._lock:
+            return max(self._sealed) if self._sealed else None
 
     def time_travel_floor(self) -> int:
         """Oldest epoch an as-of read can still reconstruct for EVERY
@@ -414,7 +500,9 @@ class CommitLog:
             if upto_epoch is None:
                 return {}
         by_part: dict[int, list[PartEntry]] = {}
-        for (e, p), entry in self._entries.items():
+        with self._lock:  # pipelined replay commits from worker threads
+            items = list(self._entries.items())
+        for (e, p), entry in items:
             if e <= upto_epoch:
                 by_part.setdefault(p, []).append(entry)
         chains: dict[int, list[PartEntry]] = {}
@@ -492,6 +580,8 @@ class CommitLog:
     def lineage(self) -> list[dict]:
         """Per-partition lineage records (north_star: 'per-partition
         lineage manifests and metrics')."""
+        with self._lock:
+            entries = sorted(self._entries.values(), key=lambda x: (x.epoch, x.part))
         return [
             {
                 "epoch": e.epoch,
@@ -502,5 +592,5 @@ class CommitLog:
                 "state_sha256": e.state_sha256,
                 "input_seq": list(e.input_seq) if e.input_seq else None,
             }
-            for e in sorted(self._entries.values(), key=lambda x: (x.epoch, x.part))
+            for e in entries
         ]

@@ -140,6 +140,17 @@ class TxnCoordinator:
             carried: list[TxnRecord] = []
             for txn_id in self._order:
                 t = self._txns[txn_id]
+                if carried:
+                    # ORDER preservation: once any txn is carried, every
+                    # later undecided/committed txn is carried verbatim
+                    # too — folding a LATER committed txn into the base
+                    # cut while an EARLIER one stays in the log would
+                    # invert their replay order on reopen (the carried
+                    # older txn would re-apply over the newer cut,
+                    # regressing its tables' epochs)
+                    if t.status in ("committed", "prepared"):
+                        carried.append(t)
+                    continue
                 if t.status == "committed":
                     # fold only FINISHED txns: a committed txn with a
                     # participant seal still missing (crash window) must
@@ -334,6 +345,16 @@ class MultiTableTxn:
         if epoch is None:
             head = log.latest_sealed_epoch()
             epoch = 0 if head is None else head + 1
+        if log.is_sealed(epoch):
+            # run_epoch would silently skip (write nothing) yet the txn
+            # would record the epoch as staged — commit would then
+            # REGRESS the table's snapshot cut to old data and discard
+            # the new events without a trace
+            raise ValueError(
+                f"epoch {epoch} of lake {cfg.lake_root} is already sealed — "
+                "staging it would silently no-op and regress the txn cut; "
+                "stage the next free epoch instead"
+            )
         if not resume and epoch in log.unsealed_epochs():
             raise ValueError(
                 f"lake {cfg.lake_root} has committed-unsealed entries at epoch "
@@ -396,10 +417,25 @@ def read_snapshot(coordinator: TxnCoordinator, columns: dict[str, list[str]] | N
     """Consistent multi-table read: one ``lake_dataset`` per table,
     each pinned to the coordinator's committed cut via ``as_of_epoch``
     — all-old or all-new across tables, never mixed, even while a new
-    txn stages/commits concurrently. ``columns`` optionally prunes
-    per-table projections at the read."""
+    txn stages/commits concurrently.
+
+    Rolls forward first (``recover()``): a committed txn whose
+    participant seals haven't landed (crash between the COMMIT mark and
+    the seal loop, or a concurrent committer mid-loop) is in the cut by
+    decision, so the reader finishes the idempotent seals rather than
+    refusing an as-of beyond the sealed head — any process may roll a
+    decided txn forward, that is the point of roll-forward 2PC.
+
+    Retention caveat: per-lake maintenance (``compact`` + log snapshot)
+    run OUTSIDE the coordinator can advance a lake's time-travel floor
+    past a cut pinned by an old txn; the read then refuses LOUDLY
+    ("predates the retention floor"). Keep coordinated tables' retention
+    behind the oldest pinned cut (or refresh the cut with a new txn
+    after maintenance). ``columns`` optionally prunes per-table
+    projections at the read."""
     from ..pipelines.replay import lake_dataset
 
+    coordinator.recover()
     cut = coordinator.snapshot_epochs()
     return {
         name: lake_dataset(

@@ -613,3 +613,68 @@ def test_asof_join_rejects_right_col_collision(ray_session):
             rd.from_arrow(left), rd.from_arrow(right), by="u", on="ts",
             right_cols={"v": "v"},
         ).to_pandas()
+
+
+def test_commitlog_stale_tail_fence_and_delta_floor(tmp_path):
+    """Two snapshot regressions: (1) a crash BETWEEN snapshot publish
+    and tail truncate leaves the pre-snapshot tail on disk — its replay
+    must be ignored wholesale (the TAIL_OPEN generation fence), not
+    resurrect pruned history; (2) a delta-only lake drops nothing at
+    snapshot time, so the time-travel floor must NOT advance to each
+    part's birth epoch."""
+    import shutil
+
+    from etl_reconciliate_ray.state.commitlog import CommitLog, PartEntry
+
+    root = str(tmp_path / "lake")
+    log = CommitLog.open(root)
+    for ep in (3, 4, 5):
+        log.commit_part(PartEntry(epoch=ep, part=0, kind="delta",
+                                  files=(f"/f{ep}",), rows=1, state_sha256="x"))
+        log.seal_epoch(ep)
+    # (2) delta-only: nothing dropped, floor stays 0 (as-of 3/4 remain
+    # answerable from the fully-retained chain)
+    pre_tail = open(log.path).read()
+    log.write_snapshot()
+    assert log.time_travel_floor() == 0
+    assert CommitLog.open(root).time_travel_floor() == 0
+
+    # (1) simulate the crash window: restore the PRE-snapshot tail
+    with open(log.path, "w") as fh:
+        fh.write(pre_tail)
+    log2 = CommitLog.open(root)
+    assert set(log2._entries) == {(3, 0), (4, 0), (5, 0)}
+    assert log2._sealed == {3, 4, 5}
+    # the stale tail's seal records must not re-count into the cadence
+    assert log2.seals_since_snapshot == 0
+
+    # with a full base the floor DOES advance past dropped history
+    shutil.rmtree(root)
+    log3 = CommitLog.open(root)
+    log3.commit_part(PartEntry(epoch=1, part=0, kind="delta",
+                               files=("/d1",), rows=1, state_sha256="x"))
+    log3.seal_epoch(1)
+    log3.commit_part(PartEntry(epoch=2, part=0, kind="full",
+                               files=("/b2",), rows=1, state_sha256="y"))
+    log3.seal_epoch(2)
+    log3.write_snapshot()
+    assert log3.time_travel_floor() == 2  # epoch-1 history was dropped
+
+
+def test_commit_parts_refuses_conflicting_intrabatch_duplicates(tmp_path):
+    """Two DIFFERENT entries for one (epoch, part) slot in a single
+    batch would both pass the fence (computed before any insert) and
+    durable last-wins replay could diverge from in-memory first-wins;
+    refused. Identical duplicates dedupe silently."""
+    import pytest
+
+    from etl_reconciliate_ray.state.commitlog import CommitLog, PartEntry
+
+    log = CommitLog.open(str(tmp_path / "lake"))
+    a = PartEntry(epoch=0, part=0, kind="delta", files=("/a",), rows=1,
+                  state_sha256="x")
+    b = PartEntry(epoch=0, part=0, kind="delta", files=("/b",), rows=1,
+                  state_sha256="y")
+    with pytest.raises(ValueError, match="conflicting duplicate"):
+        log.commit_parts([a, b])
+    assert log.commit_parts([a, a]) == 1  # identical dupes collapse

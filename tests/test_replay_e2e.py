@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import hashlib
+import json
 
 import pyarrow.parquet as pq
 
@@ -413,8 +414,11 @@ def test_log_snapshot_bounds_history_and_preserves_state(fixture_small, tmp_path
 
     m = compact(cfg)  # compacts chains AND snapshots the log
     assert m["log_live_entries"] > 0
-    tail_lines = sum(1 for _ in open(os.path.join(cfg.lake_root, "commitlog.jsonl")))
-    assert tail_lines == 0 < pre_lines
+    # the truncated tail carries exactly its TAIL_OPEN generation
+    # marker (the fence that invalidates a crash-stale pre-snapshot
+    # tail), nothing else
+    tail = [json.loads(l) for l in open(os.path.join(cfg.lake_root, "commitlog.jsonl"))]
+    assert [r["type"] for r in tail] == ["TAIL_OPEN"] and len(tail) < pre_lines
 
     log = CommitLog.open(cfg.lake_root)  # reopen from snapshot
     assert log.latest_sealed_epoch() is not None

@@ -266,3 +266,61 @@ def test_coordinator_snapshot_carries_unfinished_txns(two_lakes):
     co3 = TxnCoordinator.open(co.root)
     assert co3.snapshot_epochs()["orders"]["epoch"] == 1
     assert "files" not in co3.snapshot_epochs()
+
+
+def test_read_snapshot_rolls_forward_committed_unsealed(two_lakes):
+    """Crash window between the COMMIT mark and the seal loop: the
+    decision is durable, so a reader must FINISH the idempotent seals
+    (roll-forward 2PC) and read the committed cut — not refuse an
+    as-of beyond the sealed head."""
+    fixture_dir, cfgs, co = two_lakes
+    txn = co.begin()
+    txn.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    txn.stage("files", cfgs["files"], _events_ds(fixture_dir, 0))
+    txn.prepare()
+    co._record_decision(txn.txn_id, "COMMIT")  # crash before any seal
+
+    views = read_snapshot(co)  # must not raise; finishes the seals
+    assert set(views) == {"orders", "files"}
+    for name, cfg in cfgs.items():
+        assert views[name].count() == lake_table(cfg).num_rows
+        assert CommitLog.open(cfg.lake_root).latest_sealed_epoch() == 1
+
+
+def test_stage_refuses_already_sealed_epoch(two_lakes):
+    """Staging an explicitly-passed SEALED epoch would silently no-op
+    (run_epoch skips) while the txn records it as staged — commit would
+    regress the table's cut; refused at stage time."""
+    fixture_dir, cfgs, co = two_lakes
+    txn = co.begin()
+    with pytest.raises(ValueError, match="already sealed"):
+        txn.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0), epoch=0)
+
+
+def test_coordinator_snapshot_preserves_txn_order(two_lakes):
+    """write_snapshot must not fold a LATER fully-sealed committed txn
+    into the base cut while carrying an EARLIER committed-unsealed one:
+    on reopen the carried older txn would re-apply over the newer cut
+    and regress its tables' epochs. Once any txn is carried, all later
+    ones are carried verbatim, so replay order is preserved."""
+    fixture_dir, cfgs, co = two_lakes
+
+    # txn1: committed but one seal missing (simulated crash window)
+    t1 = co.begin()
+    t1.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 0))
+    t1.prepare()
+    co._record_decision(t1.txn_id, "COMMIT")  # no seals yet
+
+    # txn2: later, touches the SAME table at a newer epoch, fully done
+    t2 = co.begin()
+    t2.stage("orders", cfgs["orders"], _events_ds(fixture_dir, 1), epoch=2,
+             resume=False)
+    t2.commit()
+
+    co.write_snapshot()
+    co2 = TxnCoordinator.open(co.root)
+    co2.recover()  # finish txn1's seal
+    cut = co2.snapshot_epochs()
+    # txn2 decided later: the cut must pin orders at ITS epoch (2),
+    # never regress to txn1's epoch 1
+    assert cut["orders"]["epoch"] == 2
