@@ -38,6 +38,12 @@ from ..stages.normalize import make_normalizer
 from ..stages.writer import make_writer_pool
 from ..state.commitlog import CommitLog, PartEntry
 
+# input_seq marker stamped on MAINTENANCE (compaction) entries: lets a
+# compact() rerun distinguish its own crashed unsealed epoch (resumable
+# under the fence) from a crashed replay's (refused — sealing over it
+# would silently lose that epoch's remaining events)
+_MAINT_SEQ = (-2, -2)
+
 
 @dataclass
 class ReplayConfig:
@@ -245,6 +251,16 @@ def _write_lineage(lake_root: str, log: CommitLog, last_metrics: dict) -> None:
     os.replace(tmp, os.path.join(lake_root, "lineage.json"))
 
 
+def _seed_as_insert(batch: pa.Table) -> pa.Table:
+    """Seed-to-events transform (ONE definition for both replay paths):
+    a lake-seed row becomes an all-insert event with seq=-1 so the
+    bootstrap flows through the exact same replay machinery."""
+    n = batch.num_rows
+    return batch.append_column("seq", pa.array([-1] * n, pa.int64())).append_column(
+        "op", pa.array(["I"] * n, pa.string())
+    )
+
+
 def bootstrap(
     lake_seed_path: str,
     cfg: ReplayConfig,
@@ -254,18 +270,12 @@ def bootstrap(
     """Epoch 0 = initial lake load, expressed as all-insert events with
     ``seq=-1`` so it flows through the exact same replay path."""
     import ray.data as rd
-    import pyarrow.compute as pc  # noqa: F401
 
     kwargs = {"override_num_blocks": cfg.read_parallelism} if cfg.read_parallelism else {}
     ds = rd.read_parquet(lake_seed_path, **kwargs)
-
-    def as_insert(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return batch.append_column("seq", pa.array([-1] * n, pa.int64())).append_column(
-            "op", pa.array(["I"] * n, pa.string())
-        )
-
-    ds = ds.map_batches(as_insert, batch_format="pyarrow", batch_size=cfg.normalize_batch_size)
+    ds = ds.map_batches(
+        _seed_as_insert, batch_format="pyarrow", batch_size=cfg.normalize_batch_size
+    )
     return run_epoch(ds, 0, cfg, log=log, input_seq=(-1, -1), writers=writers)
 
 
@@ -341,19 +351,49 @@ def _discover_epochs(binlog_dir: str, stop_at_unreadable: bool = False) -> list[
         los, his = [], []
         for i in range(md.num_row_groups):
             st = md.row_group(i).column(si).statistics
+            if st is None or st.min is None:
+                los, his = [], []  # stats disabled: no seq ordering
+                break
             los.append(int(st.min))
             his.append(int(st.max))
         m = re.search(r"epoch=(\d+)", os.path.basename(f))
+        epoch = int(m.group(1)) if m else None
+        if not los and epoch is None:
+            # a zero-row or stats-less file carries no seq range: its
+            # rank-derived ordinal would be arbitrary — silently picking
+            # one could fence another file's events out forever
+            raise ValueError(
+                f"binlog file {f} has no usable seq statistics "
+                f"({'empty file' if md.num_rows == 0 else 'stats disabled'}) "
+                "and no epoch=N name — cannot order it; name it explicitly"
+            )
         descs.append({
-            "epoch": int(m.group(1)) if m else None,
+            "epoch": epoch,
             "file": f,
-            "seq_range": [min(los), max(his) + 1],
+            "seq_range": [min(los), max(his) + 1] if los else None,
             "rows": md.num_rows,
         })
-    descs.sort(key=lambda e: e["seq_range"][0])
+    # ranged files order by seq start; range-less (named, empty/stats-
+    # less) files order by their explicit ordinal among them
+    descs.sort(key=lambda e: (
+        (0, e["seq_range"][0]) if e["seq_range"] else (1, e["epoch"])
+    ))
     for rank, e in enumerate(descs):
         if e["epoch"] is None:
             e["epoch"] = rank
+    by_ord: dict[int, str] = {}
+    for e in descs:
+        if e["epoch"] in by_ord:
+            # the rank fallback can collide with an explicit epoch=N
+            # name (or two files can carry the same name): both would
+            # map to ONE engine epoch and the second file's events
+            # would silently fence out forever
+            raise ValueError(
+                f"binlog files {by_ord[e['epoch']]} and {e['file']} both map "
+                f"to epoch ordinal {e['epoch']} — name every file epoch=N "
+                "explicitly (mixed named/unnamed sets can collide)"
+            )
+        by_ord[e["epoch"]] = e["file"]
     return descs
 
 
@@ -397,7 +437,7 @@ def _replay_epoch_descs(
 
     out: list[dict] = []
 
-    def _maybe_snapshot(_n_fresh: int) -> None:
+    def _maybe_snapshot() -> None:
         # log-growth bound: roll the log into its chains snapshot once
         # snapshot_every sealed epochs sit in the TAIL file. Keyed on
         # the log's DURABLE tail-seal count, not a local counter —
@@ -407,6 +447,22 @@ def _replay_epoch_descs(
         if cfg.snapshot_every > 0 and log.seals_since_snapshot >= cfg.snapshot_every:
             log.write_snapshot()
 
+    def _run_one(engine_epoch: int, ep: dict) -> dict:
+        if os.path.isdir(ep["file"]):
+            import glob as _g
+
+            epoch_files = sorted(_g.glob(os.path.join(ep["file"], "*.parquet")))
+        else:
+            epoch_files = [ep["file"]]
+        ds = rd.read_parquet(
+            ep["file"], schema=_binlog_scan_schema(epoch_files), **kwargs
+        )
+        return run_epoch(
+            ds, engine_epoch, cfg, log=log,
+            input_seq=tuple(ep["seq_range"]) if ep.get("seq_range") else None,
+            writers=writers,
+        )
+
     if cfg.pipeline_epochs > 1:
         # bootstrap through the same scaled batch path (the sequential
         # bootstrap's shuffle is a fixed cost that would cap scaling)
@@ -414,15 +470,9 @@ def _replay_epoch_descs(
             if seed_path is not None:
                 out.append({"epoch": 0, "skipped": True, "parts_committed": 0, "sec": 0.0})
         else:
-            def as_insert(batch: pa.Table) -> pa.Table:
-                n = batch.num_rows
-                return batch.append_column("seq", pa.array([-1] * n, pa.int64())).append_column(
-                    "op", pa.array(["I"] * n, pa.string())
-                )
-
             out.extend(_run_epoch_batch(
                 [(0, {"file": seed_path, "seq_range": (-1, 0)})],
-                cfg, log, writers, prep_fn=as_insert,
+                cfg, log, writers, prep_fn=_seed_as_insert,
             ))
         for i in range(0, len(todo), cfg.pipeline_epochs):
             window = todo[i : i + cfg.pipeline_epochs]
@@ -431,26 +481,31 @@ def _replay_epoch_descs(
                 for e, _ in window if log.is_sealed(e)
             )
             chunk = [t for t in window if not log.is_sealed(t[0])]
+            # a range-less desc (zero-row / stats-less named epoch) has
+            # no seqs to tag: run it individually; the batch kernel's
+            # seq->epoch bounds need real ranges
+            ranged = [t for t in chunk if t[1].get("seq_range")]
+            if ranged:
+                out.extend(_run_epoch_batch(ranged, cfg, log, writers))
+            for engine_epoch, ep in (t for t in chunk if not t[1].get("seq_range")):
+                out.append(_run_one(engine_epoch, ep))
             if chunk:
-                out.extend(_run_epoch_batch(chunk, cfg, log, writers))
-                _maybe_snapshot(len(chunk))
+                _maybe_snapshot()
     else:
         if seed_path is not None:
             out.append(bootstrap(seed_path, cfg, log=log, writers=writers))
         for engine_epoch, ep in todo:
-            if os.path.isdir(ep["file"]):
-                import glob as _g
-
-                epoch_files = sorted(_g.glob(os.path.join(ep["file"], "*.parquet")))
-            else:
-                epoch_files = [ep["file"]]
-            ds = rd.read_parquet(
-                ep["file"], schema=_binlog_scan_schema(epoch_files), **kwargs
-            )
-            m = run_epoch(ds, engine_epoch, cfg, log=log, input_seq=tuple(ep["seq_range"]), writers=writers)
+            if log.is_sealed(engine_epoch):
+                # skip BEFORE building the scan: a long-lived follow
+                # stream would otherwise pay O(stream-age) parquet
+                # footer reads per poll just for run_epoch to no-op
+                out.append({"epoch": engine_epoch, "skipped": True,
+                            "parts_committed": 0, "sec": 0.0})
+                continue
+            m = _run_one(engine_epoch, ep)
             out.append(m)
             if not m.get("skipped"):
-                _maybe_snapshot(1)
+                _maybe_snapshot()
 
     if cfg.post_compact:
         out.append(compact(cfg, log=log, writers=writers))
@@ -502,11 +557,17 @@ def replay_multiplexed(
         co.resume_in_doubt(txn_id).commit()  # staging finished => roll forward
 
     out: list[dict] = []
+    # one log open per table per CALL, not per epoch: each open parses
+    # the snapshot + tail from disk, and a 10^4-epoch stream would pay
+    # O(epochs x tables) redundant parses. Safe because epochs sealed
+    # within this loop are strictly below every later iteration's check
+    # (the sealed set only matters for the fresh-open state).
+    logs = {name: CommitLog.open(cfg.lake_root) for name, cfg in tables.items()}
     for ep in _discover_epochs(binlog_dir, stop_at_unreadable=stop_at_unreadable):
         engine_epoch = ep["epoch"] + 1  # 0 is reserved for bootstrap
         todo = {
             name: cfg for name, cfg in tables.items()
-            if not CommitLog.open(cfg.lake_root).is_sealed(engine_epoch)
+            if not logs[name].is_sealed(engine_epoch)
         }
         if not todo:
             out.append({"epoch": engine_epoch, "skipped": True})
@@ -575,7 +636,12 @@ def follow_stream(
         else:
             idle += 1
         if os.path.exists(os.path.join(binlog_dir, "_EOS")):
-            descs = _discover_epochs(binlog_dir, stop_at_unreadable=True)
+            # STRICT discovery for the final drain: the producer is done
+            # (_EOS lands after the last file), so an unreadable file is
+            # corruption, not a mid-copy — a lenient cut here would
+            # declare the drain complete and silently drop the stream's
+            # final epoch(s)
+            descs = _discover_epochs(binlog_dir, stop_at_unreadable=False)
             if all(d["file"] in seen for d in descs):
                 break
         elif idle >= idle_polls:
@@ -621,7 +687,8 @@ def follow_multiplexed(
         else:
             idle += 1
         if os.path.exists(os.path.join(binlog_dir, "_EOS")):
-            descs = _discover_epochs(binlog_dir, stop_at_unreadable=True)
+            # strict discovery for the final drain (see follow_stream)
+            descs = _discover_epochs(binlog_dir, stop_at_unreadable=False)
             if all(d["file"] in seen for d in descs):
                 break
         elif idle >= idle_polls:
@@ -973,6 +1040,21 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
                 "its segment"
             )
     epoch = (log.latest_sealed_epoch() or 0) + 1
+    if epoch in log.unsealed_epochs():
+        # a crashed REPLAY's fenced partial commits at this epoch:
+        # compacting into it would mix maintenance bases with the
+        # crashed attempt's deltas and seal the mix — the restarted
+        # replay would see the epoch sealed and skip it, silently
+        # losing its remaining events. Compaction's OWN crashed attempt
+        # (entries stamped with the maintenance input_seq marker)
+        # resumes under the fence as before.
+        leftover = [e for e in log.all_entries() if e.epoch == epoch]
+        if any(e.input_seq != _MAINT_SEQ for e in leftover):
+            raise ValueError(
+                f"compact: epoch {epoch} has committed-unsealed entries from "
+                "a crashed replay or txn — resume that replay to completion, "
+                "or drop_unsealed_epoch() to discard it, before compacting"
+            )
 
     from ..stages.merge import read_chain
     from ..stages.writer import write_piece_local
@@ -1029,7 +1111,9 @@ def compact(cfg: ReplayConfig, log: CommitLog | None = None, writers: list | Non
         compact_one, batch_format="pyarrow", batch_size=1
     )
     rows = [dict(r) for r in rows_ds.take_all()]
-    _commit_manifest_rows(log, epoch, rows, None, seal=True)
+    # the maintenance marker lets a rerun distinguish compaction's own
+    # crashed entries (resumable) from a crashed replay's (refused)
+    _commit_manifest_rows(log, epoch, rows, _MAINT_SEQ, seal=True)
     live = log.write_snapshot()  # chains are shortest right after compaction
     metrics = {
         "epoch": epoch,

@@ -10,6 +10,9 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
+
+import pytest
 
 import pyarrow.parquet as pq
 
@@ -1601,3 +1604,75 @@ def test_broadcast_fetch_parameterized_builds_dont_alias(ray_session):
     # repeat fetches hit the cached values, not a re-run of build
     assert fetch(ref, build=partial(build, scale=2), key=("scale", 2)) == 20
     assert fetch(ref) == {"base": 10}  # bare fetch is its own slot
+
+
+def test_discover_epochs_edge_files(tmp_path):
+    """Binlog discovery edges: a zero-row NAMED epoch file orders by
+    its ordinal (quiet window); a zero-row UNNAMED file is refused (its
+    rank would be arbitrary and could fence another file's events out);
+    an ordinal collision between a rank-derived and an explicit epoch=N
+    name is refused loudly."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.pipelines.replay import _discover_epochs
+
+    d = tmp_path / "binlog"
+    d.mkdir()
+    full = pa.table({"seq": pa.array([0, 1], pa.int64()),
+                     "repo": ["r", "r"], "path": ["a", "b"],
+                     "op": ["I", "I"], "content": ["x", "y"]})
+    empty = full.slice(0, 0)
+    pq.write_table(full, str(d / "epoch=0.parquet"))
+    pq.write_table(empty, str(d / "epoch=1.parquet"))
+    descs = _discover_epochs(str(d))
+    assert [e["epoch"] for e in descs] == [0, 1]
+    assert descs[1]["seq_range"] is None and descs[1]["rows"] == 0
+
+    pq.write_table(empty, str(d / "unnamed.parquet"))
+    with pytest.raises(ValueError, match="no usable seq statistics"):
+        _discover_epochs(str(d))
+    os.remove(str(d / "unnamed.parquet"))
+
+    # unnamed RANGED file whose rank collides with the explicit epoch=1
+    ranged = pa.table({"seq": pa.array([5, 6], pa.int64()),
+                       "repo": ["r", "r"], "path": ["c", "d"],
+                       "op": ["I", "I"], "content": ["z", "w"]})
+    pq.write_table(ranged, str(d / "later.parquet"))
+    with pytest.raises(ValueError, match="both map to epoch ordinal"):
+        _discover_epochs(str(d))
+
+
+def test_compact_refuses_crashed_replay_epoch_but_resumes_own(
+    fixture_small, tmp_path, ray_session
+):
+    """compact() must not seal over a crashed REPLAY's unsealed fenced
+    entries (the restarted replay would see its epoch sealed and skip —
+    silent event loss); its OWN crashed maintenance epoch (entries
+    stamped with the maintenance input_seq marker) still resumes."""
+    from etl_reconciliate_ray.pipelines.replay import (
+        _MAINT_SEQ, ReplayConfig, compact, replay,
+    )
+    from etl_reconciliate_ray.state.commitlog import CommitLog, PartEntry
+
+    fixture_dir, _, manifest = fixture_small
+    cfg = ReplayConfig(lake_root=str(tmp_path / "lake"), num_buckets=4,
+                       salt_for_repo=manifest["salt_hot_repos"])
+    replay(fixture_dir, cfg)
+    log = CommitLog.open(cfg.lake_root)
+    head = log.latest_sealed_epoch()
+    # simulate a crashed replay: a fenced partial commit at head+1
+    log.commit_part(PartEntry(epoch=head + 1, part=0, kind="delta",
+                              files=("/crashed.parquet",), rows=1,
+                              state_sha256="x", input_seq=(999, 1000)))
+    with pytest.raises(ValueError, match="committed-unsealed entries"):
+        compact(cfg)
+
+    # drop the leftover; simulate compaction's OWN crash instead
+    log2 = CommitLog.open(cfg.lake_root)
+    log2.drop_unsealed_epoch(head + 1)
+    log3 = CommitLog.open(cfg.lake_root)
+    log3.commit_part(PartEntry(epoch=head + 1, part=0, kind="full",
+                               files=("/maint.parquet",), rows=0,
+                               state_sha256="y", input_seq=_MAINT_SEQ))
+    m = compact(cfg)  # resumes: the leftover carries the marker
+    assert m["mode"] == "compact" and m["epoch"] == head + 1
