@@ -28,6 +28,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..stages.reconcile import (
     STATUS_DUP_PREFIX,
@@ -163,7 +164,12 @@ def _make_cogroup_fn(spill: str, cols: list[str]):
             )
             pq.write_table(pa.Table.from_pandas(det, preserve_index=False), fname + ".tmp")
             os.replace(fname + ".tmp", fname)
-            p = det.groupby(["repo", "status"], sort=False).size().rename("n").reset_index()
+            # dropna=False: a null-repo detail row (supported — bucket_of
+            # routes nulls via a sentinel, reconcile_pair_pdf groups with
+            # dropna=False) must COUNT too, or counts silently diverge
+            # from the detail spill
+            p = (det.groupby(["repo", "status"], sort=False, dropna=False)
+                 .size().rename("n").reset_index())
             p.insert(0, "part", part)
             out.append(p)
         if not out:
@@ -196,7 +202,6 @@ def reconcile_lake_vs_snapshot(
     import pyarrow as pa
     import ray.data as rd
 
-    from ..functions.hashing import bucket_of
     from ..state.commitlog import CommitLog
     from .replay import _chains_payload
 
@@ -204,15 +209,7 @@ def reconcile_lake_vs_snapshot(
     spool_dir = os.path.join(lake_root, "_snapshot_spool")
     shutil.rmtree(spool_dir, ignore_errors=True)
 
-    def retag(batch: pa.Table) -> pa.Table:
-        # the snapshot MUST be bucketed identically to the lake (same
-        # num_buckets AND salt config) or keys land on different sides
-        # of the cogroup; never trust an incoming bucket column
-        if "bucket" in batch.column_names:
-            batch = batch.drop_columns(["bucket"])
-        return batch.append_column(
-            "bucket", bucket_of(batch["repo"], batch["path"], num_buckets, salt_for_repo)
-        )
+    retag = _make_retag(num_buckets, salt_for_repo)
 
     # layout fence FIRST — before any O(snapshot) work: the snapshot
     # MUST be bucketed exactly as the lake was written (same bucket
@@ -274,12 +271,38 @@ def reconcile_lake_vs_snapshot(
     if _glob.glob(os.path.join(spill, "*.parquet")):
         detail = rd.read_parquet(spill)
     else:  # empty reconcile: keep the typed empty dataset contract
-        empty = pd.DataFrame(
-            columns=["repo", "path", "content_sha256_l", "commit_l",
-                     "content_sha256_r", "commit_r", "status"]
-        ).astype(str)
-        detail = rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+        detail = _empty_detail_ds()
     return detail, rollup, counts
+
+
+def _make_retag(num_buckets: int, salt_for_repo: dict[str, int] | None):
+    """ONE definition of the snapshot re-bucketing transform for the
+    full and incremental reconcile paths — this is the bucketing
+    contract ('must match the lake or every key reads as a
+    missing/extra pair'); two copies could silently desynchronize."""
+    from ..functions.hashing import bucket_of
+
+    def retag(batch: pa.Table) -> pa.Table:
+        # never trust an incoming bucket column
+        if "bucket" in batch.column_names:
+            batch = batch.drop_columns(["bucket"])
+        return batch.append_column(
+            "bucket", bucket_of(batch["repo"], batch["path"], num_buckets, salt_for_repo)
+        )
+
+    return retag
+
+
+def _empty_detail_ds():
+    """Typed empty detail dataset (the reconcile output contract when
+    nothing spilled) — one definition for both reconcile paths."""
+    import ray.data as rd
+
+    empty = pd.DataFrame(
+        columns=["repo", "path", "content_sha256_l", "commit_l",
+                 "content_sha256_r", "commit_r", "status"]
+    ).astype(str)
+    return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
 
 
 def _cascade_fn(key: str):
@@ -348,12 +371,14 @@ def rollup_by_key(detail_ds, key: str):
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         s = df["status"]
+        # dropna=False: null-key detail rows must roll up too (see
+        # _make_cogroup_fn's partial counts)
         agg = pd.DataFrame(
             {
-                "n_rows": s.groupby(df[key]).size(),
-                "n_matched": s.eq(STATUS_MATCHED).groupby(df[key]).sum(),
-                "n_dup": s.str.startswith(STATUS_DUP_PREFIX).groupby(df[key]).sum(),
-                "n_right": s.ne("MISSING_RIGHT").groupby(df[key]).sum(),
+                "n_rows": s.groupby(df[key], dropna=False).size(),
+                "n_matched": s.eq(STATUS_MATCHED).groupby(df[key], dropna=False).sum(),
+                "n_dup": s.str.startswith(STATUS_DUP_PREFIX).groupby(df[key], dropna=False).sum(),
+                "n_right": s.ne("MISSING_RIGHT").groupby(df[key], dropna=False).sum(),
             }
         )
         return agg.rename_axis(key).reset_index()
@@ -406,7 +431,6 @@ def reconcile_incremental(
     import pyarrow as pa
     import ray.data as rd
 
-    from ..functions.hashing import bucket_of
     from ..state.commitlog import CommitLog, layout_fingerprint
     from .replay import _chains_payload
 
@@ -427,7 +451,13 @@ def reconcile_incremental(
 
     respool = (
         not os.path.isdir(spool_dir)
-        or state.get("snapshot_token") != snapshot_token
+        # snapshot_token=None means "caller asserts the snapshot is
+        # unchanged" (docstring): skip the comparison rather than treat
+        # None as a mismatch against the stored token — that forced a
+        # full respool + all-parts recompute on every tokenless call,
+        # silently negating the incremental path
+        or (snapshot_token is not None
+            and state.get("snapshot_token") != snapshot_token)
         or not state.get("snap_map")
     )
     def publish_state() -> None:
@@ -439,12 +469,7 @@ def reconcile_incremental(
         os.replace(tmp, state_path)
 
     if respool:
-        def retag(batch: pa.Table) -> pa.Table:
-            if "bucket" in batch.column_names:
-                batch = batch.drop_columns(["bucket"])
-            return batch.append_column(
-                "bucket", bucket_of(batch["repo"], batch["path"], num_buckets, salt_for_repo)
-            )
+        retag = _make_retag(num_buckets, salt_for_repo)
 
         # invalidate BEFORE destroying the spool/spill: a crash between
         # the rmtree and the new state publish must re-mark everything
@@ -526,18 +551,21 @@ def reconcile_incremental(
             pc_df.groupby("status", sort=True)["n"].sum().astype("int64").reset_index()
         )
     else:
-        rollup = rd.from_items([])
+        # typed empty matching the full path's rollup schema — a
+        # schema-less from_items([]) broke callers selecting columns
+        rollup = rd.from_arrow(pa.table({
+            "repo": pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64()),
+            "n_matched": pa.array([], pa.int64()),
+            "rollup_status": pa.array([], pa.string()),
+        }))
         counts = pd.DataFrame(
             {"status": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")}
         )
     if _glob.glob(os.path.join(spill, "*.parquet")):
         detail = rd.read_parquet(spill)
     else:
-        empty = pd.DataFrame(
-            columns=["repo", "path", "content_sha256_l", "commit_l",
-                     "content_sha256_r", "commit_r", "status"]
-        ).astype(str)
-        detail = rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+        detail = _empty_detail_ds()
     metrics = {
         "parts_total": len(parts),
         "parts_recomputed": len(dirty),

@@ -107,7 +107,13 @@ def changelog_delta_rows(
         cols[count_name] = pa.repeat(pa.scalar(sign, pa.int64()), n)
         for out, (src, transform) in sums.items():
             fn = _resolve(transform)
-            term = pc.fill_null(signed_term(batch[f"{src}_{side}"], fn), 0)
+            # the lake primary key (repo, path) is immutable per row
+            # and rides as itself, never as <src>_old/<src>_new images
+            # — same fallback as key_col (a sum over a pk column
+            # otherwise KeyErrors inside the task)
+            name = f"{src}_{side}"
+            src_col = batch[name] if name in batch.column_names else batch[src]
+            term = pc.fill_null(signed_term(src_col, fn), 0)
             cols[out] = term if sign > 0 else pc.negate_checked(term)
         return pa.table(cols)
 
@@ -277,7 +283,14 @@ class MaintainedView:
             cols: dict[str, object] = {k: t[k] for k in keys}
             cols[count_name] = pa.array([1] * t.num_rows, pa.int64())
             for out, (src, transform) in sums.items():
-                cols[out] = pc.cast(_resolve(transform)(t[src]), pa.int64())
+                # fill_null(0) MATCHES the delta path's signed terms: a
+                # null-source row must contribute 0 on both paths, or a
+                # bootstrap-built view (nulls skipped by the sum) and a
+                # changelog-built one (null -> +0) would disagree on
+                # identical lake state
+                cols[out] = pc.fill_null(
+                    pc.cast(_resolve(transform)(t[src]), pa.int64()), 0
+                )
             return pa.table(cols)
 
         rows = lake_dataset(

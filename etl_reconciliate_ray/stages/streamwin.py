@@ -40,6 +40,19 @@ from .agg import preagg_groupby
 _US = 1_000_000
 
 
+def _ts_to_us(col):
+    """Event-time column -> int64 MICROSECONDS. All window/lateness
+    math in this module is in µs, so a timestamp column of any unit
+    (s/ms/us/ns) must normalize FIRST — a bare int64 cast of a
+    timestamp[ms] column would yield milliseconds and make every
+    window 1000x too wide, silently. Plain integer columns pass
+    through (documented as already-µs)."""
+    typ = col.type if hasattr(col, "type") else col.chunk(0).type
+    if pa.types.is_timestamp(typ) and typ.unit != "us":
+        col = pc.cast(col, pa.timestamp("us", tz=typ.tz))
+    return pc.cast(col, pa.int64())
+
+
 def _refuse_null_time(t: pa.Table, epoch_col: str | None, ts_col: str) -> None:
     """Loud contract refusal on null event-time / epoch rows — a null
     ts would otherwise surface as an obscure ArrowInvalid NaN-truncation
@@ -66,7 +79,7 @@ def epoch_watermarks(ds, epoch_col: str, ts_col: str, lateness_sec: float):
         return pa.table(
             {
                 epoch_col: t[epoch_col],
-                "__ts_us": pc.cast(t[ts_col], pa.int64()),
+                "__ts_us": _ts_to_us(t[ts_col]),
             }
         )
 
@@ -111,9 +124,15 @@ def watermark_window_agg(
     a caller (the streaming accumulator) supply precomputed watermarks.
     """
     keys = list(keys or [])
-    wm = watermarks if watermarks is not None else epoch_watermarks(
-        ds, epoch_col, ts_col, lateness_sec
-    )
+    wm = watermarks
+    if wm is None:
+        # materialize ONCE: the watermark fold and the assign pass are
+        # two consumers — left lazy, the whole upstream pipeline would
+        # execute twice, and a non-deterministic/mutable source could
+        # desynchronize rows from the watermarks they're judged against
+        # (the streaming class guards its advance() the same way)
+        ds = ds.materialize()
+        wm = epoch_watermarks(ds, epoch_col, ts_col, lateness_sec)
     width_us = int(width_sec) * _US
     final_wm = wm.get(-1)
     # dense epoch->watermark arrays for a vectorized per-row gather
@@ -127,7 +146,7 @@ def watermark_window_agg(
 
     def assign(t: pa.Table) -> pa.Table:
         _refuse_null_time(t, epoch_col, ts_col)
-        ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ts_us = _ts_to_us(t[ts_col]).to_numpy(zero_copy_only=False)
         ws = (ts_us // width_us) * width_us
         ep = t[epoch_col].to_numpy(zero_copy_only=False).astype(np.int64)
         # map each row's epoch to its watermark via searchsorted on the
@@ -221,6 +240,7 @@ class WatermarkWindowStream:
         keys: list[str] | None = None,
         value_col: str | None = None,
         state_budget_rows: int = 1_000_000,
+        key_types: dict[str, pa.DataType] | None = None,
     ):
         self.ts_col = ts_col
         self.width_us = int(width_sec) * _US
@@ -231,8 +251,12 @@ class WatermarkWindowStream:
         self._wm_us: int | None = None  # current watermark (µs)
         self._state: pa.Table | None = None
         # key-column types observed from data, so zero-row emissions
-        # carry the SAME schema as non-empty ones (callers concat them)
-        self._key_types: dict[str, pa.DataType] = {}
+        # carry the SAME schema as non-empty ones (callers concat them).
+        # For non-string keys, pass ``key_types`` up front: an emission
+        # produced BEFORE any data arrives (empty first epoch, early
+        # flush) otherwise defaults unknown key columns to string and
+        # would break the documented concat contract.
+        self._key_types: dict[str, pa.DataType] = dict(key_types or {})
 
     # -- one epoch -------------------------------------------------------
     def advance(self, epoch_ds) -> pa.Table:
@@ -244,7 +268,7 @@ class WatermarkWindowStream:
 
         def assign(t: pa.Table) -> pa.Table:
             _refuse_null_time(t, None, ts_col)
-            ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+            ts_us = _ts_to_us(t[ts_col]).to_numpy(zero_copy_only=False)
             ws = (ts_us // width_us) * width_us
             late = (
                 (ws + width_us) <= wm

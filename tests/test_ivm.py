@@ -377,3 +377,32 @@ def test_maintained_view_equals_direct_recompute(tmp_path):
     ).to_pandas()
     # direct recompute on the final state: a(11), c(30), d(40)
     assert maintained.to_dict("records") == [{"repo": "r", "n": 3, "bytes": 81}]
+
+
+def test_view_sum_over_primary_key_column(tmp_path):
+    """A view summing a lake PRIMARY KEY column (path length) must
+    advance: the changelog strips repo/path from image columns, so the
+    delta kernel falls back to the bare column like the key path does
+    (previously a KeyError 'path_old' inside the task)."""
+    binlog = _write_four_epoch_binlog(tmp_path)
+    root = str(tmp_path / "lake")
+    cfg = ReplayConfig(lake_root=root, num_buckets=2)
+    from etl_reconciliate_ray.stages.ivm import MaintainedView
+
+    replay_stream(binlog, cfg, stop_after_epoch=1)
+    view = MaintainedView(
+        str(tmp_path / "view"), keys=["repo"], count_name="n",
+        sums={"plen": ("path", "utf8_length")},
+    )
+    view.bootstrap(root)
+    replay_stream(binlog, cfg)
+    assert view.advance(root) == 4  # must not KeyError on path images
+
+    got = view.state().to_pandas().set_index("repo")
+    lt = lake_dataset(root, columns=["repo", "path"]).to_pandas()
+    want = lt.groupby("repo").agg(
+        n=("path", "size"), plen=("path", lambda s: s.str.len().sum())
+    )
+    for repo, row in want.iterrows():
+        assert int(got.loc[repo, "n"]) == int(row["n"])
+        assert int(got.loc[repo, "plen"]) == int(row["plen"])

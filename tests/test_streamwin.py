@@ -228,3 +228,57 @@ def test_watermark_unknown_epoch_refused(ray_session):
             rd.from_arrow(t), "epoch", "ts", 3600, 1800,
             keys=["k"], value_col="v", watermarks=partial_wm,
         ).take_all()
+
+
+def test_watermark_windows_normalize_timestamp_unit(ray_session):
+    """A timestamp[ms] event-time column must produce the SAME windows
+    as the equivalent timestamp[us] column — the µs window math would
+    otherwise silently read milliseconds as microseconds (1000x-wide
+    windows, 1970-era window_starts)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.streamwin import watermark_window_agg
+
+    us = [10_000_000, 3_600_000_000, 7_200_000_000, 100_000_000]
+    eps = [0, 0, 1, 1]
+    t_us = pa.table({
+        "epoch": pa.array(eps, pa.int64()),
+        "ts": pa.array(us, pa.timestamp("us")),
+    })
+    t_ms = pa.table({
+        "epoch": pa.array(eps, pa.int64()),
+        "ts": pa.array([v // 1000 for v in us], pa.timestamp("ms")),
+    })
+    out_us = (watermark_window_agg(rd.from_arrow(t_us), "epoch", "ts", 3600, 0)
+              .to_pandas().sort_values("window_start").reset_index(drop=True))
+    out_ms = (watermark_window_agg(rd.from_arrow(t_ms), "epoch", "ts", 3600, 0)
+              .to_pandas().sort_values("window_start").reset_index(drop=True))
+    assert out_us.equals(out_ms)
+    assert len(out_us) == 3  # three distinct hour windows
+
+
+def test_stream_empty_first_epoch_keeps_declared_key_type(ray_session):
+    """An emission produced before any data (empty first epoch) must
+    carry the DECLARED key type, not a string default — the documented
+    concat contract for emissions would otherwise schema-mismatch."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.streamwin import WatermarkWindowStream
+
+    st = WatermarkWindowStream(
+        "ts", 3600, 0, keys=["k"], key_types={"k": pa.int64()},
+    )
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "ts": pa.array([], pa.timestamp("us")),
+    }))
+    e0 = st.advance(empty)
+    full = rd.from_arrow(pa.table({
+        "k": pa.array([7], pa.int64()),
+        "ts": pa.array([3_600_000_000], pa.timestamp("us")),
+    }))
+    e1 = st.advance(full)
+    fl = st.flush()
+    merged = pa.concat_tables([e0, e1, fl])  # must not schema-mismatch
+    assert merged.schema.field("k").type == pa.int64()
