@@ -23,7 +23,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.grouping import group_codes
-from ..functions.hashing import hash64
 
 
 def _winner_take(tbl: pa.Table, key_cols: list[str], order_cols: list[str]) -> pa.Table:
@@ -65,16 +64,12 @@ def lww_latest(
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
 
     def partial(t: pa.Table) -> pa.Table:
+        from .joins import _bucket_expr  # ONE routing definition engine-wide
+
         out = _winner_take(t, key_cols, order_cols)
-        k = out[key_cols[0]]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        if pa.types.is_integer(k.type):
-            kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False).astype(np.int64)
-            bucket = (kv % num_buckets).astype(np.int32)
-        else:
-            bucket = (hash64(k) % np.uint64(num_buckets)).astype(np.int32)
-        return out.append_column("__bucket__", pa.array(bucket))
+        return out.append_column(
+            "__bucket__", _bucket_expr(out[key_cols[0]], num_buckets)
+        )
 
     def final(t: pa.Table) -> pa.Table:
         return _winner_take(t, key_cols, order_cols).drop_columns(["__bucket__"])

@@ -31,12 +31,21 @@ def make_normalizer(
     """Build the per-batch normalize fn (zero-copy Arrow in/out)."""
 
     def normalize(batch: pa.Table) -> pa.Table:
-        # a batch whose string column is entirely null can arrive as
-        # Arrow `null` type (e.g. an all-delete epoch written by a
-        # schema-inferring producer); rebind to string so every
-        # downstream hash/aggregate kernel has a real type
+        # a batch whose STRING-CONTRACT column is entirely null can
+        # arrive as Arrow `null` type (e.g. an all-delete epoch written
+        # by a schema-inferring producer); rebind those to string so
+        # every downstream hash/aggregate kernel has a real type. Only
+        # the engine's known string columns — rebinding an arbitrary
+        # payload column (say an optional int64) would give THIS block
+        # a string schema while other blocks keep the real type,
+        # breaking cross-block unification, whereas the null type
+        # promotes cleanly under permissive concat.
+        string_contract = {"repo", "path", "commit", "op",
+                           content_col, "content_sha256"}
         for c in batch.column_names:
-            if pa.types.is_null(batch.schema.field(c).type):
+            if c in string_contract and pa.types.is_null(
+                batch.schema.field(c).type
+            ):
                 batch = batch.set_column(
                     batch.column_names.index(c), c,
                     pa.nulls(batch.num_rows, pa.string()),

@@ -34,10 +34,20 @@ from ..functions.hashing import hash64
 
 
 def _segment_starts(keys: np.ndarray) -> np.ndarray:
-    """Start index of each key-run in a key-sorted array."""
+    """Start index of each key-run in a key-sorted array. Null keys
+    (NaN/NaT after a numeric/timestamp column's to_numpy) form ONE run
+    like any other key — a raw != comparison would fragment them into a
+    segment PER ROW (NaN != NaN is True), giving every null-keyed row
+    rn=1/n=1 instead of SQL's single PARTITION BY NULL group (string
+    keys already behave: None == None under numpy object compare)."""
     if len(keys) == 0:
         return np.zeros(0, dtype=np.int64)
-    return np.concatenate([[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1]).astype(np.int64)
+    neq = keys[1:] != keys[:-1]
+    if keys.dtype.kind == "f":
+        neq &= ~(np.isnan(keys[1:]) & np.isnan(keys[:-1]))
+    elif keys.dtype.kind in "mM":
+        neq &= ~(np.isnat(keys[1:]) & np.isnat(keys[:-1]))
+    return np.concatenate([[0], np.flatnonzero(neq) + 1]).astype(np.int64)
 
 
 def window_functions(
@@ -126,6 +136,8 @@ def window_functions(
         is_start[starts] = True
         cols: dict[str, pa.Array | pa.ChunkedArray] = {c: t[c] for c in keep}
         seg_of = np.cumsum(is_start) - 1
+        # per-segment sizes, shared by every branch that needs them
+        sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
         if row_number:
             # ordinal = global index - start index of the row's segment
             rn = np.arange(n, dtype=np.int64) - starts[seg_of] + 1
@@ -141,6 +153,9 @@ def window_functions(
                         # nulls arrive as NaN; SQL ranks NULLs as peers,
                         # so two consecutive NaNs must NOT start a run
                         neq &= ~(np.isnan(v[1:]) & np.isnan(v[:-1]))
+                    elif v.dtype.kind in "mM":
+                        # timestamp nulls arrive as NaT — same peer rule
+                        neq &= ~(np.isnat(v[1:]) & np.isnat(v[:-1]))
                     new_run[1:] |= neq
             idx = np.arange(n, dtype=np.int64)
             run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
@@ -150,7 +165,6 @@ def window_functions(
                 runs = np.cumsum(new_run)  # 1-based run ordinal
                 cols[dense_rank] = pa.array(runs - runs[starts[seg_of]] + 1, pa.int64())
             if cume_dist or percent_rank:
-                sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
                 m = sizes[seg_of]
                 if cume_dist:
                     # last index of each tie run, broadcast to its rows
@@ -169,7 +183,6 @@ def window_functions(
                     )
         if ntile:
             nt_out, nt_k = ntile
-            sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
             m = sizes[seg_of]
             r = np.arange(n, dtype=np.int64) - starts[seg_of]  # 0-based in-partition
             q, rem = m // nt_k, m % nt_k
@@ -196,7 +209,6 @@ def window_functions(
                 is_end[np.concatenate([starts[1:] - 1, [n - 1]])] = True
             cols[out] = pa.compute.if_else(pa.array(is_end), pa.nulls(n, arr.type), arr)
         if first_value or last_value:
-            sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
             seg_first = starts[seg_of]
             seg_last = seg_first + sizes[seg_of] - 1
             for out, src in first_value.items():
@@ -209,7 +221,6 @@ def window_functions(
                 red = ufunc.reduceat(v, starts)
                 cols[out] = pa.array(red[seg_of], pa.from_numpy_dtype(v.dtype))
         if group_sum or group_count:
-            sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
             for out, src in group_sum.items():
                 # same null discipline as cumsum below: SQL SUM ignores
                 # NULLs, and an int64 column with nulls round-trips

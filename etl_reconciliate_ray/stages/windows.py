@@ -65,7 +65,14 @@ def hopping_window_agg(
         out = []
         for i in range(k):
             shift = pa.scalar(i * hop_minutes * 60 * 1_000_000, pa.duration("us"))
-            out.append(batch.append_column("window_start", pc.subtract(base, shift)))
+            rep = batch.append_column("window_start", pc.subtract(base, shift))
+            if i > 0:
+                # a null-ts event lands in window_start=NULL for EVERY
+                # shift and the null groups merge — it would count k
+                # times where tumbling counts it once; keep only the
+                # shift-0 copy so the two window shapes agree
+                rep = rep.filter(pc.is_valid(rep[ts_col]))
+            out.append(rep)
         return pa.concat_tables(out)
 
     with_w = events_ds.map_batches(assign, batch_format="pyarrow")
@@ -101,7 +108,11 @@ def session_window_agg(
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, ts_col, order_tiebreak], kind="stable")
-        same_key = df[key].eq(df[key].shift())
+        cur, prev = df[key], df[key].shift()
+        # null-safe: NaN.eq(NaN) is False, which would break EVERY
+        # null-keyed row into its own 1-row session; a null key is one
+        # partition like any other (group_codes / _segment_starts rule)
+        same_key = cur.eq(prev) | (cur.isna() & prev.isna())
         brk = (~same_key) | (df[ts_col] - df[ts_col].shift() > gap)
         sid = brk.cumsum()
         g = df.groupby(sid)

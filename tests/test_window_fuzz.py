@@ -122,3 +122,77 @@ def test_window_functions_fuzz_unique_order(ray_session):
 
 def test_window_functions_fuzz_tied_order(ray_session):
     _case_tied_order()
+
+
+def test_null_partition_keys_are_one_group(ray_session):
+    """Null keys of NUMERIC type must form ONE partition (SQL PARTITION
+    BY NULL; string keys already did): raw numpy != fragments NaN keys
+    into a segment per row. Same rule for session windows and NaT
+    ORDER BY peers."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+    from etl_reconciliate_ray.stages.windows import session_window_agg
+
+    t = pa.table({
+        "k": pa.array([1, 1, None, None], pa.int64()),
+        "o": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = (window_functions(rd.from_arrow(t), "k", ["o"],
+                            row_number="rn", group_count="n")
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    nulls = out[out["k"].isna()]
+    assert sorted(nulls["rn"]) == [1, 2] and set(nulls["n"]) == {2}
+
+    ev = pa.table({
+        "user_id": pa.array([None, None], pa.int64()),
+        "ts": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+        "event_id": pa.array([1, 2], pa.int64()),
+    })
+    ses = session_window_agg(rd.from_arrow(ev), key="user_id",
+                             gap_minutes=30).to_pandas()
+    assert len(ses) == 1 and int(ses["n_events"][0]) == 2
+
+
+def test_rank_nat_order_values_are_peers(ray_session):
+    """Tied NULL timestamps in ORDER BY are rank peers (the float path
+    already was; NaT != NaT previously started a new tie-run)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.windowfns import window_functions
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a"], pa.string()),
+        "ts": pa.array([1_000_000, None, None], pa.timestamp("us")),
+        "id": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = (window_functions(rd.from_arrow(t), "k", ["ts"], rank="r",
+                            keep=["k", "ts", "id"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["r"].tolist() == [1, 2, 2]
+
+
+def test_hopping_counts_null_ts_once(ray_session):
+    """A null-ts event lands in the NULL window exactly once — the
+    shift replication previously counted it width/hop times while
+    tumbling counted it once."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_reconciliate_ray.stages.windows import (
+        hopping_window_agg, tumbling_window_agg,
+    )
+
+    t = pa.table({
+        "ts": pa.array([3_600_000_000, None], pa.timestamp("us")),
+        "event_type": pa.array(["x", "x"], pa.string()),
+    })
+    hop = hopping_window_agg(rd.from_arrow(t), keys=["event_type"],
+                             width_minutes=60, hop_minutes=30).to_pandas()
+    tum = tumbling_window_agg(rd.from_arrow(t), keys=["event_type"],
+                              width="hour").to_pandas()
+    hop_null = hop[hop["window_start"].isna()]
+    tum_null = tum[tum["window_start"].isna()]
+    assert int(hop_null["n"].sum()) == 1 == int(tum_null["n"].sum())
