@@ -141,7 +141,11 @@ def render_report(out_dir: str, fmt: str = "csv", max_rows: int = _RENDER_MAX_RO
                     "container); use fmt='csv'"
                 ) from exc
         path = os.path.join(out_dir, "report.xlsx")
-        tmp = path + ".tmp"
+        # temp name keeps the .xlsx SUFFIX: pandas infers the Excel
+        # engine from the final extension, so "report.xlsx.tmp" raised
+        # "No engine for filetype: 'tmp'" on every write, even with
+        # openpyxl installed
+        tmp = os.path.join(out_dir, "report.tmp.xlsx")
         with pd.ExcelWriter(tmp) as xw:
             for name, df in sheets.items():
                 df.to_excel(xw, sheet_name=name, index=False)

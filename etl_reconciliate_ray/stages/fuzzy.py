@@ -92,7 +92,10 @@ def fuzzy_self_join(ds, col: str, k: int = 2, q: int = 2):
     short_cut = q * (k + 1)  # below this, the count filter is void
 
     # distinct values as a DATASET op (Dataset.unique collects to the
-    # driver): per-batch distinct partials, one value-hash shuffle
+    # driver): per-batch distinct partials, one value-hash shuffle.
+    # MATERIALIZED: consumed twice (gram-DF pass + candidate pass) —
+    # left lazy, the full input scan and the distinct shuffle (the
+    # scale-critical step) would execute twice
     names_ds = (
         ds.select_columns([col])
         .map_batches(
@@ -101,6 +104,7 @@ def fuzzy_self_join(ds, col: str, k: int = 2, q: int = 2):
         )
         .groupby(col)
         .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .materialize()
     )
 
     # gram document frequency — bounded by the alphabet², tiny

@@ -48,9 +48,17 @@ def nest_table(
             for c in child.column_names if c != parent_key
         ]))
         return pa.table({parent_key: keys, list_col: pa.array([], empty)})
-    # run-length boundaries of the sorted parent keys -> list offsets
-    eq = pc.equal(keys.slice(1), keys.slice(0, n - 1))
-    brk = np.flatnonzero(~eq.to_numpy(zero_copy_only=False)) + 1
+    # run-length boundaries of the sorted parent keys -> list offsets.
+    # NULL-SAFE: equal() is null when either side is null and unary ~
+    # on the resulting object array raises TypeError; a null parent key
+    # is ONE group like any other (sorted nulls are contiguous), so
+    # consecutive nulls must not break
+    a, b = keys.slice(1), keys.slice(0, n - 1)
+    same = pc.or_(
+        pc.fill_null(pc.equal(a, b), False),
+        pc.and_(pc.is_null(a), pc.is_null(b)),
+    ).to_numpy(zero_copy_only=False)
+    brk = np.flatnonzero(~same) + 1
     offsets = np.concatenate([[0], brk, [n]]).astype(np.int32)
     payload_cols = [c for c in child.column_names if c != parent_key]
     struct = pa.StructArray.from_arrays(

@@ -93,14 +93,12 @@ def reconcile_pair_pdf(
 
     both = m["_merge"] == "both"
     matched = both & (m[f"{value_col}_l"] == m[f"{value_col}_r"])
-    grp = m.groupby(key_cols, sort=False, dropna=False)
     n_match = matched.groupby([m[c] for c in key_cols], dropna=False).transform("sum")
     # ordinal among *matching* right rows of a key (1-based)
     match_ord = matched.groupby([m[c] for c in key_cols], dropna=False).cumsum()
     # ordinal among non-matching "both" rows of a key (to pick the VALUE_DIFF carrier)
     nonmatch = both & ~matched
     nonmatch_ord = nonmatch.groupby([m[c] for c in key_cols], dropna=False).cumsum()
-    del grp
 
     status = np.full(len(m), "", dtype=object)
     status[(m["_merge"] == "left_only").to_numpy()] = STATUS_MISSING_RIGHT
@@ -144,7 +142,16 @@ def bucket_tag(batch: pa.Table, key_cols: Sequence[str], num_buckets: int,
     key_cols = list(key_cols)
     if len(key_cols) >= 2:
         return bucket_of(batch[key_cols[0]], batch[key_cols[1]], num_buckets, salt_for_repo)
-    return bucket_of(batch[key_cols[0]], batch[key_cols[0]], num_buckets, salt_for_repo)
+    if salt_for_repo:
+        # salted splitting needs bucket_of's repo-keyed salt routing
+        return bucket_of(batch[key_cols[0]], batch[key_cols[0]], num_buckets, salt_for_repo)
+    # single high-cardinality key (orderkey reconciles): hash-mod
+    # directly — bucket_of's dictionary-encode is tuned for a
+    # low-cardinality repo column and would build a full per-batch
+    # hash table of a near-unique key
+    from .joins import _bucket_expr
+
+    return _bucket_expr(batch[key_cols[0]], num_buckets)
 
 
 def reconcile_datasets(

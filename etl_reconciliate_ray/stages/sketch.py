@@ -32,17 +32,26 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _mg_trim(items: np.ndarray, counts: np.ndarray, capacity: int):
-    """Misra-Gries decrement: keep ≤ capacity counters by subtracting
-    the (capacity+1)-th largest count from all and dropping ≤ 0."""
+def _mg_trim_idx(counts: np.ndarray, capacity: int):
+    """Misra-Gries decrement on COUNTS only: keep ≤ capacity counters
+    by subtracting the (capacity+1)-th largest count from all and
+    dropping ≤ 0. Returns (surviving indices, decremented counts) so
+    callers gather items from the ORIGINAL (Arrow) array — item values
+    never round-trip through numpy (see heavy_hitters)."""
     if len(counts) <= capacity:
-        return items, counts
+        return np.arange(len(counts), dtype=np.int64), counts
     order = np.argsort(counts)[::-1]
     dec = counts[order[capacity]]
     keep = order[:capacity]
     kept_counts = counts[keep] - dec
     pos = kept_counts > 0
-    return items[keep][pos], kept_counts[pos]
+    return keep[pos].astype(np.int64), kept_counts[pos]
+
+
+def _mg_trim(items: np.ndarray, counts: np.ndarray, capacity: int):
+    """Array-in/array-out view of ``_mg_trim_idx`` (property tests)."""
+    idx, kept = _mg_trim_idx(counts, capacity)
+    return items[idx], kept
 
 
 def heavy_hitters(ds, col: str, capacity: int, alias: str = "n") -> pd.DataFrame:
@@ -57,24 +66,39 @@ def heavy_hitters(ds, col: str, capacity: int, alias: str = "n") -> pd.DataFrame
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        # items stay ARROW end to end: a numpy round-trip of an int64
+        # column with any null yields float64 (ids past 2^53 corrupt,
+        # and null- vs null-free batches emit conflicting partial
+        # schemas); count_all counts the null group's rows too (the
+        # valid-only count reported a null-heavy column as 0)
         red = t.select([col]).group_by([col], use_threads=False).aggregate(
-            [(col, "count")]
+            [([], "count_all")]
         )
-        items = red[col].to_numpy(zero_copy_only=False)
-        counts = red[f"{col}_count"].to_numpy(zero_copy_only=False).astype(np.int64)
-        items, counts = _mg_trim(items, counts, capacity)
-        return pa.table({"item": pa.array(items), alias: pa.array(counts, pa.int64())})
+        counts = red["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep_idx, kept = _mg_trim_idx(counts, capacity)
+        return pa.table({
+            "item": red[col].take(pa.array(keep_idx, pa.int64())),
+            alias: pa.array(kept, pa.int64()),
+        })
 
-    merged = (
+    agg = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("item")
         .aggregate(Sum(on=alias, alias_name=alias))
-        .to_pandas()
     )
-    items, counts = _mg_trim(
-        merged["item"].to_numpy(), merged[alias].to_numpy().astype(np.int64), capacity
-    )
-    out = pd.DataFrame({"item": items, alias: counts})
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pd.DataFrame({"item": pd.Series([], dtype=object),
+                             alias: pd.Series([], dtype="int64")})
+    mt = pa.concat_tables(batches, promote_options="default")
+    counts = mt[alias].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep_idx, kept = _mg_trim_idx(counts, capacity)
+    from .joins import _NULLABLE_PD  # nullable ints: no float degrade
+
+    out = pa.table({
+        "item": mt["item"].take(pa.array(keep_idx, pa.int64())),
+        alias: pa.array(kept, pa.int64()),
+    }).to_pandas(types_mapper=_NULLABLE_PD.get)
     return out.sort_values([alias, "item"], ascending=[False, True]).reset_index(
         drop=True
     )

@@ -45,8 +45,18 @@ def write_piece_local(lake_root: str, epoch: int, part: int, tbl: pa.Table,
     round-trip, no writer-pool serialization point; the run-level fence
     stays with the driver's commit log (``_commit_manifest_rows``)."""
     if kind == "full":
-        # strip empty-partition tombstone rows (see merge.make_merge_fn)
-        tbl = tbl.filter(pc.is_valid(tbl["repo"]))
+        # strip empty-partition tombstone rows (merge.make_merge_fn
+        # emits ONE all-null-LAKE_COLS row when a bucket empties). A
+        # tombstone is recognized by repo AND path AND content_sha256
+        # all null — filtering on repo alone deleted legitimate
+        # (null, path) keys that merge_apply deliberately preserves as
+        # distinct live rows. (A real key that is null in BOTH key
+        # columns with null content is indistinguishable from the
+        # marker — that one degenerate shape cannot be stored.)
+        tomb = pc.and_(pc.is_null(tbl["repo"]), pc.is_null(tbl["path"]))
+        if "content_sha256" in tbl.column_names:
+            tomb = pc.and_(tomb, pc.is_null(tbl["content_sha256"]))
+        tbl = tbl.filter(pc.invert(tomb))
     piece_sha = table_state_sha256(tbl, ("repo", "path"), "content_sha256")
     out_dir = os.path.join(lake_root, f"epoch={epoch:05d}", f"part={part:05d}")
     os.makedirs(out_dir, exist_ok=True)
@@ -78,12 +88,14 @@ class LakeWriterActor:
         self._partials: dict[tuple[int, int], list[pa.Table]] = {}
         # fence: (epoch, part) pairs already committed (from the log) or
         # already written by this actor in this run
-        log = CommitLog.open(lake_root)
         self._fence: dict[tuple[int, int], dict] = {}
-        for (e, p), entry in log._entries.items():
-            self._fence[(e, p)] = {
-                "epoch": e,
-                "part": p,
+        # public accessor, not a reach into CommitLog internals; the
+        # single-file view is enough — the driver's (epoch, part)
+        # re-fence ignores a fenced row's file list
+        for entry in CommitLog.open(lake_root).all_entries():
+            self._fence[(entry.epoch, entry.part)] = {
+                "epoch": entry.epoch,
+                "part": entry.part,
                 "file": entry.files[0] if entry.files else "",
                 "rows": entry.rows,
                 "state_sha256": entry.state_sha256,

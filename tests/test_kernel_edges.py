@@ -678,3 +678,88 @@ def test_commit_parts_refuses_conflicting_intrabatch_duplicates(tmp_path):
     with pytest.raises(ValueError, match="conflicting duplicate"):
         log.commit_parts([a, b])
     assert log.commit_parts([a, a]) == 1  # identical dupes collapse
+
+
+def test_writer_full_strip_keeps_null_component_keys():
+    """The full-state tombstone strip must remove ONLY the all-null
+    marker row merge emits for an emptied bucket — a legitimate
+    (null, path) key that merge_apply preserves previously vanished
+    from the written partition state."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.writer import write_piece_local
+
+    t = pa.table({
+        "repo": pa.array([None, "r1", None], pa.string()),
+        "path": pa.array(["p1", None, None], pa.string()),
+        "content": pa.array(["a", "b", None], pa.string()),
+        "content_sha256": pa.array(["ha", "hb", None], pa.string()),
+        "bucket": pa.array([0, 0, 0], pa.int32()),
+    })
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        row = write_piece_local(d, 1, 0, t, "full")
+        import pyarrow.parquet as pq
+
+        written = pq.read_table(row["file"])
+    keys = {(r["repo"], r["path"]) for r in written.to_pylist()}
+    assert keys == {(None, "p1"), ("r1", None)}  # tombstone gone, keys kept
+
+
+def test_nest_table_null_parent_key_is_one_group():
+    """A null parent key nests into ONE list group (previously:
+    TypeError on unary ~ over the null-bearing equality array)."""
+    import pyarrow as pa
+
+    from etl_reconciliate_ray.stages.nest import nest_table
+
+    child = pa.table({
+        "pk": pa.array([1, 1, None, None, 2], pa.int64()),
+        "v": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })
+    out = nest_table(child, "pk", list_col="lines")
+    got = {r["pk"]: sorted(x["v"] for x in r["lines"]) for r in out.to_pylist()}
+    assert got == {1: [10, 11], None: [12, 13], 2: [14]}
+
+
+def test_render_report_xlsx_when_engine_available(tmp_path):
+    """fmt='xlsx' must actually write: the old '.xlsx.tmp' temp name
+    made pandas infer engine 'tmp' and raise on EVERY write."""
+    import pandas as pd
+    import pytest
+
+    from etl_reconciliate_ray.pipelines.report import render_report
+
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        pytest.skip("no excel engine in this container")
+    rollup = pd.DataFrame({"repo": ["r"], "n_rows": [1], "n_matched": [1],
+                           "rollup_status": ["OK"]})
+    detail = pd.DataFrame({"repo": ["r"], "path": ["p"], "status": ["MATCHED"]})
+    out = render_report(rollup, detail, str(tmp_path), fmt="xlsx")
+    import os
+
+    assert all(os.path.exists(p) for p in out["files"].values())
+
+
+def test_heavy_hitters_null_and_big_int_items(ray_session):
+    """Items stay Arrow end to end: a null in one batch must not
+    float-degrade big int64 ids (2^53+1 was reported as a DIFFERENT
+    id), and the null group's own frequency counts (previously 0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pandas as pd
+
+    from etl_reconciliate_ray.stages.sketch import heavy_hitters
+
+    big = 2**53 + 1
+    vals = [big] * 6 + [None] * 5 + [7] * 2
+    t = pa.table({"u": pa.array(vals, pa.int64())})
+    out = heavy_hitters(rd.from_arrow(t), "u", capacity=4)
+    items = {(None if pd.isna(r["u"]) else int(r["u"])): int(r["n"])
+             for _, r in out.rename(columns={"item": "u"}).iterrows()}
+    assert items[big] == 6  # exact id, not a float round
+    assert items[None] == 5  # null group counted
